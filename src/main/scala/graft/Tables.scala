@@ -20,7 +20,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    * vectorized parquet reader rejects outright. Read nanos as long
+    * (legacy conf) and floor-divide to microseconds — the same
+    * truncation DuckDB's CAST(ts AS TIMESTAMP) applies, so oracle
+    * comparisons stay aligned. Emitted as TIMESTAMP_NTZ to match the
+    * file's isAdjustedToUTC=false semantics.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000"))
+        .cast("timestamp_ntz"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -2,30 +2,46 @@ package graft.operators
 
 import graft.{Num, QueryModule, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Batch relational surface over the TPC-H-ish tables: the generalized
   * analytics capabilities BASELINE.json obliges on top of the reference's
-  * streaming dataflow (SURVEY.md §2.1 checklist, right column).
+  * streaming dataflow (SURVEY.md §2.1 checklist, right column): scans,
+  * joins (broadcast/shuffle/semi/anti/outer/as-of), hash aggregation,
+  * distinct, rollup/cube, window functions, sorts/top-k, set ops, string
+  * and JSON scalar functions, time-windowed aggregation.
   *
-  * All queries are declarative DataFrame plans — Catalyst provides filter
-  * pushdown into the parquet scan, column pruning, and join-strategy
-  * selection; at 100 TB these run as map-side-combined hash aggregations
-  * over the scan partitioning with no extra shuffles beyond the group-by.
+  * Scale notes (100 TB design intent):
+  *  - Filters/projections sit directly on the parquet scan (pushdown +
+  *    pruning verified via .explain in RelationalSpec).
+  *  - Dimension tables (region/nation) are broadcast explicitly; the
+  *    customer/orders sides are left to AQE, which picks broadcast at
+  *    small SF and shuffled hash join at cluster scale.
+  *  - Aggregations are declarative groupBy → Catalyst does map-side
+  *    partial aggregation; no collect-based logic anywhere.
+  *  - The as-of join uses the union + carry-forward-window formulation:
+  *    one shuffle on the join key, no per-row range probe, skew-safe.
   *
   * Float determinism: every double aggregate goes through Num.dsum/davg
   * (exact decimal accumulation) so results hash-match DuckDB regardless
-  * of partition count or merge order.
+  * of partition count or merge order; running windows use decimal sums
+  * because DuckDB's segment-tree window accumulator reorders additions.
+  *
+  * Synthetic-data ranges (TESTDATA.md tables): order/ship dates span
+  * 1995–2001, events.ts spans Jan 2024, discounts 0.00–0.10.
   */
 object Relational extends QueryModule {
   import Tables._
   import Num._
 
+  private def tsLit(s: String) = lit(s).cast("timestamp")
+
   override def queries: Map[String, Q] = Map(
-    // TPC-H Q1: pricing summary. Single scan → partial agg → final agg;
-    // the shipdate filter is pushed to the parquet reader.
+    // ---- aggregation ----------------------------------------------------
+    // TPC-H Q1: pricing summary. Single scan → partial agg → final agg.
     "q1_pricing" -> ((s, d) => {
       lineitem(s, d)
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .filter(col("l_shipdate") <= tsLit("2001-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -40,15 +56,273 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // TPC-H Q6: selective filter + scalar aggregate. Entirely pushdown +
-    // one-row result; at scale this is a scan-only job.
+    // TPC-H Q6: selective filter + scalar aggregate; scan-only job.
     "q6_forecast" -> ((s, d) => {
       lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+          col("l_shipdate") < tsLit("1997-01-01") &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
         .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    }),
+
+    // GROUP BY + HAVING: active customers by order count.
+    "q_having_active" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") >= 3)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Exact distinct aggregation (shuffle on group key, expand for
+    // multiple distincts handled by Catalyst's rewrite).
+    "q_distinct_parts" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- joins ----------------------------------------------------------
+    // TPC-H Q3: shipping priority. 3-way join, group, top-10.
+    "q3_shipping" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d).filter(col("o_orderdate") < tsLit("1998-01-01"))
+      val l = lineitem(s, d).filter(col("l_shipdate") > tsLit("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5: multi-way join through region→nation→(customer,supplier),
+    // revenue per nation. region/nation broadcast; rest to AQE.
+    "q5_region_revenue" -> ((s, d) => {
+      val r = region(s, d).filter(col("r_name") === "EUROPE")
+      val n = nation(s, d)
+      val c = customer(s, d)
+      val sup = supplier(s, d)
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+          col("o_orderdate") < tsLit("1997-01-01"))
+      val l = lineitem(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Top-k by aggregate: biggest customers by lifetime spend.
+    "q_top_customers" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("total_spent"),
+          col("n_orders"))
+        .orderBy(col("total_spent").desc, col("c_custkey"))
+        .limit(15)
+    }),
+
+    // Left-semi join: customers that have at least one open ('P') order.
+    "q_semi_customers" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-anti join: customers with no urgent-priority orders.
+    "q_anti_customers" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-outer join + aggregate: customer count per nation (zeros kept).
+    "q_outer_nation" -> ((s, d) => {
+      nation(s, d)
+        .join(customer(s, d), col("n_nationkey") === col("c_nationkey"),
+          "left_outer")
+        .groupBy(col("n_name"))
+        .agg(count(col("c_custkey")).as("n_customers"),
+          dsum(coalesce(col("c_acctbal"), lit(0.0))).as("sum_acctbal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // As-of join (operator the reference lacks; SURVEY §2.1 checklist):
+    // for each purchase event, the most recent click (ts <= purchase ts)
+    // by the same user. Implemented as union + carry-forward window:
+    // one shuffle on user_id, linear scan per partition — the scalable
+    // formulation (no per-row range probe, no broadcast of the big side).
+    "q_asof_click" -> ((s, d) => {
+      val ev = events(s, d)
+      // dedup click side per (user_id, ts) so ties are deterministic
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts"), col("click_id"),
+          lit(0).as("kind"), lit(null).cast("long").as("purchase_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          lit(null).cast("long").as("click_id"), lit(1).as("kind"),
+          col("event_id").as("purchase_id"))
+      // kind orders click before purchase at equal ts => inclusive (<=)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("asof_click_id",
+          last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("purchase_id"), col("user_id"),
+          col("asof_click_id"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // ---- windows --------------------------------------------------------
+    // Ranking window: top-3 orders per market segment by price.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rk"))
+    }),
+
+    // Running-total window: cumulative spend per user over time.
+    // Decimal accumulation: DuckDB's segment-tree window sums doubles in
+    // a different order than Spark's streaming frame — decimal is exact
+    // under any association, so both engines agree bit-for-bit.
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .filter(col("event_type") === "purchase")
+        .withColumn("running_spend",
+          sum(dsumExpr(col("value"))).over(w).cast("double") / 1e8)
+        .withColumn("purchase_seq", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))))
+        .select(col("event_id"), col("user_id"), col("purchase_seq"),
+          col("running_spend"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- grouping sets --------------------------------------------------
+    // ROLLUP with coalesced totals (avoids NULL-ordering dialect gaps).
+    "q_rollup_pricing" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // CUBE over nation × segment.
+    "q_cube_segment" -> ((s, d) => {
+      customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+        .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("n"), col("sum_bal"))
+        .orderBy(col("nation"), col("segment"))
+    }),
+
+    // ---- set operations -------------------------------------------------
+    // Customers ordering in 1996 vs 1997: EXCEPT / INTERSECT / UNION ALL
+    // with a tag column (exercises all three set ops in one plan).
+    "q_setops_years" -> ((s, d) => {
+      def buyers(year: String) = orders(s, d)
+        .filter(col("o_orderdate") >= tsLit(s"$year-01-01") &&
+          col("o_orderdate") < tsLit(s"${year.toInt + 1}-01-01"))
+        .select(col("o_custkey"))
+      val y96 = buyers("1996")
+      val y97 = buyers("1997")
+      val only96 = y96.distinct.except(y97).withColumn("tag", lit("only96"))
+      val only97 = y97.distinct.except(y96).withColumn("tag", lit("only97"))
+      val both = y96.intersect(y97).withColumn("tag", lit("both"))
+      only96.unionByName(only97).unionByName(both)
+        .orderBy(col("o_custkey"), col("tag"))
+    }),
+
+    // ---- scalar functions ----------------------------------------------
+    // String-function projection over part (split/lower/replace/substr).
+    "q_string_funcs" -> ((s, d) => {
+      part(s, d)
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("name_lower"),
+          split(col("p_name"), " ").getItem(0).as("first_token"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+          substring(col("p_name"), 1, 5).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // JSON extraction from the events.props payload (P2-analog scalar).
+    "q_json_props" -> ((s, d) => {
+      events(s, d)
+        .withColumn("k",
+          get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // CASE/WHEN bucketing + aggregation.
+    "q_case_buckets" -> ((s, d) => {
+      events(s, d)
+        .withColumn("bucket",
+          when(col("value") < 50, "low")
+            .when(col("value") < 150, "mid")
+            .otherwise("high"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // ---- event-time windows --------------------------------------------
+    // Tumbling 1-hour event-time window (batch form of the streaming
+    // windowed aggregation; same window() primitive works on streams).
+    "q_hourly_events" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
     })
   )
 
@@ -63,7 +337,7 @@ object Relational extends QueryModule {
          |  ${sqlAvg("l_discount")} AS avg_disc,
          |  COUNT(*) AS count_order
          |FROM lineitem
-         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -73,6 +347,160 @@ object Relational extends QueryModule {
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
          |  AND l_discount >= 0.05 AND l_discount <= 0.07
-         |  AND l_quantity < 24""".stripMargin
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q_having_active" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS total_spent
+         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+         |ORDER BY o_custkey""".stripMargin,
+
+    "q_distinct_parts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q3_shipping" ->
+      s"""SELECT l_orderkey,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |    AND c_nationkey = s_nationkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_top_customers" ->
+      s"""SELECT c_custkey, c_name, total_spent, n_orders
+         |FROM (SELECT o_custkey, ${sqlSum("o_totalprice")} AS total_spent,
+         |        COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) t
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY total_spent DESC, c_custkey LIMIT 15""".stripMargin,
+
+    "q_semi_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_outer_nation" ->
+      s"""SELECT n_name, COUNT(c_custkey) AS n_customers,
+         |  ${sqlSum("COALESCE(c_acctbal, 0.0)")} AS sum_acctbal
+         |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_asof_click" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |         CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, c.click_id AS asof_click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.purchase_id""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS purchase_seq,
+        |  CAST(SUM(CAST(round(value * 1e8) AS HUGEINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1e8 AS running_spend
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_rollup_pricing" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  COUNT(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_cube_segment" ->
+      s"""SELECT COALESCE(n_name, 'ALL') AS nation,
+         |  COALESCE(c_mktsegment, 'ALL') AS segment,
+         |  COUNT(*) AS n, ${sqlSum("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY CUBE (n_name, c_mktsegment)
+         |ORDER BY nation, segment""".stripMargin,
+
+    "q_setops_years" ->
+      """WITH y96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |y97 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_custkey, 'only96' AS tag FROM
+        |  (SELECT DISTINCT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+        |UNION ALL
+        |SELECT o_custkey, 'only97' AS tag FROM
+        |  (SELECT DISTINCT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+        |UNION ALL
+        |SELECT o_custkey, 'both' AS tag FROM
+        |  (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+        |ORDER BY o_custkey, tag""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, LOWER(p_name) AS name_lower,
+        |  string_split(p_name, ' ')[1] AS first_token,
+        |  REPLACE(p_name, ' ', '_') AS name_snake,
+        |  SUBSTR(p_name, 1, 5) AS name_prefix,
+        |  LENGTH(p_name) AS name_len,
+        |  CONCAT_WS('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        |  MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_case_buckets" ->
+      s"""SELECT event_type,
+         |  CASE WHEN value < 50 THEN 'low'
+         |       WHEN value < 150 THEN 'mid' ELSE 'high' END AS bucket,
+         |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "q_hourly_events" ->
+      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
   )
 }

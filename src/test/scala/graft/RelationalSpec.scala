@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+class RelationalSpec extends SparkSpec {
+
+  test("every declared query returns rows at sf0.001 (non-vacuous)") {
+    // The synthetic data's ranges differ from real TPC-H (see
+    // TESTDATA.md); an over-tight filter silently matches nothing and
+    // the oracle "passes" on an empty result. Guard against that here.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows at sf0.001")
+    }
+  }
+
+  test("every oracle key has a corresponding query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val plan = SparkEntry.queries("q1_pricing")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filter in plan:\n$plan")
+  }
+
+  test("q5 broadcasts the dimension tables") {
+    val plan = SparkEntry.queries("q5_region_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
