@@ -1,0 +1,61 @@
+package graft.catalog
+
+import graft.core.PrimaryKeyMapItem
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Primary-key catalog (operator S2, reference slot.py:18-33, 79-94).
+  *
+  * The reference pushes a 3-way information_schema join down to
+  * Postgres and materializes a dict keyed by "schema.table". Here the
+  * same query rides `spark.read.jdbc` (predicate + join execute inside
+  * Postgres, identical pushdown), and the result is a small DataFrame
+  * that every parse stage broadcast-joins against — the Spark analog of
+  * the reference's per-record dict lookup, and the right shape at any
+  * scale since the catalog is O(#tables).
+  */
+object PkCatalog {
+
+  /** The reference's catalog SQL (slot.py:18-33), usable unchanged as a
+    * JDBC `query` option so Postgres executes the joins server-side. */
+  val PkSql: String =
+    """SELECT concat_ws('.', tc.table_schema, tc.table_name) AS table_name,
+      |       kcu.column_name AS col_name,
+      |       c.data_type     AS col_type,
+      |       kcu.ordinal_position AS col_ord_pos
+      |FROM information_schema.table_constraints tc
+      |JOIN information_schema.key_column_usage kcu
+      |  USING (constraint_schema, constraint_name, table_schema, table_name)
+      |JOIN information_schema.columns c
+      |  ON c.table_schema = tc.table_schema
+      | AND c.table_name = tc.table_name
+      | AND c.column_name = kcu.column_name
+      |WHERE tc.constraint_type = 'PRIMARY KEY'""".stripMargin
+
+  /** Live JDBC path: catalog snapshot at stream start. */
+  def fromJdbc(spark: SparkSession, url: String,
+      props: java.util.Properties): DataFrame =
+    collapse(spark.read.jdbc(url, s"($PkSql) pk", props))
+
+  /** Static path for tests / local replay. */
+  def fromItems(spark: SparkSession,
+      items: Seq[PrimaryKeyMapItem]): DataFrame = {
+    import spark.implicits._
+    collapse(items.toDF())
+  }
+
+  /** Composite-PK collapse: the reference's dict build keeps only the
+    * LAST PK column by ordinal position (slot.py:88-94 — ORDER BY
+    * ordinal_position feeding dict insertion; SURVEY.md §3.3 quirk).
+    * Reproduced here as a max-ordinal row_number per table.
+    */
+  private def collapse(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("table_name"))
+      .orderBy(col("col_ord_pos").desc)
+    raw.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("table_name"), col("col_name").as("pk_name"),
+        col("col_type").as("pk_type"))
+  }
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import graft.catalog.PkCatalog
+import graft.core.PrimaryKeyMapItem
+import graft.functions.Cdc
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's CDC dataflow exercised as batch queries with DuckDB
+  * oracles. The round-trip queries are the strongest checks: each
+  * events row is rendered to the exact wire format the reference
+  * consumes (wal2json JSON / test_decoding text), pushed through the
+  * full parse → xact-track → filter → PK-join pipeline, and the result
+  * must equal a plain projection of the source table — the oracle is
+  * the identity, so any parser deviation shows up as a hash mismatch.
+  *
+  * Covers SURVEY.md §2.1 operators P1-P4, F1-F3, J1, X1-X3 in batch
+  * form (the streaming form of the same pipeline lives in
+  * graft.streaming; Structured Streaming runs these identical column
+  * expressions per micro-batch).
+  */
+object CdcQueries extends QueryModule {
+  import Tables._
+
+  /** Static stand-in for the information_schema snapshot (S2); the
+    * live path is PkCatalog.fromJdbc with the same result shape. */
+  private def catalog(s: SparkSession) = PkCatalog.fromItems(s, Seq(
+    PrimaryKeyMapItem("public.events", "event_id", "bigint", 1)))
+
+  /** Render events rows as wal2json messages — the synthetic
+    * replication stream. xid is offset so a parser bug that confuses
+    * xid with pkey cannot accidentally pass. */
+  private def wal2jsonPayloads(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(to_json(struct(
+      (col("event_id") + 1000000L).as("xid"),
+      array(struct(
+        lit("insert").as("kind"),
+        lit("public").as("schema"),
+        lit("events").as("table"),
+        array(lit("user_id"), lit("event_id"), lit("event_type"))
+          .as("columnnames"),
+        array(lit("bigint"), lit("bigint"), lit("text"))
+          .as("columntypes"),
+        array(col("user_id").cast("string"),
+          col("event_id").cast("string"),
+          col("event_type")).as("columnvalues"))).as("change")))
+      .as("payload"))
+
+  /** Render events rows as test_decoding message triples
+    * (BEGIN / table-change / COMMIT) with a monotonically increasing
+    * LSN, exercising the order-dependent xact carry (P3). */
+  private def testDecodingPayloads(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      posexplode(array(
+        format_string("BEGIN %d", col("event_id") + 1000000L),
+        format_string(
+          "table public.events: INSERT: event_id[bigint]:%d user_id[bigint]:%d",
+          col("event_id"), col("user_id")),
+        lit("COMMIT"))).as(Seq("off", "payload")),
+      col("event_id"))
+      .select((col("event_id") * 3 + col("off")).as("lsn"), col("payload"))
+
+  override def queries: Map[String, Q] = Map(
+    // P2/P4/J1/F1: wal2json parse round-trip; oracle = identity.
+    "cdc_wal2json_roundtrip" -> ((s, d) => {
+      Cdc.parseWal2Json(wal2jsonPayloads(s, d), "payload", catalog(s))
+        .orderBy(col("xid"))
+    }),
+
+    // P1/P3/F3/J1: test_decoding parse round-trip incl. BEGIN-xid
+    // carry-forward; oracle = identity.
+    "cdc_test_decoding_roundtrip" -> ((s, d) => {
+      Cdc.parseTestDecoding(testDecodingPayloads(s, d), "payload", "lsn",
+        catalog(s))
+        .orderBy(col("lsn"))
+    }),
+
+    // X1: CSV formatter.
+    "cdc_csv_format" -> ((s, d) => {
+      events(s, d).select(col("event_id"),
+        Cdc.csvLine(col("event_id"), lit("public.events"),
+          col("event_type"), col("user_id").cast("string")).as("line"))
+        .orderBy(col("event_id"))
+    }),
+
+    // X2: CSV+JSON formatter (exact wire bytes checked by the oracle).
+    "cdc_csv_payload" -> ((s, d) => {
+      events(s, d).select(col("event_id"),
+        Cdc.csvPayload(col("event_id"), lit("public.events"),
+          col("event_type"), col("user_id").cast("string")).as("line"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F2: operation allow-list that nulls instead of drops, preserving
+    // the reference's flush/ack cadence (__main__.py:97-99).
+    "cdc_operation_gate" -> ((s, d) => {
+      events(s, d).select(col("event_id"),
+        col("event_type").as("operation"),
+        Cdc.operationGate(col("event_type"),
+          Cdc.csvLine(col("event_id"), lit("public.events"),
+            col("event_type"), col("user_id").cast("string")),
+          Seq("click", "purchase")).as("fmt_msg"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F1: table-name regex filter over a multi-table stream.
+    "cdc_table_filter" -> ((s, d) => {
+      events(s, d)
+        .withColumn("table_name",
+          concat(lit("public.t"), col("user_id") % 5))
+        .filter(col("table_name").rlike("public\\.t[0-2]$"))
+        .groupBy(col("table_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("table_name"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "cdc_wal2json_roundtrip" ->
+      """SELECT event_id + 1000000 AS xid, 'public.events' AS table_name,
+        |  'insert' AS operation, CAST(event_id AS VARCHAR) AS pkey
+        |FROM events ORDER BY xid""".stripMargin,
+
+    "cdc_test_decoding_roundtrip" ->
+      """SELECT event_id * 3 + 1 AS lsn, event_id + 1000000 AS xid,
+        |  'public.events' AS table_name, 'INSERT' AS operation,
+        |  CAST(event_id AS VARCHAR) AS pkey
+        |FROM events ORDER BY lsn""".stripMargin,
+
+    "cdc_csv_format" ->
+      """SELECT event_id, '0,CDC,' || CAST(event_id AS VARCHAR) ||
+        |  ',public.events,' || event_type || ',' ||
+        |  CAST(user_id AS VARCHAR) AS line
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_csv_payload" ->
+      """SELECT event_id, '0,CDC,{"xid":' || CAST(event_id AS VARCHAR) ||
+        |  ',"table":"public.events","operation":"' || event_type ||
+        |  '","pkey":"' || CAST(user_id AS VARCHAR) || '"}' AS line
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_operation_gate" ->
+      """SELECT event_id, event_type AS operation,
+        |  CASE WHEN event_type IN ('click', 'purchase')
+        |    THEN '0,CDC,' || CAST(event_id AS VARCHAR) ||
+        |      ',public.events,' || event_type || ',' ||
+        |      CAST(user_id AS VARCHAR) END AS fmt_msg
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_table_filter" ->
+      """SELECT 'public.t' || CAST(user_id % 5 AS VARCHAR) AS table_name,
+        |  COUNT(*) AS n
+        |FROM events
+        |WHERE regexp_matches('public.t' || CAST(user_id % 5 AS VARCHAR),
+        |  'public\.t[0-2]$')
+        |GROUP BY 1 ORDER BY table_name""".stripMargin
+  )
+}

@@ -1,0 +1,161 @@
+package graft
+
+import graft.catalog.PkCatalog
+import graft.core.PrimaryKeyMapItem
+import graft.functions.Cdc
+
+import org.apache.spark.sql.functions._
+
+/** Port of the reference's formatter/slot unit semantics
+  * (reference tests/test_formatter.py, tests/test_slot.py) over the
+  * same literal payloads — the reference's de-facto golden corpus.
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val cat = PkCatalog.fromItems(spark, Seq(
+    PrimaryKeyMapItem("public.species", "id", "integer", 1),
+    PrimaryKeyMapItem("public.gadgets", "uuid", "uuid", 1)))
+
+  // ---- test_decoding (reference tests/test_formatter.py:58-103) -----
+
+  test("test_decoding: BEGIN sets xid, change rows extract pkey") {
+    val df = Seq(
+      (1L, "BEGIN 100"),
+      (2L, "table public.species: UPDATE: id[integer]:1"),
+      (3L, "COMMIT"),
+      (4L, "BEGIN 101"),
+      (5L, "table public.species: DELETE: id[integer]:2"),
+      (6L, "COMMIT")).toDF("lsn", "payload")
+    val out = Cdc.parseTestDecoding(df, "payload", "lsn", cat)
+      .orderBy("lsn").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("xid") == 100L)
+    assert(out(0).getAs[String]("operation") == "UPDATE")
+    assert(out(0).getAs[String]("pkey") == "1")
+    assert(out(1).getAs[Long]("xid") == 101L)
+    assert(out(1).getAs[String]("operation") == "DELETE")
+    assert(out(1).getAs[String]("pkey") == "2")
+  }
+
+  test("test_decoding: uuid pkey with quoted value") {
+    val df = Seq((1L, "BEGIN 7"),
+      (2L, "table public.gadgets: INSERT: uuid[uuid]:'00079f3e-0479-4475-acff-4f225cc5188a' name[character varying]:'Bling-2'"))
+      .toDF("lsn", "payload")
+    val out = Cdc.parseTestDecoding(df, "payload", "lsn", cat).collect()
+    assert(out.head.getAs[String]("pkey") ==
+      "00079f3e-0479-4475-acff-4f225cc5188a")
+  }
+
+  test("test_decoding: unknown table raises in strict mode") {
+    val df = Seq((1L, "BEGIN 1"),
+      (2L, "table public.nope: UPDATE: id[integer]:1")).toDF("lsn", "payload")
+    val e = intercept[Exception] {
+      Cdc.parseTestDecoding(df, "payload", "lsn", cat).collect()
+    }
+    assert(e.getMessage.contains("Unable to locate table"))
+  }
+
+  test("test_decoding: missing pk yields null in lenient mode") {
+    val df = Seq((1L, "BEGIN 1"),
+      (2L, "table public.species: UPDATE: other[integer]:1"))
+      .toDF("lsn", "payload")
+    val out = Cdc.parseTestDecoding(df, "payload", "lsn", cat,
+      strict = false).collect()
+    assert(out.length == 1 && out.head.getAs[String]("pkey") == null)
+  }
+
+  test("test_decoding: table pattern filters changes") {
+    val df = Seq((1L, "BEGIN 1"),
+      (2L, "table public.species: UPDATE: id[integer]:1"),
+      (3L, "table public.gadgets: INSERT: uuid[uuid]:'aa'")).toDF("lsn", "payload")
+    val out = Cdc.parseTestDecoding(df, "payload", "lsn", cat,
+      tablePat = "species").collect()
+    assert(out.map(_.getAs[String]("table_name")).toSeq ==
+      Seq("public.species"))
+  }
+
+  // ---- wal2json (reference tests/test_formatter.py:106-170) ---------
+
+  private val walPayload =
+    """{"xid": 97, "change": [{"kind": "insert", "schema": "public",
+      |"table": "species", "columnnames": ["id", "name"],
+      |"columntypes": ["integer", "character varying(255)"],
+      |"columnvalues": [1, "cat"]}]}""".stripMargin.replace("\n", " ")
+
+  test("wal2json: xid + pkey extraction by column position") {
+    val df = Seq(walPayload).toDF("payload")
+    val out = Cdc.parseWal2Json(df, "payload", cat).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("xid") == 97L)
+    assert(out.head.getAs[String]("table_name") == "public.species")
+    assert(out.head.getAs[String]("operation") == "insert")
+    assert(out.head.getAs[String]("pkey") == "1")
+  }
+
+  test("wal2json: empty change list yields no rows") {
+    val df = Seq("""{"xid": 5, "change": []}""").toDF("payload")
+    assert(Cdc.parseWal2Json(df, "payload", cat).count() == 0)
+  }
+
+  test("wal2json: multi-change payload explodes to N rows") {
+    val multi =
+      """{"xid": 8, "change": [
+        |{"kind": "update", "schema": "public", "table": "species",
+        | "columnnames": ["id"], "columntypes": ["integer"], "columnvalues": [3]},
+        |{"kind": "delete", "schema": "public", "table": "species",
+        | "columnnames": ["id"], "columntypes": ["integer"], "columnvalues": [4]}
+        |]}""".stripMargin.replace("\n", " ")
+    val out = Cdc.parseWal2Json(Seq(multi).toDF("payload"), "payload", cat)
+      .orderBy("pkey").collect()
+    assert(out.map(_.getAs[String]("pkey")).toSeq == Seq("3", "4"))
+    assert(out.map(_.getAs[String]("operation")).toSeq ==
+      Seq("update", "delete"))
+  }
+
+  test("wal2json: unknown table raises in strict mode") {
+    val bad = walPayload.replace("\"species\"", "\"nope\"")
+    val e = intercept[Exception] {
+      Cdc.parseWal2Json(Seq(bad).toDF("payload"), "payload", cat).collect()
+    }
+    assert(e.getMessage.contains("Unable to locate table"))
+  }
+
+  // ---- formatters (reference tests/test_formatter.py:20-30) ---------
+
+  test("csv line golden format") {
+    val df = Seq((1L, "public.species", "UPDATE", "1")).toDF(
+      "xid", "table", "op", "pkey")
+    val line = df.select(Cdc.csvLine(col("xid"), col("table"), col("op"),
+      col("pkey")).as("l")).head.getString(0)
+    assert(line == "0,CDC,1,public.species,UPDATE,1")
+  }
+
+  test("csv payload golden format") {
+    val df = Seq((1L, "public.species", "UPDATE", "1")).toDF(
+      "xid", "table", "op", "pkey")
+    val line = df.select(Cdc.csvPayload(col("xid"), col("table"), col("op"),
+      col("pkey")).as("l")).head.getString(0)
+    assert(line ==
+      """0,CDC,{"xid":1,"table":"public.species","operation":"UPDATE","pkey":"1"}""")
+  }
+
+  test("operation gate nulls non-matching rows, case-insensitively") {
+    val df = Seq(("UPDATE", "m1"), ("insert", "m2"), ("TRUNCATE", "m3"))
+      .toDF("op", "msg")
+    val out = df.select(Cdc.operationGate(col("op"), col("msg"),
+      Seq("update", "insert")).as("g")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("m1", "m2", null))
+  }
+
+  // ---- catalog (reference tests/test_slot.py:124-140, §3.3 quirk) ---
+
+  test("composite pk collapses to last ordinal position") {
+    val cat2 = PkCatalog.fromItems(spark, Seq(
+      PrimaryKeyMapItem("public.multi", "a", "integer", 1),
+      PrimaryKeyMapItem("public.multi", "b", "text", 2)))
+    val row = cat2.collect().head
+    assert(row.getAs[String]("pk_name") == "b")
+    assert(row.getAs[String]("pk_type") == "text")
+  }
+}
