@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, each designed
+  * for the 100 TB case:
+  *
+  *  - exact dedup: hash-groupBy on content (or md5) — one shuffle on
+  *    the hash, map-side combine; the canonical-survivor rule (min id)
+  *    is an aggregate, not a window, so no per-group sort.
+  *  - n-gram Jaccard: shingle → inverted-index self-join → integer
+  *    intersection counts. The shingle join is the scalable shape
+  *    (pairs only materialize for docs sharing a shingle); at cluster
+  *    scale a document-frequency cutoff on hot shingles bounds skew —
+  *    here hot-shingle skew is handled by AQE.
+  *  - MinHash + LSH banding: fixed-seed universal hashing over xxhash64
+  *    shingle hashes; candidates from band-bucket self-join; exact
+  *    Jaccard verification on candidates only. This is the sub-
+  *    quadratic path: cost is O(docs × bands + candidate pairs), never
+  *    all-pairs.
+  *  - embedding cosine near-dup: exact double-precision cosine over a
+  *    self-join (brute force is the verification baseline; the
+  *    LSH-bucketed ANN path lives in Similarity).
+  *
+  * Float portability: cosine is computed as a strict left-to-right
+  * double fold (`aggregate`), matching DuckDB's sequential
+  * list_dot_product over DOUBLE[] casts bit-for-bit.
+  */
+object Dedup extends QueryModule {
+  import Tables._
+
+  /** documents has no exact duplicates, so exact-dedup queries run on
+    * a corpus with every 10th doc re-inserted under a shifted id. */
+  private def dupedCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+  }
+
+  /** Character 8-gram shingles, distinct per doc. Mirrored exactly by
+    * the DuckDB list_transform/UNNEST in the oracles. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(expr(
+      "transform(sequence(1, greatest(1, length(text) - 7))," +
+        " i -> substring(text, i, 8))"))).as("sh"))
+
+  /** Strict sequential double fold — the portable cosine primitive. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  override def queries: Map[String, Q] = Map(
+    // Exact dedup on raw content: survivor = min doc_id per text.
+    "dedup_exact" -> ((s, d) => {
+      dupedCorpus(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("survivor_id"), col("n_copies"))
+        .orderBy(col("survivor_id"))
+    }),
+
+    // Exact dedup on md5 content hash (the at-scale variant: group on
+    // a 16-byte key instead of multi-KB text; md5 matches DuckDB's).
+    "dedup_exact_hash" -> ((s, d) => {
+      dupedCorpus(s, d)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("survivor_id"))
+    }),
+
+    // N-gram Jaccard near-dup pairs via shingle inverted index.
+    // Threshold compared in integers (5*inter >= 4*union) so the 0.8
+    // cut has no float boundary.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(documents(s, d)).cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = sh.as("x")
+        .join(sh.as("y"), col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")),
+          Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")),
+          Seq("b_id"))
+        .withColumn("union_n", col("a_n") + col("b_n") - col("inter"))
+        .filter(col("inter") * 5 >= col("union_n") * 4)
+        .select(col("a_id"), col("b_id"), col("inter"), col("union_n"),
+          (col("inter").cast("double") / col("union_n")).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // MinHash + LSH banding (rows-only check; DedupSpec proves the
+    // candidate recall against exact Jaccard). Sub-quadratic: only
+    // band-bucket collisions become candidate pairs.
+    "dedup_minhash_lsh" -> ((s, d) =>
+      minhashPairs(documents(s, d)).orderBy(col("a_id"), col("b_id"))),
+
+    // SimHash near-dup pairs: native codegen'd fingerprint (one long
+    // per doc), then 4×16-bit chunk banding — pigeonhole guarantees
+    // every pair within Hamming distance 3 shares a chunk — and a
+    // bit_count(xor) verify. Fingerprint+banding is linear in docs;
+    // only chunk collisions are compared. Rows-only check (token
+    // hashes are engine-specific); DedupSpec proves the semantics.
+    "dedup_simhash" -> ((s, d) =>
+      simhashPairs(documents(s, d)).orderBy(col("a_id"), col("b_id"))),
+
+    // Embedding cosine near-dup pairs (exact, double precision).
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          dot(col("embedding"), col("embedding")).as("nrm"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          (dot(col("a.embedding"), col("b.embedding")) /
+            (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  /** MinHash signature → banded LSH candidates → exact-Jaccard verify.
+    *
+    * 48 seeded-xxhash64 permutations over shingle hashes
+    * (deterministic across runs/partitions), 12 bands × 4 rows: P(candidate | j=0.8) = 1-(1-0.8^4)^12 ≈ 0.997 per
+    * pair, and the verify step removes false positives entirely.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val numPerm = 48
+    val bands = 12
+    val rowsPerBand = numPerm / bands
+    val sh = shingles(docs)
+    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    // signature: min over shingles of xxhash64(h, i) — the seed column
+    // acts as the i-th permutation; avoids ANSI-mode overflow that a
+    // multiply-based universal hash would trip, and mixes better.
+    val sigCols = (0 until numPerm).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // bands: hash each signature slice, explode to (doc, band, bandHash)
+    val bandStructs = (0 until bands).map { bi =>
+      val slice = (0 until rowsPerBand).map(ri => col(s"m${bi * rowsPerBand + ri}"))
+      struct(lit(bi).as("band"),
+        xxhash64(concat_ws("_", slice: _*)).as("bh"))
+    }
+    val banded = sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") &&
+        col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // exact-Jaccard verification on candidates only
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("set"), count(lit(1)).as("n"))
+    val thrNum = math.round(threshold * 100).toInt
+    candidates
+      .join(sets.select(col("doc_id").as("a_id"), col("set").as("a_set"),
+        col("n").as("a_n")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("set").as("b_set"),
+        col("n").as("b_n")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
+      .withColumn("union_n", col("a_n") + col("b_n") - col("inter"))
+      .filter(col("inter") * 100 >= col("union_n") * thrNum)
+      .select(col("a_id"), col("b_id"), col("inter"), col("union_n"))
+  }
+
+  /** SimHash fingerprint → chunk-banded candidates → Hamming verify. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import graft.expressions.SimHash64.simhash64
+    val sigs = docs.select(col("doc_id"),
+      simhash64(expr("transform(split(text, '\\\\s+'), t -> xxhash64(t))"))
+        .as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))
+          .as("key"))): _*)).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.band").as("band"),
+        col("e.key").as("key"))
+    banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") &&
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.sig ^ y.sig)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+        |FROM corpus GROUP BY text ORDER BY survivor_id""".stripMargin,
+
+    "dedup_exact_hash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS text_md5, MIN(doc_id) AS survivor_id,
+        |  COUNT(*) AS n_copies
+        |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+        |ORDER BY survivor_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter, a.n + b.n - inter AS union_n,
+        |  CAST(inter AS DOUBLE) / (a.n + b.n - inter) AS jaccard
+        |FROM pairs JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+        |WHERE inter * 5 >= (a.n + b.n - inter) * 4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                   CAST(b.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(a.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))))
+        |    AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                       CAST(b.embedding AS DOUBLE[])) /
+        |  (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(a.embedding AS DOUBLE[]))) *
+        |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])))) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}
