@@ -13,7 +13,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     operators.Relational,
     operators.CdcQueries,
-    operators.Dedup
+    operators.Dedup,
+    operators.Similarity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

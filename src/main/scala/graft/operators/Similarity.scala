@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (array<float>, dim 64).
+  *
+  * Two paths, as a 100 TB engine needs both:
+  *  - brute-force exact top-k: broadcast the (small) query set against
+  *    the full corpus — one scan, no shuffle of the corpus, per-query
+  *    ranking window over a few thousand scored rows per query. This
+  *    is the correctness baseline and stays viable whenever
+  *    |queries| × |corpus| work fits the cluster (it parallelizes
+  *    perfectly with corpus partitions).
+  *  - LSH-bucketed ANN: 16 independent sign-projection tables × 6 bits;
+  *    candidates are bucket collisions only, then exact re-scoring.
+  *    Corpus side is one narrow projection (codes are 8 small ints per
+  *    vector); the bucket join replaces the all-pairs product with
+  *    O(collisions) — the classic sub-linear scale path.
+  *
+  * Scoring uses the native FloatDot expression (strict sequential
+  * double fold — bit-compatible with the DuckDB oracle, see FloatDot).
+  */
+object Similarity extends QueryModule {
+  import Tables._
+  import graft.expressions.FloatDot.float_dot
+
+  private val Dim = 64
+  private val NumTables = 16
+  private val BitsPerTable = 6
+
+  private def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
+    float_dot(a, b) / (sqrt(an) * sqrt(bn))
+
+  /** Deterministic Rademacher (±1) hyperplane weights: sign taken from
+    * a bit of a fixed integer hash of (table, bit, dim). */
+  private def planeWeights(table: Int, bit: Int): Seq[Double] =
+    (0 until Dim).map { j =>
+      val h = (table * 1315423911L + bit * 2654435761L + j * 97531L) * 0x9e3779b97f4a7c15L
+      if (((h >>> 31) & 1L) == 1L) 1.0 else -1.0
+    }
+
+  /** 8-bit sign code of a vector under one projection table. */
+  private def lshCode(v: Column, table: Int): Column =
+    (0 until BitsPerTable).map { bit =>
+      val w = planeWeights(table, bit)
+      val proj = aggregate(
+        zip_with(v, array(w.map(lit): _*), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << bit)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("embedding"),
+      float_dot(col("embedding"), col("embedding")).as("nrm"))
+
+  private def querySet(c: DataFrame): DataFrame =
+    c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+
+  override def queries: Map[String, Q] = Map(
+    // Exact top-10 neighbors per query vector, brute force.
+    "sim_topk_brute" -> ((s, d) => {
+      val c = corpus(s, d)
+      val q = querySet(c)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ANN via multi-table sign-LSH + exact re-scoring of candidates.
+    // Rows-only check (bucket layout is engine-specific);
+    // SimilaritySpec measures recall against the brute-force baseline.
+    "sim_ann_lsh" -> ((s, d) =>
+      annTopK(corpus(s, d), 10).orderBy(col("query_id"), col("rank")))
+  )
+
+  /** LSH candidate generation + exact scoring. Returned rank is dense
+    * per query over candidates only. */
+  def annTopK(c: DataFrame, k: Int): DataFrame = {
+    val q = querySet(c)
+    def codes(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol), explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("tbl"), lshCode(col(vecCol), t).as("code"))): _*))
+        .as("e"))
+        .select(col(idCol), col("e.tbl").as("tbl"), col("e.code").as("code"))
+    val corpusCodes = codes(c, "vec_id", "embedding")
+    val queryCodes = codes(q.withColumnRenamed("q_emb", "embedding"),
+      "query_id", "embedding")
+    val candidates = corpusCodes
+      .join(broadcast(queryCodes), Seq("tbl", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("q_nrm"),
+        col("embedding"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                     CAST(embedding AS DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+        |      FROM c WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    list_dot_product(q.q_emb, c.emb) / (sqrt(q.q_nrm) * sqrt(c.nrm))
+        |      AS cosine
+        |  FROM c JOIN q ON c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id AS neighbor_id, cosine
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+  )
+}

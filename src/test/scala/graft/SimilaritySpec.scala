@@ -1,0 +1,56 @@
+package graft
+
+import graft.expressions.FloatDot.float_dot
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("float_dot matches the higher-order-function fold exactly") {
+    val df = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+    val both = df.select(
+      float_dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("hof")).collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("float_dot interpreted eval matches codegen") {
+    val df = spark.read.parquet(s"$sf/embeddings.parquet").limit(20)
+    val c = df.select(float_dot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(_.getDouble(0))
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val i =
+      try df.select(float_dot(col("embedding"), col("embedding")).as("d"))
+        .collect().map(_.getDouble(0))
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    assert(c.toSeq == i.toSeq)
+  }
+
+  test("ANN recall@10 against brute force is acceptable") {
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs("sim_topk_brute")
+    val ann = pairs("sim_ann_lsh")
+    val recall = (brute & ann).size.toDouble / brute.size
+    info(f"ANN recall@10 = $recall%.3f")
+    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+  }
+
+  test("brute-force top-k is deterministic across runs") {
+    val a = SparkEntry.queries("sim_topk_brute")(spark, sf).collect()
+    val b = SparkEntry.queries("sim_topk_brute")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}
