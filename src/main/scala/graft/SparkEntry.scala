@@ -14,7 +14,9 @@ object SparkEntry {
     operators.Relational,
     operators.CdcQueries,
     operators.Dedup,
-    operators.Similarity
+    operators.Similarity,
+    operators.TextAnalysis,
+    operators.Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, decoded per-partition by an imperative decoder.
+  *
+  * The Spark-side shape is the real thing a 100 TB media pipeline
+  * needs and is fully exercised here:
+  *  - binary payload column (utf-8 bytes of the doc text stand in for
+  *    image/audio bytes — the real codecs are not in this container),
+  *  - `Dataset[T].mapPartitions` with a decoder instantiated ONCE per
+  *    partition (the pattern for loading a codec/model per executor
+  *    task rather than per row),
+  *  - a typed features schema coming back out, joinable/aggregable
+  *    like any other column.
+  *
+  * ==== STUB ====
+  * `FakeDecoder.decode` is a clearly-marked deterministic stand-in for
+  * a real image/audio decode (no media libraries in this environment).
+  * Its outputs are pure functions of the byte stream, so the DuckDB
+  * oracle can verify the full plumbing end to end; swap in a real
+  * decoder without touching any Spark code.
+  */
+object Multimodal extends QueryModule {
+  import Tables._
+
+  /** Typed metadata extracted from one media blob. All Long so the
+    * parquet schema lines up with DuckDB's BIGINT arithmetic. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_sum: Long,
+      width: Long, height: Long, n_frames: Long)
+
+  /** STUB decoder: deterministic fake "image header parse". */
+  private object FakeDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) {
+        sum += bytes(i) & 0xff
+        i += 1
+      }
+      val n = bytes.length.toLong
+      MediaFeatures(docId, n, sum,
+        width = 64 + n % 576,
+        height = 64 + (n * 7) % 416,
+        n_frames = n / 100)
+    }
+  }
+
+  override def queries: Map[String, Q] = Map(
+    // Binary ingestion + per-partition decode; verified byte-exactly
+    // by the oracle since the fake decode is arithmetic on the bytes.
+    "mm_decode_features" -> ((s, d) => {
+      import s.implicits._
+      val blobs = documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      blobs.mapPartitions { it =>
+        // decoder init happens once per partition, not per row
+        val dec = FakeDecoder
+        it.map { case (id, bytes) => dec.decode(id, bytes) }
+      }.toDF().orderBy(col("doc_id"))
+    }),
+
+    // Frame sampling: every 10th frame of each "video" — the explode
+    // pattern that turns one media row into N frame rows for
+    // downstream feature extraction.
+    "mm_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val feats = documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) => FakeDecoder.decode(id, bytes) }
+        }.toDF()
+      feats
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n_frames") - 1L, lit(10L)))
+            .as("frame_idx"))
+        .withColumn("byte_offset", col("frame_idx") * 100)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // text is pure ASCII in this corpus, so byte length == char length
+    // and byte sum == char-code sum; the oracle checks the decode
+    // arithmetic without needing blob folds.
+    "mm_decode_features" ->
+      """SELECT doc_id, len(text) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(1, len(text) + 1),
+        |    i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))) AS BIGINT)
+        |    AS byte_sum,
+        |  64 + len(text) % 576 AS width,
+        |  64 + (len(text) * 7) % 416 AS height,
+        |  len(text) // 100 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, u.f AS frame_idx, u.f * 100 AS byte_offset
+        |FROM documents, UNNEST(range(0, len(text) // 100, 10)) u(f)
+        |WHERE len(text) >= 100
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}
