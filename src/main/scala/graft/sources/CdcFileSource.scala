@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** "cdc-file": a DataSourceV2 MicroBatchStream with the exact contract
+  * of the reference's replication-slot source (S1/K2/K3, SURVEY.md
+  * §2.1), backed by a tailed text file instead of a walsender socket:
+  *
+  *  - one payload line per WAL message; the line number IS the LSN
+  *    (a totally ordered, ever-growing position — same algebra as a
+  *    Postgres LSN),
+  *  - offsets are LSN ranges; Structured Streaming's checkpoint plays
+  *    the role of the client-side restart position,
+  *  - `commit(end)` — invoked by the engine only after the epoch is
+  *    durably committed — appends the LSN to a `.feedback` file: the
+  *    analog of `send_feedback(flush_lsn=...)` (reference
+  *    __main__.py:101-104). Crash before commit ⇒ replay ⇒ the same
+  *    at-least-once contract (reference README.rst:15-18),
+  *  - `maxRecordsPerTrigger` caps each micro-batch (K3 backpressure:
+  *    unread lines simply stay in the file, as unread WAL stays in
+  *    the slot).
+  *
+  * A production Postgres source swaps the file tail for a replication
+  * connection and keeps every interface here; nothing downstream
+  * changes.
+  */
+class CdcFileSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcFileSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CdcFileTable(properties.get("path"),
+      Option(properties.get("maxRecordsPerTrigger")).map(_.toLong)
+        .getOrElse(Long.MaxValue))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object CdcFileSource {
+  /** payload + lsn + data_size, mirroring psycopg2's ReplicationMessage
+    * envelope (payload, data_start, data_size). */
+  val Schema: StructType = StructType(Seq(
+    StructField("payload", StringType, nullable = false),
+    StructField("lsn", LongType, nullable = false),
+    StructField("data_size", LongType, nullable = false)))
+
+  def readLines(path: String): Vector[String] = {
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toVector
+    else Vector.empty
+  }
+}
+
+class CdcFileTable(path: String, maxPerTrigger: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"cdc-file($path)"
+  override def schema(): StructType = CdcFileSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = CdcFileSource.Schema
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream = new CdcFileMicroBatchStream(path, maxPerTrigger)
+    }
+}
+
+case class LsnOffset(lsn: Long) extends Offset {
+  override def json(): String = s"""{"lsn":$lsn}"""
+}
+
+class CdcFileMicroBatchStream(path: String, maxPerTrigger: Long)
+    extends MicroBatchStream {
+  // Tracks the last offset this stream has *planned*, so each trigger
+  // admits at most maxPerTrigger new lines even while the file grows.
+  private var lastPlanned: Long = -1L
+
+  override def initialOffset(): Offset = LsnOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val total = CdcFileSource.readLines(path).size.toLong
+    val base = if (lastPlanned < 0) 0L else lastPlanned
+    // saturating add: base + Long.MaxValue must not wrap negative, or
+    // the offset oscillates and the engine schedules empty batches
+    // forever (processAllAvailable never converges)
+    val admitted =
+      if (maxPerTrigger > total - base) total else base + maxPerTrigger
+    lastPlanned = math.max(base, admitted)
+    LsnOffset(lastPlanned)
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LsnOffset].lsn
+    val e = end.asInstanceOf[LsnOffset].lsn
+    // on checkpoint restart the engine replans from the restored
+    // offset; keep the admission tracker consistent
+    if (lastPlanned < e) lastPlanned = e
+    Array(CdcFilePartition(path, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcFileReaderFactory
+
+  /** The 2-phase-commit ack: only after the engine has durably
+    * committed the epoch does the slot learn it may discard WAL.
+    * Note the engine invokes this while constructing the NEXT batch,
+    * so feedback trails the sink by one epoch — a conservative lag
+    * that can only cause replay, never loss (at-least-once preserved,
+    * same contract as the reference's post-put send_feedback). */
+  override def commit(end: Offset): Unit = {
+    val lsn = end.asInstanceOf[LsnOffset].lsn
+    Files.write(Paths.get(path + ".feedback"),
+      s"$lsn\n".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val lsn = json.replaceAll("[^0-9]", "").toLong
+    LsnOffset(lsn)
+  }
+
+  override def stop(): Unit = ()
+}
+
+case class CdcFilePartition(path: String, start: Long, end: Long)
+    extends InputPartition
+
+class CdcFileReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcFilePartition]
+    val lines = CdcFileSource.readLines(p.path)
+    new PartitionReader[InternalRow] {
+      private var i = p.start - 1
+      override def next(): Boolean = { i += 1; i < p.end && i < lines.size }
+      override def get(): InternalRow = {
+        val payload = lines(i.toInt)
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(payload), i,
+          payload.getBytes(StandardCharsets.UTF_8).length.toLong))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Kinesis-shaped ordered sink (operators A1/A2/K1, SURVEY.md §2.1):
+  * size-bounded record aggregation (the KPL 1 MB packing,
+  * reference stream.py:16,36-44), a single ordered delivery lane
+  * (reference: 1 shard + SequenceNumberForOrdering, stream.py:15-20),
+  * and bounded exponential-backoff retry on throughput errors
+  * (reference stream.py:46-74).
+  *
+  * The flush timer (A2, 13 s) is subsumed by the micro-batch trigger:
+  * every batch flushes its partial aggregate at batch end, so
+  * `Trigger.ProcessingTime("13 seconds")` reproduces the reference's
+  * cadence exactly.
+  *
+  * Total order through a system built to reorder: the batch is
+  * coalesced to ONE partition and sorted by LSN inside it — the same
+  * single-lane constraint the reference lives with (its throughput
+  * bound is likewise one shard). The put client is pluggable; the AWS
+  * client drops in where LocalFilePutClient stands.
+  *
+  * Retry stays INSIDE the task (not Spark task retry, which would
+  * re-put the whole batch — SURVEY.md §4).
+  */
+trait PutClient extends Serializable {
+  /** Deliver one aggregated record. May throw ThrottlingException. */
+  def put(seq: Long, data: Array[Byte]): Unit
+  /** Number of records already delivered (for sequence numbering). */
+  def deliveredCount(): Long
+}
+
+class ThrottlingException(msg: String) extends RuntimeException(msg)
+
+/** Local-filesystem stand-in for the Kinesis shard: one file per
+  * aggregated record, named by sequence number. failFirstAttemptEvery
+  * injects a ThrottlingException on the first attempt of every Nth
+  * put to exercise the backoff path. */
+class LocalFilePutClient(dir: String, failFirstAttemptEvery: Int = 0)
+    extends PutClient {
+  override def put(seq: Long, data: Array[Byte]): Unit = {
+    if (failFirstAttemptEvery > 0 && seq % failFirstAttemptEvery == 0 &&
+        LocalFilePutClient.attempted.putIfAbsent(s"$dir/$seq", true) == null) {
+      throw new ThrottlingException(s"injected throttle for seq $seq")
+    }
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    Files.write(d.resolve(f"rec-$seq%09d"), data)
+  }
+  override def deliveredCount(): Long = {
+    val d = Paths.get(dir)
+    if (Files.exists(d)) Files.list(d).count() else 0L
+  }
+}
+
+object LocalFilePutClient {
+  private val attempted = new ConcurrentHashMap[String, java.lang.Boolean]()
+}
+
+/** Size-bounded aggregation buffer — the KPL RecordAggregator shape. */
+class RecordAggregator(maxBytes: Int) {
+  private val buf = new java.io.ByteArrayOutputStream()
+  private var n = 0
+
+  /** Add one record; returns a full aggregate if adding would
+    * overflow the size bound (caller sends it, then the record goes
+    * into the fresh buffer). */
+  def add(record: Array[Byte]): Option[Array[Byte]] = {
+    val full =
+      if (n > 0 && buf.size() + record.length + 1 > maxBytes)
+        Some(clearAndGet())
+      else None
+    buf.write(record)
+    buf.write('\n')
+    n += 1
+    full
+  }
+
+  def clearAndGet(): Array[Byte] = {
+    val out = buf.toByteArray
+    buf.reset()
+    n = 0
+    out
+  }
+
+  def nonEmpty: Boolean = n > 0
+}
+
+class OrderedAggregatingWriter(client: PutClient,
+    maxAggBytes: Int = 1 << 20,
+    backoffBaseMs: Long = 50,
+    backoffLimitMs: Long = 60000) extends Serializable {
+
+  /** foreachBatch body: single ordered lane, KPL-style packing,
+    * in-task bounded backoff. Null fmt_msg rows (operation-gated,
+    * F2) flow through without contributing records — preserving the
+    * reference's "filtered messages still tick the batcher" cadence.
+    */
+  def writeBatch(batch: DataFrame, batchId: Long): Unit = {
+    val c = client
+    val maxB = maxAggBytes
+    val base = backoffBaseMs
+    val limit = backoffLimitMs
+    batch.select(col("lsn"), col("fmt_msg"))
+      .coalesce(1)
+      .sortWithinPartitions("lsn")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val agg = new RecordAggregator(maxB)
+        var seq = c.deliveredCount()
+        def send(data: Array[Byte]): Unit = {
+          var backoff = base
+          var waited = 0L
+          var done = false
+          while (!done) {
+            try { c.put(seq, data); done = true }
+            catch {
+              case e: ThrottlingException =>
+                if (waited >= limit) throw e
+                Thread.sleep(backoff)
+                waited += backoff
+                backoff = math.min(backoff * 2, limit)
+            }
+          }
+          seq += 1
+        }
+        rows.foreach { r =>
+          if (!r.isNullAt(1)) {
+            agg.add(r.getString(1).getBytes(StandardCharsets.UTF_8))
+              .foreach(send)
+          }
+        }
+        if (agg.nonEmpty) send(agg.clearAndGet())
+      }
+  }
+}

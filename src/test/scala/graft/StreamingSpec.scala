@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.catalog.PkCatalog
+import graft.core.PrimaryKeyMapItem
+import graft.streaming.{CdcPipeline, LocalFilePutClient}
+
+/** End-to-end Structured Streaming specs for the CDC pipeline:
+  * source offsets/commit, ordered sink, backpressure, checkpoint
+  * resume, throttling retry, observed metrics.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  private lazy val cat = PkCatalog.fromItems(spark, Seq(
+    PrimaryKeyMapItem("public.species", "id", "integer", 1)))
+
+  private def walLine(xid: Int, op: String, id: Int): String =
+    s"""{"xid": $xid, "change": [{"kind": "$op", "schema": "public",""" +
+      s""" "table": "species", "columnnames": ["id"],""" +
+      s""" "columntypes": ["integer"], "columnvalues": [$id]}]}"""
+
+  private def writeSource(dir: String, lines: Seq[String]): String = {
+    val p = Paths.get(dir, "wal.jsonl")
+    Files.write(p, lines.mkString("\n").concat("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  private def sinkRecords(sinkDir: String): Seq[String] = {
+    val d = Paths.get(sinkDir)
+    if (!Files.exists(d)) return Seq.empty
+    Files.list(d).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      .flatMap(f => new String(Files.readAllBytes(f),
+        StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq)
+  }
+
+  test("end-to-end: parse, gate, format, ordered sink, LSN feedback") {
+    val dir = tmp()
+    val src = writeSource(dir,
+      (0 until 20).map(i => walLine(100 + i,
+        if (i % 2 == 0) "insert" else "delete", i)))
+    val q = CdcPipeline.start(spark, src, cat, Seq("insert"),
+      s"$dir/sink", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    val progress = q.lastProgress
+    // the engine acks epoch N to the source only when batch N+1 runs —
+    // feedback trails by one epoch (still at-least-once, like the
+    // reference). Drive one more batch with a gated-out record.
+    Files.write(Paths.get(src),
+      (walLine(999, "update", 999) + "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    q.processAllAvailable()
+    val fbPath = Paths.get(s"$src.feedback")
+    val deadline = System.currentTimeMillis() + 10000
+    while (!Files.exists(fbPath) && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q.stop()
+
+    val recs = sinkRecords(s"$dir/sink")
+    // only the 10 inserts survive the gate, in LSN (= commit) order
+    assert(recs.size == 10)
+    assert(recs.head.startsWith("0,CDC,{\"xid\":100,"))
+    val xids = recs.map(r => "\"xid\":(\\d+)".r.findFirstMatchIn(r).get
+      .group(1).toInt)
+    assert(xids == xids.sorted, s"sink records out of order: $xids")
+    assert(recs.forall(_.contains("\"operation\":\"insert\"")))
+    // feedback (slot ack) advanced to the final LSN
+    val fb = new String(Files.readAllBytes(Paths.get(s"$src.feedback")),
+      StandardCharsets.UTF_8).trim.split("\n").last.toLong
+    assert(fb >= 20L, s"feedback LSN $fb has not reached epoch end 20")
+    // observed running metrics (A3) surfaced on progress
+    assert(progress.observedMetrics.containsKey("cdc_metrics"))
+  }
+
+  test("backpressure: maxRecordsPerTrigger splits into micro-batches") {
+    val dir = tmp()
+    val src = writeSource(dir,
+      (0 until 20).map(i => walLine(i, "insert", i)))
+    val q = CdcPipeline.start(spark, src, cat, Seq("insert"),
+      s"$dir/sink", s"$dir/ckpt", maxRecordsPerTrigger = 5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    q.stop()
+    assert(sinkRecords(s"$dir/sink").size == 20)
+    // 20 lines / 5 per trigger => at least 4 committed epochs
+    val commits = Files.list(Paths.get(s"$dir/ckpt/commits")).count()
+    assert(commits >= 4, s"expected >=4 epochs, got $commits")
+  }
+
+  test("checkpoint resume: appended lines processed exactly once") {
+    val dir = tmp()
+    val src = writeSource(dir, (0 until 5).map(i => walLine(i, "insert", i)))
+    val t = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+    val q1 = CdcPipeline.start(spark, src, cat, Seq("insert"),
+      s"$dir/sink", s"$dir/ckpt", trigger = t)
+    q1.processAllAvailable(); q1.stop()
+    assert(sinkRecords(s"$dir/sink").size == 5)
+    // append 5 more lines, restart from the same checkpoint
+    Files.write(Paths.get(src),
+      ((5 until 10).map(i => walLine(i, "insert", i)).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    val q2 = CdcPipeline.start(spark, src, cat, Seq("insert"),
+      s"$dir/sink", s"$dir/ckpt", trigger = t)
+    q2.processAllAvailable(); q2.stop()
+    val recs = sinkRecords(s"$dir/sink")
+    assert(recs.size == 10, s"expected 10 records, got ${recs.size}")
+    val xids = recs.map(r => "\"xid\":(\\d+)".r.findFirstMatchIn(r).get
+      .group(1).toInt)
+    assert(xids.distinct.size == 10, "duplicate delivery after resume")
+  }
+
+  test("throttling: injected failures are retried with backoff") {
+    val dir = tmp()
+    val src = writeSource(dir,
+      (0 until 6).map(i => walLine(i, "insert", i)))
+    // tiny aggregate size => one put per record; every 2nd put throttles
+    val client = new LocalFilePutClient(s"$dir/sink", failFirstAttemptEvery = 2)
+    val q = CdcPipeline.start(spark, src, cat, Seq("insert"),
+      s"$dir/sink", s"$dir/ckpt", putClient = client,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    q.processAllAvailable()
+    q.stop()
+    assert(sinkRecords(s"$dir/sink").size == 6)
+  }
+
+  test("aggregator packs multiple records per put under the size bound") {
+    val dir = tmp()
+    val src = writeSource(dir,
+      (0 until 50).map(i => walLine(i, "insert", i)))
+    val q = CdcPipeline.start(spark, src, cat, Seq("insert"),
+      s"$dir/sink", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    q.processAllAvailable(); q.stop()
+    val files = Files.list(Paths.get(s"$dir/sink")).count()
+    // 50 small records easily fit one 1MB aggregate per micro-batch
+    assert(files < 50, s"no aggregation happened: $files puts")
+    assert(sinkRecords(s"$dir/sink").size == 50)
+  }
+}
