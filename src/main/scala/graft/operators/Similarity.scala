@@ -42,13 +42,14 @@ object Similarity extends QueryModule {
       if (((h >>> 31) & 1L) == 1L) 1.0 else -1.0
     }
 
-  /** 8-bit sign code of a vector under one projection table. */
+  /** Sign code of a vector under one projection table. Projections go
+    * through the native FloatDot (±1 weights are float-exact), one
+    * fused loop per plane instead of a lambda frame per element. */
   private def lshCode(v: Column, table: Int): Column =
     (0 until BitsPerTable).map { bit =>
       val w = planeWeights(table, bit)
-      val proj = aggregate(
-        zip_with(v, array(w.map(lit): _*), (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = graft.expressions.FloatDot.float_dot(v,
+        array(w.map(x => lit(x.toFloat)): _*))
       when(proj >= 0, lit(1 << bit)).otherwise(lit(0))
     }.reduce(_ + _)
 
