@@ -160,6 +160,19 @@ object Cdc {
       xid.as("xid"), table.as("table"),
       operation.as("operation"), pkey.as("pkey"))))
 
+  /** X3: formatter dispatch by name (reference formatter.py:166-168
+    * resolves `<Name>Formatter` reflectively; a closed match is the
+    * idiomatic Scala shape for the same "format of your choosing"
+    * extension point). */
+  def formatterFor(name: String)
+      : (Column, Column, Column, Column) => Column =
+    name.toLowerCase match {
+      case "csv" => csvLine
+      case "csvpayload" => csvPayload
+      case other =>
+        throw new IllegalArgumentException(s"unknown formatter: $other")
+    }
+
   /** F2: operation allow-list that NULLS the formatted message instead
     * of dropping the row (reference __main__.py:97-99) — filtered-out
     * messages still reach the sink batcher so flush/ack cadence is

@@ -148,6 +148,41 @@ class CdcSpec extends SparkSpec {
     assert(out.toSeq == Seq("m1", "m2", null))
   }
 
+  // ---- slot DDL (reference tests/test_slot.py:51-108) --------------
+
+  test("slot create/drop are idempotent on the reference's SQLSTATEs") {
+    import graft.sources.SlotAdmin
+    var calls = List.empty[String]
+    def failWith(state: String): String => Unit = sql => {
+      calls :+= sql
+      throw new java.sql.SQLException("boom", state)
+    }
+    // duplicate slot on create => swallowed
+    new SlotAdmin(failWith("42710")).createSlot("s1")
+    // missing slot on drop => swallowed
+    new SlotAdmin(failWith("42704")).deleteSlot("s1")
+    // any other SQLSTATE propagates
+    intercept[java.sql.SQLException] {
+      new SlotAdmin(failWith("57P01")).createSlot("s1")
+    }
+    assert(calls.size == 3)
+    // recreate issues drop then create
+    calls = Nil
+    new SlotAdmin(sql => calls :+= sql).recreateSlot("s2")
+    assert(calls.exists(_.contains("pg_drop_replication_slot")) &&
+      calls.exists(_.contains("pg_create_logical_replication_slot")))
+  }
+
+  test("formatter dispatch resolves by name, rejects unknown") {
+    val df = Seq((1L, "t", "op", "k")).toDF("xid", "table", "op", "pkey")
+    val f = Cdc.formatterFor("CSV")
+    val line = df.select(f(col("xid"), col("table"), col("op"),
+      col("pkey")).as("l")).head.getString(0)
+    assert(line == "0,CDC,1,t,op,k")
+    assert(Cdc.formatterFor("CSVPayload") != null)
+    intercept[IllegalArgumentException](Cdc.formatterFor("Nope"))
+  }
+
   // ---- catalog (reference tests/test_slot.py:124-140, §3.3 quirk) ---
 
   test("composite pk collapses to last ordinal position") {
