@@ -87,6 +87,20 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Sketch aggregates: HLL++ distinct + quantile sketch. At 100 TB
+    // these replace exact distincts wherever tolerance allows — fixed
+    // memory, one pass, mergeable partials. Rows-only check (sketch
+    // internals are engine-specific); RelationalSpec bounds the error
+    // against the exact answers.
+    "q_approx_stats" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95))")
+            .as("price_quantiles"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- joins ----------------------------------------------------------
     // TPC-H Q3: shipping priority. 3-way join, group, top-10.
     "q3_shipping" -> ((s, d) => {
@@ -232,6 +246,36 @@ object Relational extends QueryModule {
         .select(col("event_id"), col("user_id"), col("purchase_seq"),
           col("running_spend"))
         .orderBy(col("event_id"))
+    }),
+
+    // Navigation windows: lag/lead deltas + ntile quartiles over the
+    // per-user purchase sequence.
+    "q_window_nav" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .filter(col("event_type") === "purchase")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("prev_value"), col("next_value"), col("quartile"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Session windows (5-minute gap) in batch: Spark's session_window
+    // vs the oracle's gaps-and-islands formulation — same boundaries,
+    // same aggregates. The streaming form of this operator is covered
+    // in StreamingSpec with a watermark.
+    "q_session_windows" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "5 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
     }),
 
     // ---- grouping sets --------------------------------------------------
@@ -443,6 +487,36 @@ object Relational extends QueryModule {
         |    / 1e8 AS running_spend
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "q_window_nav" ->
+      """SELECT event_id, user_id, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  NTILE(4) OVER w AS quartile
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_session_windows" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |    CASE WHEN CAST(ts AS TIMESTAMP) -
+         |      LAG(CAST(ts AS TIMESTAMP)) OVER
+         |        (PARTITION BY user_id ORDER BY ts)
+         |      > INTERVAL 5 MINUTE OR
+         |      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |    THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM e)
+         |SELECT user_id,
+         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  COUNT(*) AS n_events, ${sqlSum("value")} AS sum_value
+         |FROM s GROUP BY user_id, sess_id
+         |ORDER BY user_id, session_start""".stripMargin,
 
     "q_rollup_pricing" ->
       s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

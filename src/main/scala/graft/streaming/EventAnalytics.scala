@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over event streams — the watermark/stateful
+  * surface of the SURVEY §2.1 checklist that the reference lacks but
+  * BASELINE.json obliges:
+  *
+  *  - watermarked tumbling-window aggregation (late data dropped past
+  *    the watermark, state bounded — the only viable shape for
+  *    unbounded streams at scale),
+  *  - custom session state via flatMapGroupsWithState: per-key state
+  *    is O(open sessions), closed sessions emit exactly once on
+  *    event-time timeout. This is the template for any
+  *    custom-windowing/state machine the built-in operators can't
+  *    express.
+  *
+  * Both compose with any source (the cdc-file source, Kafka, ...) and
+  * any sink; specs drive them through MemoryStream with controlled
+  * watermark advancement.
+  */
+object EventAnalytics {
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, sum_value: Double)
+
+  /** Tumbling event-time window counts with a watermark bound. */
+  def windowedCounts(events: DataFrame, window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("sum_value"))
+
+  /** Gap-based sessionization with custom state. Sessions close either
+    * intra-batch (a gap observed between consecutive events) or by
+    * event-time timeout once the watermark passes last + gap. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, batch: Iterator[Event],
+            state: GroupState[SessionState]) => {
+          if (batch.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              ClosedSession(uid, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = batch.toVector.sortBy(_.ts.getTime)
+            var closed = Vector.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed :+= ClosedSession(uid, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+        })
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventAnalytics
+import graft.streaming.EventAnalytics.{ClosedSession, Event}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("watermarked window agg finalizes windows and drops late data") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventAnalytics
+      .windowedCounts(in.toDF(), window = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Append).start()
+    // window [10:00,10:10): two events
+    in.addData(Event(1, ts(1), 1.0), Event(1, ts(2), 2.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window => it finalizes
+    in.addData(Event(1, ts(40), 3.0))
+    q.processAllAvailable()
+    // this event is behind the watermark => dropped
+    in.addData(Event(1, ts(3), 99.0))
+    q.processAllAvailable()
+    in.addData(Event(1, ts(59), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_agg").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    // 2, not 3: the 99.0 event arrived behind the watermark after the
+    // window finalized and was dropped
+    assert(rows("2024-01-01 10:00:00.0") == 2L,
+      s"first window wrong or missing: $rows")
+  }
+
+  test("flatMapGroupsWithState sessionization: intra-batch and timeout closes") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventAnalytics.sessionize(in.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    // user 1: events at 10:01, 10:03 (one session), then 10:20 (gap
+    // > 5min closes it intra-batch and opens another)
+    in.addData(Event(1, ts(1), 1.0), Event(1, ts(3), 2.0))
+    q.processAllAvailable()
+    in.addData(Event(1, ts(20), 3.0))
+    q.processAllAvailable()
+    // advance the watermark far ahead so the open session times out
+    in.addData(Event(2, ts(55), 9.0))
+    q.processAllAvailable()
+    in.addData(Event(2, ts(58), 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions").as[ClosedSession].collect()
+      .filter(_.user_id == 1).sortBy(_.start_ms)
+    assert(sessions.length == 2, s"expected 2 closed sessions: " +
+      sessions.mkString(", "))
+    assert(sessions(0).n_events == 2 && sessions(0).sum_value == 3.0)
+    assert(sessions(0).start_ms == ts(1).getTime &&
+      sessions(0).end_ms == ts(3).getTime)
+    assert(sessions(1).n_events == 1 && sessions(1).sum_value == 3.0)
+  }
+}

@@ -35,4 +35,19 @@ class RelationalSpec extends SparkSpec {
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("approx sketches stay within tolerance of exact answers") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q_approx_stats")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex < 0.05,
+        s"$k: approx $ap vs exact $ex drifts > 5%")
+    }
+  }
 }
