@@ -184,6 +184,18 @@ object Relational extends QueryModule {
         .orderBy(col("n_name"))
     }),
 
+    // Salted join: identical rows to the plain equi-join (the oracle
+    // IS the plain join), but hot keys spread across 8 salt buckets —
+    // the explicit skew tool for when AQE's split isn't enough.
+    "q_salted_join" -> ((s, d) => {
+      val joined = Joins.saltedJoin(events(s, d), customer(s, d),
+        col("user_id"), col("c_custkey"), salts = 8)
+      joined
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // As-of join (operator the reference lacks; SURVEY §2.1 checklist):
     // for each purchase event, the most recent click (ts <= purchase ts)
     // by the same user. Implemented as union + carry-forward window:
@@ -454,6 +466,12 @@ object Relational extends QueryModule {
          |  ${sqlSum("COALESCE(c_acctbal, 0.0)")} AS sum_acctbal
          |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_salted_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  ${sqlSum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_asof_click" ->
       """WITH clicks AS (
