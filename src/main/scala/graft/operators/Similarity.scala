@@ -83,7 +83,17 @@ object Similarity extends QueryModule {
     // Rows-only check (bucket layout is engine-specific);
     // SimilaritySpec measures recall against the brute-force baseline.
     "sim_ann_lsh" -> ((s, d) =>
-      annTopK(corpus(s, d), 10).orderBy(col("query_id"), col("rank")))
+      annTopK(corpus(s, d), 10).orderBy(col("query_id"), col("rank"))),
+
+    // ANN via IVF (coarse quantizer + probed inverted lists): assign
+    // every vector to its nearest of 32 centroids once, probe the 8
+    // nearest lists per query, exact re-score. The at-scale pattern:
+    // assignment is a linear pass, search touches nProbe/nCentroids
+    // of the corpus. Centroids here are the first 32 vectors
+    // (deterministic); production swaps in kmeans|| centroids with no
+    // other change. Rows-only; recall measured in SimilaritySpec.
+    "sim_ann_ivf" -> ((s, d) =>
+      ivfTopK(corpus(s, d), 10).orderBy(col("query_id"), col("rank")))
   )
 
   /** LSH candidate generation + exact scoring. Returned rank is dense
@@ -100,6 +110,44 @@ object Similarity extends QueryModule {
       "query_id", "embedding")
     val candidates = corpusCodes
       .join(broadcast(queryCodes), Seq("tbl", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("q_nrm"),
+        col("embedding"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+  }
+
+  /** IVF candidate generation + exact scoring. */
+  def ivfTopK(c: DataFrame, k: Int, nCentroids: Int = 32,
+      nProbe: Int = 8): DataFrame = {
+    val cent = c.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    def assign(df: DataFrame, idCol: String, topn: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_sim").desc, col("cid"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("c_sim", cosine(col("embedding"), col("nrm"),
+          col("c_emb"), col("c_nrm")))
+        .withColumn("c_rk", row_number().over(w))
+        .filter(col("c_rk") <= topn)
+        .select(col(idCol), col("cid"))
+    }
+    val lists = assign(c, "vec_id", 1)
+    val q = querySet(c)
+    val probes = assign(
+      q.select(col("query_id"), col("q_emb").as("embedding"),
+        col("q_nrm").as("nrm")), "query_id", nProbe)
+    val candidates = probes.join(lists, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()

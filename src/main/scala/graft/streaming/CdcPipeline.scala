@@ -46,6 +46,48 @@ object CdcPipeline {
         sum(length(col("fmt_msg"))).as("msg_bytes"))
   }
 
+  /** test_decoding mode: the BEGIN-xid carry (P3) must survive
+    * micro-batch boundaries — a BEGIN can arrive in one trigger and
+    * its row changes in the next, which no within-batch window can
+    * see. flatMapGroupsWithState over the (single) slot key carries
+    * cur_xact across batches; the single group matches the problem:
+    * a replication slot is one totally ordered lane (the reference is
+    * equally single-threaded). Rows are parsed with the same regex
+    * semantics as Cdc.parseTestDecoding.
+    */
+  def transformTestDecoding(spark: SparkSession, sourcePath: String,
+      maxRecordsPerTrigger: Long = Long.MaxValue)
+      : org.apache.spark.sql.Dataset[(Long, Long, String, String, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val raw = spark.readStream
+      .format(classOf[CdcFileSourceProvider].getName)
+      .option("path", sourcePath)
+      .option("maxRecordsPerTrigger", maxRecordsPerTrigger.toString)
+      .load()
+      .select(col("lsn"), col("payload")).as[(Long, String)]
+    val TableLine = "^table ([^:]+): (\\w+): (.*)$".r
+    raw
+      .groupByKey(_ => 0) // one slot == one ordered state lane
+      .flatMapGroupsWithState[Long, (Long, Long, String, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_, batch, state) => {
+          var xid = state.getOption.getOrElse(-1L)
+          val out = batch.toVector.sortBy(_._1).flatMap { case (lsn, p) =>
+            if (p.startsWith("BEGIN ")) {
+              xid = p.substring(6).trim.toLong
+              None
+            } else p match {
+              case TableLine(table, op, body) =>
+                Some((lsn, xid, table, op, body))
+              case _ => None // COMMIT / noise
+            }
+          }
+          state.update(xid)
+          out.iterator
+        })
+  }
+
   /** Wire the full pipeline and start it. */
   def start(spark: SparkSession, sourcePath: String, pkCatalog: DataFrame,
       operations: Seq[String], sinkDir: String, checkpointDir: String,

@@ -42,10 +42,26 @@ class SimilaritySpec extends SparkSpec {
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairs("sim_topk_brute")
-    val ann = pairs("sim_ann_lsh")
-    val recall = (brute & ann).size.toDouble / brute.size
-    info(f"ANN recall@10 = $recall%.3f")
-    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+    val lsh = pairs("sim_ann_lsh")
+    val ivf = pairs("sim_ann_ivf")
+    val lshRecall = (brute & lsh).size.toDouble / brute.size
+    val ivfRecall = (brute & ivf).size.toDouble / brute.size
+    info(f"LSH recall@10 = $lshRecall%.3f, IVF recall@10 = $ivfRecall%.3f")
+    assert(lshRecall >= 0.5, f"LSH recall $lshRecall%.3f below 0.5")
+    assert(ivfRecall >= 0.5, f"IVF recall $ivfRecall%.3f below 0.5")
+  }
+
+  test("custom expressions are SQL-callable after Graft.register") {
+    Graft.register(spark)
+    spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
+      .createOrReplaceTempView("emb_sql_test")
+    val viaSql = spark.sql(
+      """SELECT vec_id, float_dot(embedding, embedding) AS d,
+        |  simhash64(transform(sequence(1, 10),
+        |    i -> xxhash64(CAST(i AS STRING)))) AS sh
+        |FROM emb_sql_test ORDER BY vec_id""".stripMargin).collect()
+    assert(viaSql.length == 5)
+    assert(viaSql.forall(_.getDouble(1) > 0))
   }
 
   test("brute-force top-k is deterministic across runs") {

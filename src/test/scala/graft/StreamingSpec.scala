@@ -131,6 +131,36 @@ class StreamingSpec extends SparkSpec {
     assert(sinkRecords(s"$dir/sink").size == 6)
   }
 
+  test("test_decoding xid carry survives a micro-batch boundary") {
+    val dir = tmp()
+    val src = writeSource(dir, Seq(
+      "BEGIN 500",
+      "table public.species: UPDATE: id[integer]:1"))
+    val t = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+    import spark.implicits._
+    val q = CdcPipeline.transformTestDecoding(spark, src)
+      .toDF("lsn", "xid", "table_name", "operation", "body")
+      .writeStream.format("memory").queryName("td_stream")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").trigger(t).start()
+    q.processAllAvailable()
+    // next micro-batch delivers MORE rows of xact 500 plus a new xact:
+    // the carry must come from state, not from anything in this batch
+    Files.write(Paths.get(src), Seq(
+      "table public.species: UPDATE: id[integer]:2",
+      "COMMIT", "BEGIN 501",
+      "table public.species: DELETE: id[integer]:3")
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.APPEND)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("td_stream")
+      .select("xid", "operation").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq((500L, "UPDATE"), (500L, "UPDATE"),
+      (501L, "DELETE")), s"got ${rows.toSeq}")
+  }
+
   test("aggregator packs multiple records per put under the size bound") {
     val dir = tmp()
     val src = writeSource(dir,
