@@ -103,6 +103,10 @@ object Dedup extends QueryModule {
         .withColumn("set", expr("transform(sorted, x -> x.h)"))
         .withColumn("prefix", slice(col("set"), lit(1), col("plen")))
         .select(col("doc_id"), col("set"), col("n"), col("prefix"))
+        // consumed 3x (prefix explode + both verify joins): without
+        // caching, Spark recomputes the shingle->df->sort pipeline
+        // three times over
+        .cache()
       val prefixes = sets.select(col("doc_id"), col("n"),
         explode(col("prefix")).as("h"))
       // length filter inside the candidate join: J >= 0.8 forces
@@ -193,7 +197,7 @@ object Dedup extends QueryModule {
     val numPerm = 48
     val bands = 12
     val rowsPerBand = numPerm / bands
-    val sh = shingles(docs)
+    val sh = shingles(docs).cache() // reused for signatures + verify sets
     val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
     // signature: min over shingles of xxhash64(h, i) — the seed column
     // acts as the i-th permutation; avoids ANSI-mode overflow that a
