@@ -100,8 +100,11 @@ object Dedup extends QueryModule {
         // ceil(4n/5) == (4n+4) div 5 exactly for integer n
         .withColumn("plen",
           (col("n") - expr("(n * 4 + 4) div 5") + 1).cast("int"))
-        .withColumn("set", expr("transform(sorted, x -> x.h)"))
-        .withColumn("prefix", slice(col("set"), lit(1), col("plen")))
+        // prefix keeps the df-rarest-first order; the verify set is
+        // re-sorted by hash value for the linear-merge intersect
+        .withColumn("dfset", expr("transform(sorted, x -> x.h)"))
+        .withColumn("set", array_sort(col("dfset")))
+        .withColumn("prefix", slice(col("dfset"), lit(1), col("plen")))
         .select(col("doc_id"), col("set"), col("n"), col("prefix"))
         // consumed 3x (prefix explode + both verify joins): without
         // caching, Spark recomputes the shingle->df->sort pipeline
@@ -124,11 +127,14 @@ object Dedup extends QueryModule {
           col("n").as("a_n")), Seq("a_id"))
         .join(sets.select(col("doc_id").as("b_id"), col("set").as("b_set"),
           col("n").as("b_n")), Seq("b_id"))
-        .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
+        .withColumn("inter",
+          graft.expressions.SortedIntersectCount.sorted_intersect_count(
+            col("a_set"), col("b_set")))
         .withColumn("union_n", col("a_n") + col("b_n") - col("inter"))
         .filter(col("inter") * 5 >= col("union_n") * 4)
-        .select(col("a_id"), col("b_id"), col("inter"), col("union_n"),
-          (col("inter").cast("double") / col("union_n")).as("jaccard"))
+        .select(col("a_id"), col("b_id"), col("inter").cast("long"),
+          col("union_n"), (col("inter").cast("double") / col("union_n"))
+            .as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -220,16 +226,20 @@ object Dedup extends QueryModule {
         col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // exact-Jaccard verification on candidates only
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("sh")).as("set"), count(lit(1)).as("n"))
+    // exact-Jaccard verification on candidates only (sorted-merge
+    // intersect over the hash sets, same primitive as ngram-jaccard)
+    val sets = hashed.groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("h"))).as("set"),
+        count(lit(1)).as("n"))
     val thrNum = math.round(threshold * 100).toInt
     candidates
       .join(sets.select(col("doc_id").as("a_id"), col("set").as("a_set"),
         col("n").as("a_n")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("set").as("b_set"),
         col("n").as("b_n")), Seq("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))))
+      .withColumn("inter",
+        graft.expressions.SortedIntersectCount.sorted_intersect_count(
+          col("a_set"), col("b_set")).cast("long"))
       .withColumn("union_n", col("a_n") + col("b_n") - col("inter"))
       .filter(col("inter") * 100 >= col("union_n") * thrNum)
       .select(col("a_id"), col("b_id"), col("inter"), col("union_n"))
