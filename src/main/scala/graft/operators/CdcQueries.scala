@@ -104,6 +104,29 @@ object CdcQueries extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // Lenient-mode dead-lettering: every 5th payload references a
+    // table missing from the PK catalog; strict mode would halt the
+    // pipeline (reference semantics), lenient mode preserves the row
+    // with a null pkey so it can be routed to a dead-letter sink
+    // while the healthy flow continues.
+    "cdc_dead_letter" -> ((s, d) => {
+      val pay = events(s, d).select(to_json(struct(
+        col("event_id").as("xid"),
+        array(struct(
+          lit("insert").as("kind"),
+          lit("public").as("schema"),
+          when(col("event_id") % 5 === 0, "mystery").otherwise("events")
+            .as("table"),
+          array(lit("event_id")).as("columnnames"),
+          array(lit("bigint")).as("columntypes"),
+          array(col("event_id").cast("string")).as("columnvalues")))
+          .as("change"))).as("payload"))
+      Cdc.parseWal2Json(pay, "payload", catalog(s), strict = false)
+        .withColumn("status",
+          when(col("pkey").isNull, "dead_letter").otherwise("ok"))
+        .orderBy(col("xid"))
+    }),
+
     // F1: table-name regex filter over a multi-table stream.
     "cdc_table_filter" -> ((s, d) => {
       events(s, d)
@@ -147,6 +170,17 @@ object CdcQueries extends QueryModule {
         |      ',public.events,' || event_type || ',' ||
         |      CAST(user_id AS VARCHAR) END AS fmt_msg
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_dead_letter" ->
+      """SELECT event_id AS xid,
+        |  'public.' || CASE WHEN event_id % 5 = 0 THEN 'mystery'
+        |    ELSE 'events' END AS table_name,
+        |  'insert' AS operation,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL
+        |    ELSE CAST(event_id AS VARCHAR) END AS pkey,
+        |  CASE WHEN event_id % 5 = 0 THEN 'dead_letter'
+        |    ELSE 'ok' END AS status
+        |FROM events ORDER BY xid""".stripMargin,
 
     "cdc_table_filter" ->
       """SELECT 'public.t' || CAST(user_id % 5 AS VARCHAR) AS table_name,

@@ -332,6 +332,35 @@ object Relational extends QueryModule {
         .orderBy(col("o_custkey"), col("tag"))
     }),
 
+    // Conditional aggregation (TPC-H Q14 shape): PROMO revenue share.
+    "q_promo_share" -> ((s, d) => {
+      lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO",
+            round((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              * 1e8)).otherwise(lit(0)).cast("decimal(38,0)"))
+            .cast("double") /
+            sum(round((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              * 1e8).cast("decimal(38,0)")).cast("double") * 100)
+            .as("promo_share_pct"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Correlated scalar subquery via the SQL surface: orders priced
+    // above their customer's average. Catalyst decorrelates this into
+    // an aggregate + join — no per-row subquery execution.
+    "q_sql_correlated" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_v o
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT AVG(o2.o_totalprice) FROM orders_v o2
+          |  WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // ---- scalar functions ----------------------------------------------
     // String-function projection over part (split/lower/replace/substr).
     "q_string_funcs" -> ((s, d) => {
@@ -567,6 +596,24 @@ object Relational extends QueryModule {
         |SELECT o_custkey, 'both' AS tag FROM
         |  (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
         |ORDER BY o_custkey, tag""".stripMargin,
+
+    "q_promo_share" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 1e8) AS HUGEINT)
+        |    ELSE 0 END) AS DOUBLE) /
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 1e8) AS HUGEINT))
+        |    AS DOUBLE) * 100 AS promo_share_pct,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q_sql_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT AVG(o2.o_totalprice) FROM orders o2
+        |  WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT p_partkey, LOWER(p_name) AS name_lower,
