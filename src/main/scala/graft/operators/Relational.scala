@@ -226,6 +226,31 @@ object Relational extends QueryModule {
         .orderBy(col("purchase_id"))
     }),
 
+    // Range/theta join: equi-key plus inequality — per order, count
+    // line-item pairs shipped in strictly increasing date order. The
+    // equi key carries the shuffle; the inequality evaluates inside
+    // the hash-join match loop (no nested-loop blowup).
+    "q_range_join" -> ((s, d) => {
+      val l1 = lineitem(s, d).select(col("l_orderkey").as("k"),
+        col("l_linenumber").as("ln1"), col("l_shipdate").as("d1"))
+      val l2 = lineitem(s, d).select(col("l_orderkey").as("k2"),
+        col("l_linenumber").as("ln2"), col("l_shipdate").as("d2"))
+      l1.join(l2, col("k") === col("k2") &&
+          col("ln1") < col("ln2") && col("d1") < col("d2"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_ordered_pairs"))
+        .orderBy(col("k"))
+    }),
+
+    // Exact interpolated percentiles (sort-based, not sketch).
+    "q_percentiles" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- windows --------------------------------------------------------
     // Ranking window: top-3 orders per market segment by price.
     "q_window_rank" -> ((s, d) => {
@@ -515,6 +540,20 @@ object Relational extends QueryModule {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.purchase_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT l1.l_orderkey AS k, COUNT(*) AS n_ordered_pairs
+        |FROM lineitem l1 JOIN lineitem l2
+        |  ON l1.l_orderkey = l2.l_orderkey
+        | AND l1.l_linenumber < l2.l_linenumber
+        | AND l1.l_shipdate < l2.l_shipdate
+        |GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_window_rank" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
