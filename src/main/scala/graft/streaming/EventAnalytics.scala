@@ -40,6 +40,33 @@ object EventAnalytics {
       .select(col("window.start").as("window_start"), col("n"),
         col("sum_value"))
 
+  /** Streaming exact dedup: one row per key, with the watermark
+    * bounding how long keys are remembered — the only way dedup state
+    * stays finite on an unbounded stream. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes")
+      : DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "ts")
+
+  /** Stream-stream inner join with a time-interval condition: each
+    * side's state is purged once the watermark passes the interval
+    * bound. The classic enrichment shape (clicks ⋈ purchases within
+    * an attribution window). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r, col("user_id") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("l_ts"), col("r_ts"),
+        col("l_value"), col("r_value"))
+  }
+
   /** Gap-based sessionization with custom state. Sessions close either
     * intra-batch (a gap observed between consecutive events) or by
     * event-time timeout once the watermark passes last + gap. */

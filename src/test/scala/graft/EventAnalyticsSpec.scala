@@ -41,6 +41,39 @@ class EventAnalyticsSpec extends SparkSpec {
       s"first window wrong or missing: $rows")
   }
 
+  test("streaming dedup emits each key once across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventAnalytics.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(Event(1, ts(1), 1.0), Event(1, ts(1), 1.0))
+    q.processAllAvailable()
+    // same key again in a LATER batch, still inside the watermark
+    in.addData(Event(1, ts(1), 1.0), Event(2, ts(2), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_stream").count() == 2)
+  }
+
+  test("stream-stream interval join matches within the window only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = EventAnalytics.intervalJoin(clicks.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData(Event(1, ts(1), 1.0), Event(2, ts(1), 1.0))
+    // user 1 buys 3 min after the click (inside the 5-min window);
+    // user 2 buys 9 min after (outside)
+    buys.addData(Event(1, ts(4), 10.0), Event(2, ts(10), 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+    assert(rows.toSeq == Seq((1L, 10.0)), s"got ${rows.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionization: intra-batch and timeout closes") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
