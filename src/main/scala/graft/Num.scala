@@ -42,6 +42,11 @@ object Num {
   /** DuckDB fragments, kept adjacent so the dialects stay in lock-step. */
   def sqlSum(expr: String): String =
     s"CAST(SUM(CAST(round(($expr) * 1e8) AS HUGEINT)) AS DOUBLE) / 1e8"
+
+  /** Same quantized sum in Spark SQL dialect (DECIMAL(38,0) instead of
+    * HUGEINT), for queries written through spark.sql. */
+  def sqlSumSpark(expr: String): String =
+    s"CAST(SUM(CAST(round(($expr) * 1e8) AS DECIMAL(38,0))) AS DOUBLE) / 1e8"
   def sqlAvg(expr: String): String =
     s"${sqlSum(expr)} / COUNT($expr)"
 }

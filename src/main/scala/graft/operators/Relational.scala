@@ -340,6 +340,31 @@ object Relational extends QueryModule {
         .orderBy(col("nation"), col("segment"))
     }),
 
+    // Pivot: event counts per user-decile, one column per event type
+    // (Catalyst rewrites to a single-pass conditional aggregation).
+    "q_pivot_events" -> ((s, d) => {
+      events(s, d)
+        .withColumn("user_decile", (col("user_id") % 10).cast("long"))
+        .groupBy(col("user_decile"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy(col("user_decile"))
+    }),
+
+    // Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface.
+    "q_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           |  COALESCE(o_orderpriority, 'ALL') AS priority,
+           |  COUNT(*) AS n,
+           |  ${Num.sqlSumSpark("o_totalprice")} AS sum_price
+           |FROM orders_gs
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY status, priority""".stripMargin)
+    }),
+
     // ---- set operations -------------------------------------------------
     // Customers ordering in 1996 vs 1997: EXCEPT / INTERSECT / UNION ALL
     // with a tag column (exercises all three set ops in one plan).
@@ -618,6 +643,23 @@ object Relational extends QueryModule {
          |FROM customer JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY CUBE (n_name, c_mktsegment)
          |ORDER BY nation, segment""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id % 10 AS user_decile,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY user_decile""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n, ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin,
 
     "q_setops_years" ->
       """WITH y96 AS (SELECT o_custkey FROM orders
