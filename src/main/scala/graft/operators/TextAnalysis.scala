@@ -120,7 +120,7 @@ object TextAnalysis extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "text_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-         |  SUM(len($sqlToks)) AS total_tokens,
+         |  CAST(SUM(len($sqlToks)) AS BIGINT) AS total_tokens,
          |  ${sqlAvg(s"CAST(len($sqlToks) AS DOUBLE)")} AS avg_tokens,
          |  MAX(len(text)) AS max_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

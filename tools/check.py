@@ -21,12 +21,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 def cell_eq(a, b):
+    """Driver-faithful equality: the driver hash-compares stringified
+    values, so int 5 vs float 5.0 (HUGEINT->float64 drift), and
+    -0.0 vs 0.0, must FAIL here even though == passes."""
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
     if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
         a = list(a) if a is not None else None
         b = list(b) if b is not None else None
@@ -38,6 +37,13 @@ def cell_eq(a, b):
             return True
     except (TypeError, ValueError):
         pass
+    a_f, b_f = isinstance(a, float), isinstance(b, float)
+    if a_f != b_f and isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return False  # int-vs-float dtype drift: driver hash would differ
+    if a_f and b_f:
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b and math.copysign(1, a) == math.copysign(1, b)
     return a == b
 
 def main():
