@@ -90,21 +90,38 @@ object Dedup extends QueryModule {
       // a ~2^-45 collision among ~1e6 distinct shingles)
       val sh = shingles(documents(s, d))
         .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      // global order: (document frequency, hash) ascending
-      val withDf = sh.join(
-        sh.groupBy(col("h")).agg(count(lit(1)).as("df")), Seq("h"))
+      // k-prefix filter strength: a J>=t pair must share >= K shingles
+      // across its two prefixes once each prefix is extended by K-1
+      // (the i-th smallest common element sits within the first
+      // n - ceil(t*n) + i positions of each set). K=16 trades ~1.7x
+      // more (narrow) join rows for ~500x fewer verify pairs on this
+      // corpus — the verify side carries multi-KB arrays, so that is
+      // the trade to make.
+      val K = 16
+      // global order: (document frequency, hash) ascending. The df
+      // table is tiny (distinct shingles ~ vocabulary^shingle-span,
+      // 13k here) no matter how many documents there are — broadcast
+      // it instead of shuffling every (doc, shingle) row by hash.
+      val df = broadcast(
+        sh.groupBy(col("h")).agg(count(lit(1)).as("df")))
+      val withDf = sh.join(df, Seq("h"))
       val sets = withDf.groupBy(col("doc_id")).agg(
         array_sort(collect_list(struct(col("df"), col("h"))))
           .as("sorted"), count(lit(1)).as("n"))
-        // prefix length for t=0.8: n - ceil(4n/5) + 1, and
+        // prefix length for t=0.8: n - ceil(4n/5) + K, and
         // ceil(4n/5) == (4n+4) div 5 exactly for integer n
-        .withColumn("plen",
-          (col("n") - expr("(n * 4 + 4) div 5") + 1).cast("int"))
-        // prefix keeps the df-rarest-first order; the verify set is
-        // re-sorted by hash value for the linear-merge intersect
-        .withColumn("dfset", expr("transform(sorted, x -> x.h)"))
-        .withColumn("set", array_sort(col("dfset")))
-        .withColumn("prefix", slice(col("dfset"), lit(1), col("plen")))
+        .withColumn("plen", least(col("n"),
+          col("n") - expr("(n * 4 + 4) div 5") + K).cast("int"))
+        // the verify set is re-sorted by hash value for the
+        // linear-merge intersect; the prefix keeps df-rarest-first
+        // order and drops df=1 shingles — a singleton shingle exists
+        // in exactly one document, so it can never be a shingle two
+        // prefixes meet on
+        .withColumn("set",
+          array_sort(expr("transform(sorted, x -> x.h)")))
+        .withColumn("prefix", expr(
+          "transform(filter(slice(sorted, 1, plen), x -> x.df >= 2)," +
+            " x -> x.h)"))
         .select(col("doc_id"), col("set"), col("n"), col("prefix"))
         // consumed 3x (prefix explode + both verify joins): without
         // caching, Spark recomputes the shingle->df->sort pipeline
@@ -114,15 +131,25 @@ object Dedup extends QueryModule {
         explode(col("prefix")).as("h"))
       // length filter inside the candidate join: J >= 0.8 forces
       // 4*max(n) <= 5*min(n), killing size-mismatched pairs before
-      // the expensive set intersection
+      // the expensive set intersection. Candidates then need >= K
+      // shared prefix shingles (capped by each side's own minimum
+      // possible overlap ceil(t*n), so short documents stay exact).
       val candidates = prefixes.as("x")
         .join(prefixes.as("y"), col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id") &&
           col("x.n") * 4 <= col("y.n") * 5 &&
           col("y.n") * 4 <= col("x.n") * 5)
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      candidates
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("shared"),
+          first(col("x.n")).as("xn"), first(col("y.n")).as("yn"))
+        .filter(col("shared") >= least(lit(K),
+          expr("(xn * 4 + 4) div 5"), expr("(yn * 4 + 4) div 5")))
+        .select(col("a_id"), col("b_id"))
+      // candidate pairs are tiny relative to the array-carrying sets
+      // table — broadcast them so the verify is two one-pass broadcast
+      // hash joins over sets instead of sort-merge shuffles of the
+      // multi-KB shingle arrays
+      broadcast(candidates)
         .join(sets.select(col("doc_id").as("a_id"), col("set").as("a_set"),
           col("n").as("a_n")), Seq("a_id"))
         .join(sets.select(col("doc_id").as("b_id"), col("set").as("b_set"),
@@ -196,29 +223,44 @@ object Dedup extends QueryModule {
   /** MinHash signature → banded LSH candidates → exact-Jaccard verify.
     *
     * 48 seeded-xxhash64 permutations over shingle hashes
-    * (deterministic across runs/partitions), 12 bands × 4 rows: P(candidate | j=0.8) = 1-(1-0.8^4)^12 ≈ 0.997 per
-    * pair, and the verify step removes false positives entirely.
+    * (deterministic across runs/partitions), 16 bands × 3 rows:
+    * P(miss | j=0.8) = (1-0.8^3)^16 ≈ 1.1e-5 per pair — at that rate
+    * the verified output equals the exact-Jaccard pair set, which is
+    * what the DuckDB oracle checks. The verify step removes false
+    * positives entirely, so banding only ever costs candidates.
+    *
+    * One groupBy(doc_id) computes the signature AND the sorted verify
+    * set: a single shuffle of the shingle stream, then everything
+    * else operates on one small cached row per document.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val numPerm = 48
-    val bands = 12
+    val bands = 16
     val rowsPerBand = numPerm / bands
-    val sh = shingles(docs).cache() // reused for signatures + verify sets
-    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    // signature: min over shingles of xxhash64(h, i) — the seed column
-    // acts as the i-th permutation; avoids ANSI-mode overflow that a
-    // multiply-based universal hash would trip, and mixes better.
-    val sigCols = (0 until numPerm).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val hashed = shingles(docs)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    // signature: min over shingles of xxhash64(h, i) — the extra
+    // hashed column acts as the i-th permutation; avoids ANSI-mode
+    // overflow that a multiply-based universal hash would trip, and
+    // mixes better. Computed as ONE array expression over the
+    // collected distinct-shingle set (identical to a per-row min
+    // aggregate, since the set holds exactly the distinct hashes):
+    // 48 separate aggregate buffers generate a codegen class big
+    // enough that Janino compilation dominated the query's cold time.
+    val perDoc = hashed.groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("h"))).as("set"))
+      .withColumn("n", size(col("set")).cast("long"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${numPerm - 1})," +
+          " i -> array_min(transform(set, h -> xxhash64(h, i))))"))
+      .cache() // consumed by banding + both verify joins
     // bands: hash each signature slice, explode to (doc, band, bandHash)
     val bandStructs = (0 until bands).map { bi =>
-      val slice = (0 until rowsPerBand).map(ri => col(s"m${bi * rowsPerBand + ri}"))
-      struct(lit(bi).as("band"),
-        xxhash64(concat_ws("_", slice: _*)).as("bh"))
+      val slice = (0 until rowsPerBand).map(ri =>
+        element_at(col("sig"), bi * rowsPerBand + ri + 1))
+      struct(lit(bi).as("band"), xxhash64(slice: _*).as("bh"))
     }
-    val banded = sigs.select(col("doc_id"),
+    val banded = perDoc.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
     val candidates = banded.as("x")
@@ -227,12 +269,12 @@ object Dedup extends QueryModule {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     // exact-Jaccard verification on candidates only (sorted-merge
-    // intersect over the hash sets, same primitive as ngram-jaccard)
-    val sets = hashed.groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(col("h"))).as("set"),
-        count(lit(1)).as("n"))
+    // intersect over the hash sets, same primitive as ngram-jaccard);
+    // candidates are tiny — broadcast them through both joins so the
+    // array-carrying perDoc side streams without a shuffle.
+    val sets = perDoc.select(col("doc_id"), col("set"), col("n"))
     val thrNum = math.round(threshold * 100).toInt
-    candidates
+    broadcast(candidates)
       .join(sets.select(col("doc_id").as("a_id"), col("set").as("a_set"),
         col("n").as("a_n")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("set").as("b_set"),
