@@ -165,18 +165,22 @@ object Dedup extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // MinHash + LSH banding (rows-only check; DedupSpec proves the
-    // candidate recall against exact Jaccard). Sub-quadratic: only
-    // band-bucket collisions become candidate pairs.
+    // MinHash + LSH banding, exact-verified: candidates come from
+    // band-bucket collisions (sub-quadratic), then an exact-Jaccard
+    // check keeps only true pairs. Because banding is 16x3 (per-pair
+    // miss ~1e-5 at j=0.8), the output EQUALS the exact near-dup pair
+    // set — which is exactly what the DuckDB oracle computes by brute
+    // force. DedupSpec additionally proves candidate recall.
     "dedup_minhash_lsh" -> ((s, d) =>
       minhashPairs(documents(s, d)).orderBy(col("a_id"), col("b_id"))),
 
     // SimHash near-dup pairs: native codegen'd fingerprint (one long
-    // per doc), then 4×16-bit chunk banding — pigeonhole guarantees
+    // per doc), then 4×15-bit chunk banding — pigeonhole guarantees
     // every pair within Hamming distance 3 shares a chunk — and a
-    // bit_count(xor) verify. Fingerprint+banding is linear in docs;
-    // only chunk collisions are compared. Rows-only check (token
-    // hashes are engine-specific); DedupSpec proves the semantics.
+    // bit_count(xor) verify, so the result is EXACT for the md5-60bit
+    // SimHash. The DuckDB oracle recomputes the identical fingerprint
+    // (md5 hex → 60-bit ints → per-bit majority) and brute-forces all
+    // pairs. Fingerprint+banding is linear in docs.
     "dedup_simhash" -> ((s, d) =>
       simhashPairs(documents(s, d)).orderBy(col("a_id"), col("b_id"))),
 
@@ -287,15 +291,27 @@ object Dedup extends QueryModule {
       .select(col("a_id"), col("b_id"), col("inter"), col("union_n"))
   }
 
-  /** SimHash fingerprint → chunk-banded candidates → Hamming verify. */
+  /** SimHash fingerprint → chunk-banded candidates → Hamming verify.
+    *
+    * Token hashes are the first 15 hex chars of md5 (60 bits) rather
+    * than xxhash64: md5 is the one hash both engines share, which is
+    * what lets the DuckDB oracle recompute the IDENTICAL fingerprint
+    * and brute-force the same pair set. The SimHash fold itself stays
+    * the native codegen'd SimHash64 expression (bits 60..63 vote all-
+    * zero and drop out). Banding = 4 chunks of 15 bits: pigeonhole
+    * guarantees every pair within Hamming distance 3 shares a chunk,
+    * so candidates stay linear in docs and the verify is exact.
+    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     import graft.expressions.SimHash64.simhash64
     val sigs = docs.select(col("doc_id"),
-      simhash64(expr("transform(split(text, '\\\\s+'), t -> xxhash64(t))"))
+      simhash64(expr(
+        "transform(filter(split(text, '\\\\s+'), t -> t != '')," +
+          " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
         .as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))
+        shiftrightunsigned(col("sig"), i * 15).bitwiseAND(lit(0x7FFFL))
           .as("key"))): _*)).as("e"))
       .select(col("doc_id"), col("sig"), col("e.band").as("band"),
         col("e.key").as("key"))
@@ -342,6 +358,44 @@ object Dedup extends QueryModule {
         |FROM pairs JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
         |WHERE inter * 5 >= (a.n + b.n - inter) * 4
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Exact near-dup pair set: the LSH pipeline's verified output must
+    // equal this (banding is tuned so no true pair is missed; the
+    // verify step removes every false candidate).
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter, a.n + b.n - inter AS union_n
+        |FROM pairs JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+        |WHERE inter * 5 >= (a.n + b.n - inter) * 4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Identical md5-60bit SimHash recomputed in SQL, then brute-force
+    // Hamming over all pairs (the Spark side's banding is exact by
+    // pigeonhole, so the sets match).
+    "dedup_simhash" -> {
+      val bitSum = (0 until 60).map { i =>
+        s"(CASE WHEN 2 * COALESCE(list_sum(list_transform(th, x -> (x >> $i) & 1)), 0) > len(th) THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform(
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t != ''),
+         |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+         |  FROM documents),
+         |s AS (SELECT doc_id, $bitSum AS sig FROM t)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
