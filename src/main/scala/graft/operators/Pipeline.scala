@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{Num, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond per-pair dedup: near-dup
+  * CLUSTERING (connected components), deterministic SAMPLING, a
+  * BPE-style regex tokenizer, and PII scrubbing — the stages that sit
+  * between raw crawl and training shards at 100 TB.
+  *
+  * Scale notes, per operator:
+  *  - connected components: iterative hash-to-min label propagation —
+  *    each round is one shuffle-join; rounds are bounded by component
+  *    diameter (near-dup clusters are clique-ish, so 2-3 rounds). This
+  *    is the standard way to cluster dedup pairs on a cluster; no
+  *    driver-side graph ever materializes.
+  *  - hash sampling: a pure filter on a content hash — no shuffle, no
+  *    state, embarrassingly parallel, deterministic across engines and
+  *    run-to-run (unlike rand()-based sampling, which is neither).
+  *  - stratified sampling: exact per-stratum rate via one window sort
+  *    per stratum; at skewed-stratum scale the same shape runs as
+  *    repartition-by-stratum + sortWithinPartitions.
+  *  - tokenizer / scrub: per-row regex expression pipelines, scan-bound.
+  *
+  * Sampling hashes are md5-based (the hash both engines share) so every
+  * query here is hash-exact against its DuckDB oracle.
+  */
+object Pipeline extends QueryModule {
+  import Tables._
+  import Num._
+
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  private val cardPat = "[0-9]{12,19}"
+  // Spark SQL string literals process escapes, so \s needs doubling
+  // inside expr() text (the DuckDB oracle keeps the single form).
+  private val bpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+
+  /** Connected components by hash-to-min: every node repeatedly takes
+    * the min label among itself and its neighbors until fixpoint. Each
+    * iteration is one join + one aggregate (shuffle on node id); the
+    * loop runs on the cluster, never on the driver.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 50) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+      val next = labels.select(col("node"), col("label").as("old"))
+        .join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"),
+          col("old"))
+        .cache()
+      changed = next.filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next.select(col("node"), col("label")).cache()
+      rounds += 1
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Deterministic PII-bearing corpus: the synthetic documents carry no
+    * emails or card numbers, so the scrub operator plants them —
+    * deterministically from doc_id, identically in the oracle. */
+  private def piiCorpus(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("aug", concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com")))
+        .when(col("doc_id") % 4 === 1, lit(" card 4111111111111111"))
+        .otherwise(lit(""))))
+
+  override def queries: Map[String, Q] = Map(
+    // Near-dup clustering: exact near-dup pairs (MinHash-LSH verified)
+    // → connected components → (doc, cluster) with cluster = min doc
+    // id in the component. The dedup decision a pipeline actually
+    // ships: keep one survivor per cluster, not per pair.
+    "dedup_cluster" -> ((s, d) => {
+      val pairs = Dedup.minhashPairs(documents(s, d))
+        .select(col("a_id"), col("b_id"))
+      connectedComponents(pairs).orderBy(col("doc_id"))
+    }),
+
+    // Deterministic Bernoulli sampling by content hash: keep ~5% of
+    // docs where md5("b"+doc_id) % 20 == 0. No shuffle — the filter
+    // pushes to the scan and the sample is reproducible anywhere.
+    "sample_hash" -> ((s, d) => {
+      documents(s, d)
+        .filter(expr(
+          "cast(conv(substring(md5(concat('b', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 20 = 0"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact stratified 10% sample per lang: rank docs within each
+    // stratum by a deterministic hash order, keep rn*10 <= stratum
+    // size (floor(n/10) rows per stratum, bias-free and reproducible).
+    "sample_stratified" -> ((s, d) => {
+      val byLang = Window.partitionBy(col("lang"))
+      val w = byLang.orderBy(
+        md5(concat(lit("s"), col("doc_id").cast("string"))), col("doc_id"))
+      documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("c", count(lit(1)).over(byLang))
+        .filter(col("rn") * 10 <= col("c"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-style regex tokenization (letters | digits | single
+    // punctuation), corpus-wide top-20 vocabulary with deterministic
+    // tie-breaks — the vocabulary-building scan of a tokenizer
+    // training job.
+    "text_bpe_tokens" -> ((s, d) => {
+      documents(s, d)
+        .select(explode(expr(
+          s"regexp_extract_all(text, '$bpePat', 0)")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    }),
+
+    // PII scrub: count + redact emails and card-like digit runs.
+    // Counting happens before scrubbing; the scrubbed length proves
+    // the rewrite actually applied.
+    "text_pii_scrub" -> ((s, d) => {
+      piiCorpus(s, d)
+        .withColumn("n_email",
+          size(expr(s"regexp_extract_all(aug, '$emailPat', 0)")))
+        .withColumn("n_card",
+          size(expr(s"regexp_extract_all(aug, '$cardPat', 0)")))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(col("aug"), emailPat, "<EMAIL>"),
+            cardPat, "<CARD>"))
+        .select(col("doc_id"), col("n_email"), col("n_card"),
+          length(col("scrubbed")).as("scrubbed_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-dimension embedding statistics: one narrow explode + one
+    // aggregate, the standard health check before indexing/training.
+    // Mean goes through the shared decimal quantization so partial
+    // aggregation order can't change the answer.
+    "emb_dim_stats" -> ((s, d) => {
+      embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select((col("pos") + 1).as("dim"), col("val").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), davg(col("v")).as("mean"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .orderBy(col("dim"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "dedup_cluster" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |np AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
+        |edges(a, b) AS (
+        |  SELECT a_id, b_id FROM np UNION SELECT b_id, a_id FROM np),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b)
+        |SELECT node AS doc_id, MIN(r) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5('b' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('s' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS c
+        |  FROM documents) t
+        |WHERE rn * 10 <= c ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_tokens" ->
+      """SELECT u.tok, COUNT(*) AS n FROM documents,
+        |UNNEST(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) u(tok)
+        |GROUP BY u.tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         WHEN doc_id % 4 = 1 THEN ' card 4111111111111111'
+        |         ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_email,
+        |  len(regexp_extract_all(aug, '[0-9]{12,19}')) AS n_card,
+        |  len(regexp_replace(
+        |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{12,19}', '<CARD>', 'g')) AS scrubbed_len
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "emb_dim_stats" -> {
+      s"""SELECT i AS dim, COUNT(*) AS n,
+         |  ${sqlAvg("CAST(embedding[i] AS DOUBLE)")} AS mean,
+         |  MIN(CAST(embedding[i] AS DOUBLE)) AS vmin,
+         |  MAX(CAST(embedding[i] AS DOUBLE)) AS vmax
+         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+         |GROUP BY i ORDER BY dim""".stripMargin
+    }
+  )
+}

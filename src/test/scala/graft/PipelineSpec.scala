@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: min label per component, driver-free loop") {
+    // two components {1,2,3,7} (path + extra edge) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (2L, 7L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Pipeline.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup_cluster groups every paired doc, cluster id is member min") {
+    val rows = SparkEntry.queries("dedup_cluster")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    assert(byCluster.forall { case (cid, ms) => ms.map(_._1).min == cid })
+    assert(byCluster.forall(_._2.length >= 2))
+  }
+
+  test("hash sample is deterministic and roughly the target rate") {
+    val q = SparkEntry.queries("sample_hash")
+    val a = q(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = q(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    val total = Tables.documents(spark, sf).count()
+    assert(a.length > 0 && a.length < total / 5)
+  }
+
+  test("stratified sample takes floor(n/10) rows from every stratum") {
+    val strata = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("sample_stratified")(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0L) == n / 10, s"stratum $lang")
+    }
+  }
+
+  test("bpe tokenizer splits letters/digits/punct, counts dominate order") {
+    val rows = SparkEntry.queries("text_bpe_tokens")(spark, sf).collect()
+    assert(rows.length <= 20)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.sameElements(ns.sorted.reverse), "not count-descending")
+  }
+
+  test("pii scrub redacts exactly the planted markers") {
+    val rows = SparkEntry.queries("text_pii_scrub")(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (email, card) = (r.getInt(1), r.getInt(2))
+      if (id % 4 == 0) assert(email == 1 && card == 0, s"doc $id")
+      else if (id % 4 == 1) assert(email == 0 && card == 1, s"doc $id")
+      else assert(email == 0 && card == 0, s"doc $id")
+    }
+  }
+
+  test("embedding dim stats cover every dimension with sane bounds") {
+    val rows = SparkEntry.queries("emb_dim_stats")(spark, sf).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val (mean, vmin, vmax) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(vmin <= mean && mean <= vmax)
+    }
+  }
+}
