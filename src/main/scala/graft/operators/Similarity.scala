@@ -80,8 +80,12 @@ object Similarity extends QueryModule {
     }),
 
     // ANN via multi-table sign-LSH + exact re-scoring of candidates.
-    // Rows-only check (bucket layout is engine-specific);
-    // SimilaritySpec measures recall against the brute-force baseline.
+    // Hash-exact against the oracle: the ±1 hyperplanes are plan-time
+    // constants, embedded verbatim as DOUBLE[] literals in the
+    // generated SQL, and every projection/cosine is the same strict
+    // sequential double fold in both engines — so the bucket layout,
+    // the candidate set, and the ranking all agree exactly.
+    // SimilaritySpec additionally measures recall vs brute force.
     "sim_ann_lsh" -> ((s, d) =>
       annTopK(corpus(s, d), 10).orderBy(col("query_id"), col("rank"))),
 
@@ -90,8 +94,10 @@ object Similarity extends QueryModule {
     // nearest lists per query, exact re-score. The at-scale pattern:
     // assignment is a linear pass, search touches nProbe/nCentroids
     // of the corpus. Centroids here are the first 32 vectors
-    // (deterministic); production swaps in kmeans|| centroids with no
-    // other change. Rows-only; recall measured in SimilaritySpec.
+    // (deterministic, so the whole pipeline is SQL-expressible and
+    // hash-exact against the oracle); production swaps in kmeans||
+    // centroids with no other change. Recall vs brute force is
+    // measured in SimilaritySpec.
     "sim_ann_ivf" -> ((s, d) =>
       ivfTopK(corpus(s, d), 10).orderBy(col("query_id"), col("rank")))
   )
@@ -164,7 +170,98 @@ object Similarity extends QueryModule {
         col("cosine"))
   }
 
+  /** SQL literal for one hyperplane's ±1 weights. */
+  private def weightsLit(table: Int, bit: Int): String =
+    planeWeights(table, bit)
+      .map(w => if (w > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]::DOUBLE[]")
+
+  /** One table's 6-bit sign code over column `emb` (SQL dialect). */
+  private def codeSql(table: Int): String =
+    (0 until BitsPerTable).map { bit =>
+      s"(CASE WHEN list_dot_product(emb, ${weightsLit(table, bit)}) >= 0 THEN ${1 << bit} ELSE 0 END)"
+    }.mkString(" + ")
+
   override def oracles: Map[String, String] = Map(
+    "sim_ann_lsh" -> {
+      val corpusCodes = (0 until NumTables)
+        .map(t => s"${codeSql(t)} AS k$t").mkString(",\n    ")
+      val queryCodes = (0 until NumTables)
+        .map(t => s"k$t AS qk$t").mkString(", ")
+      val anyCollision = (0 until NumTables)
+        .map(t => s"c.k$t = q.qk$t").mkString(" OR ")
+      s"""WITH c0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                     CAST(embedding AS DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id, emb, nrm,
+         |    $corpusCodes
+         |  FROM c0),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+         |        $queryCodes
+         |      FROM c WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT q.query_id, c.vec_id, c.emb, c.nrm, q.q_emb, q.q_nrm
+         |  FROM c JOIN q ON c.vec_id <> q.query_id AND ($anyCollision)),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    list_dot_product(q_emb, emb) / (sqrt(q_nrm) * sqrt(nrm))
+         |      AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY list_dot_product(q_emb, emb) / (sqrt(q_nrm) * sqrt(nrm)) DESC,
+         |        vec_id) AS rank
+         |  FROM cand)
+         |SELECT query_id, rank, vec_id AS neighbor_id, cosine
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "sim_ann_ivf" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                     CAST(embedding AS DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+        |         FROM c WHERE vec_id < 32),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT c.vec_id, cent.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_dot_product(c.emb, cent.c_emb)
+        |                   / (sqrt(c.nrm) * sqrt(cent.c_nrm)) DESC,
+        |          cent.cid) AS rk
+        |    FROM c CROSS JOIN cent) t WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+        |      FROM c WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT q.query_id, cent.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.q_emb, cent.c_emb)
+        |                   / (sqrt(q.q_nrm) * sqrt(cent.c_nrm)) DESC,
+        |          cent.cid) AS rk
+        |    FROM q CROSS JOIN cent) t WHERE rk <= 8),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON p.cid = a.cid
+        |  WHERE a.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    list_dot_product(q.q_emb, c.emb) / (sqrt(q.q_nrm) * sqrt(c.nrm))
+        |      AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY cand.query_id
+        |      ORDER BY list_dot_product(q.q_emb, c.emb)
+        |                 / (sqrt(q.q_nrm) * sqrt(c.nrm)) DESC,
+        |        cand.vec_id) AS rank
+        |  FROM cand JOIN c ON c.vec_id = cand.vec_id
+        |           JOIN q ON q.query_id = cand.query_id)
+        |SELECT query_id, rank, vec_id AS neighbor_id, cosine
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
     "sim_topk_brute" ->
       """WITH c AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
