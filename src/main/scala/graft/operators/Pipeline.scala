@@ -39,32 +39,48 @@ object Pipeline extends QueryModule {
 
   /** Connected components by hash-to-min: every node repeatedly takes
     * the min label among itself and its neighbors until fixpoint. Each
-    * iteration is one join + one aggregate (shuffle on node id); the
-    * loop runs on the cluster, never on the driver.
+    * iteration is ONE shuffle-join plus ONE aggregate, and the
+    * convergence test rides the same aggregate (self rows carry the
+    * old label), so a round costs exactly two shuffles and one tiny
+    * scan of materialized output — no extra convergence job.
+    *
+    * Both the edge set and each round's labels are eagerly
+    * localCheckpoint'ed: the upstream candidate-pair pipeline runs
+    * exactly once, and the per-round plan stays flat instead of
+    * re-analyzing an N-round lineage (which made driver-side plan
+    * analysis, not cluster work, the dominant cost). On a real
+    * cluster the same shape uses reliable checkpointing to HDFS/S3;
+    * rounds are bounded by component diameter (near-dup clusters are
+    * clique-ish, so 2-3 rounds).
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
+    val p = pairs.select(col("a_id").cast("long").as("src"),
+      col("b_id").cast("long").as("dst"))
+    val sym = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
     var changed = true
     var rounds = 0
     while (changed && rounds < 50) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-      val next = labels.select(col("node"), col("label").as("old"))
-        .join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"),
-          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"),
-          col("old"))
-        .cache()
-      changed = next.filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels.unpersist()
-      labels = next.select(col("node"), col("label")).cache()
+      // Neighbor label stream + tagged self rows in one union: the min
+      // aggregate yields the new label, the max of `old` (null on
+      // neighbor rows) recovers the previous one for the convergence
+      // test — one groupBy serves both.
+      val nbrRows = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("label"),
+          lit(null).cast("long").as("old"))
+      val selfRows = labels.select(col("node"), col("label"),
+        col("label").as("old"))
+      val next = nbrRows.union(selfRows)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+        .localCheckpoint() // eager: one pass computes labels + delta
+      changed = next.filter(col("label") < col("old")).limit(1).count() > 0
+      labels = next.select(col("node"), col("label"))
       rounds += 1
     }
-    sym.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

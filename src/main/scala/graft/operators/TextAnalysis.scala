@@ -47,7 +47,7 @@ object TextAnalysis extends QueryModule {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
           davg(col("n_tokens").cast("double")).as("avg_tokens"),
-          max(col("n_chars_m")).as("max_chars"))
+          max(col("n_chars_m")).cast("long").as("max_chars"))
         .orderBy(col("lang"))
     }),
 
