@@ -40,12 +40,20 @@ object Dedup extends QueryModule {
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
   }
 
-  /** Character 8-gram shingles, distinct per doc. Mirrored exactly by
-    * the DuckDB list_transform/UNNEST in the oracles. */
-  private def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(array_distinct(expr(
-      "transform(sequence(1, greatest(1, length(text) - 7))," +
-        " i -> substring(text, i, 8))"))).as("sh"))
+  /** Per-document sorted distinct 8-gram shingle-hash set, computed in
+    * one zero-copy native pass (see ShingleHashes) — NO shuffle: the
+    * set column comes straight off the scan. Semantically identical to
+    * the DuckDB UNNEST(list_transform(...substr...)) shingling in the
+    * oracles up to 64-bit hash collisions (~1e-7 at this vocabulary).
+    * Cached: every dedup query consumes it 2-3×, and the plan cache
+    * shares one materialization across the whole dedup family in a
+    * session. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.expressions.ShingleHashes.shingle_hashes(col("text"), 8)
+        .as("set"))
+      .withColumn("n", size(col("set")).cast("long"))
+      .cache()
 
   /** Strict sequential double fold — the portable cosine primitive. */
   private def dot(a: Column, b: Column): Column =
@@ -85,11 +93,6 @@ object Dedup extends QueryModule {
     // in integers (5*inter >= 4*union) so the 0.8 cut has no float
     // boundary.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      // shingles as 64-bit hashes: joins and intersections move 8-byte
-      // longs instead of 8-char strings (counts are unchanged barring
-      // a ~2^-45 collision among ~1e6 distinct shingles)
-      val sh = shingles(documents(s, d))
-        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       // k-prefix filter strength: a J>=t pair must share >= K shingles
       // across its two prefixes once each prefix is extended by K-1
       // (the i-th smallest common element sits within the first
@@ -98,36 +101,40 @@ object Dedup extends QueryModule {
       // corpus — the verify side carries multi-KB arrays, so that is
       // the trade to make.
       val K = 16
+      val sets = shingleSets(documents(s, d))
+      val sh = sets.select(col("doc_id"), col("n"),
+        explode(col("set")).as("h"))
       // global order: (document frequency, hash) ascending. The df
-      // table is tiny (distinct shingles ~ vocabulary^shingle-span,
-      // 13k here) no matter how many documents there are — broadcast
-      // it instead of shuffling every (doc, shingle) row by hash.
-      val df = broadcast(
-        sh.groupBy(col("h")).agg(count(lit(1)).as("df")))
-      val withDf = sh.join(df, Seq("h"))
-      val sets = withDf.groupBy(col("doc_id")).agg(
-        array_sort(collect_list(struct(col("df"), col("h"))))
-          .as("sorted"), count(lit(1)).as("n"))
+      // table is tiny (distinct shingles ~ vocabulary^shingle-span)
+      // no matter how many documents there are — broadcast it instead
+      // of shuffling every (doc, shingle) row by hash. A singleton
+      // (df=1) shingle exists in exactly one document, so it can never
+      // be a shingle two prefixes meet on: only df>=2 rows enter the
+      // table OR the per-doc sort below.
+      val df = broadcast(sh.groupBy(col("h"))
+        .agg(count(lit(1)).as("df")).filter(col("df") >= 2))
+      // per-doc df>=2 shingles in global rarest-first (df, h) order.
+      // Under that order every df=1 shingle of a doc sorts BEFORE its
+      // df>=2 shingles, so the original prefix (first plen of the FULL
+      // order, df=1 dropped) equals the first plen - (n - n2) elements
+      // here — and the heavy collect+sort only ever touches the df>=2
+      // subset, not the whole shingle stream.
+      val pref = sh.join(df, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("h"))))
+          .as("sorted2"),
+          first(col("n")).as("n"), count(lit(1)).as("n2"))
         // prefix length for t=0.8: n - ceil(4n/5) + K, and
         // ceil(4n/5) == (4n+4) div 5 exactly for integer n
         .withColumn("plen", least(col("n"),
-          col("n") - expr("(n * 4 + 4) div 5") + K).cast("int"))
-        // the verify set is re-sorted by hash value for the
-        // linear-merge intersect; the prefix keeps df-rarest-first
-        // order and drops df=1 shingles — a singleton shingle exists
-        // in exactly one document, so it can never be a shingle two
-        // prefixes meet on
-        .withColumn("set",
-          array_sort(expr("transform(sorted, x -> x.h)")))
-        .withColumn("prefix", expr(
-          "transform(filter(slice(sorted, 1, plen), x -> x.df >= 2)," +
-            " x -> x.h)"))
-        .select(col("doc_id"), col("set"), col("n"), col("prefix"))
-        // consumed 3x (prefix explode + both verify joins): without
-        // caching, Spark recomputes the shingle->df->sort pipeline
-        // three times over
-        .cache()
-      val prefixes = sets.select(col("doc_id"), col("n"),
+          col("n") - expr("(n * 4 + 4) div 5") + K))
+        .withColumn("plen2",
+          greatest(lit(0L), col("plen") - (col("n") - col("n2")))
+            .cast("int"))
+        .select(col("doc_id"), col("n"),
+          expr("transform(slice(sorted2, 1, plen2), x -> x.h)")
+            .as("prefix"))
+      val prefixes = pref.select(col("doc_id"), col("n"),
         explode(col("prefix")).as("h"))
       // length filter inside the candidate join: J >= 0.8 forces
       // 4*max(n) <= 5*min(n), killing size-mismatched pairs before
@@ -241,23 +248,19 @@ object Dedup extends QueryModule {
     val numPerm = 48
     val bands = 16
     val rowsPerBand = numPerm / bands
-    val hashed = shingles(docs)
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    // signature: min over shingles of xxhash64(h, i) — the extra
-    // hashed column acts as the i-th permutation; avoids ANSI-mode
-    // overflow that a multiply-based universal hash would trip, and
-    // mixes better. Computed as ONE array expression over the
-    // collected distinct-shingle set (identical to a per-row min
-    // aggregate, since the set holds exactly the distinct hashes):
-    // 48 separate aggregate buffers generate a codegen class big
-    // enough that Janino compilation dominated the query's cold time.
-    val perDoc = hashed.groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(col("h"))).as("set"))
-      .withColumn("n", size(col("set")).cast("long"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${numPerm - 1})," +
-          " i -> array_min(transform(set, h -> xxhash64(h, i))))"))
-      .cache() // consumed by banding + both verify joins
+    // the per-doc distinct shingle-hash set comes straight off the scan
+    // (no shuffle — see shingleSets); all 48 per-permutation mins come
+    // from ONE native pass over the set (see MinHashSig — the nested
+    // transform/array_min formulation materialized 48 intermediate
+    // arrays per row and dominated the pipeline). Cached:
+    // dedup_cluster and dedup_minhash_lsh both consume the identical
+    // plan.
+    val sets = shingleSets(docs)
+    val perDoc = sets
+      .withColumn("sig",
+        graft.expressions.MinHashSig.minhash_sig(col("set"), numPerm))
+      .select(col("doc_id"), col("sig"))
+      .cache()
     // bands: hash each signature slice, explode to (doc, band, bandHash)
     val bandStructs = (0 until bands).map { bi =>
       val slice = (0 until rowsPerBand).map(ri =>
@@ -275,8 +278,7 @@ object Dedup extends QueryModule {
     // exact-Jaccard verification on candidates only (sorted-merge
     // intersect over the hash sets, same primitive as ngram-jaccard);
     // candidates are tiny — broadcast them through both joins so the
-    // array-carrying perDoc side streams without a shuffle.
-    val sets = perDoc.select(col("doc_id"), col("set"), col("n"))
+    // array-carrying sets side streams without a shuffle.
     val thrNum = math.round(threshold * 100).toInt
     broadcast(candidates)
       .join(sets.select(col("doc_id").as("a_id"), col("set").as("a_set"),

@@ -34,24 +34,10 @@ object Similarity extends QueryModule {
   private def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
     float_dot(a, b) / (sqrt(an) * sqrt(bn))
 
-  /** Deterministic Rademacher (±1) hyperplane weights: sign taken from
-    * a bit of a fixed integer hash of (table, bit, dim). */
+  /** Deterministic Rademacher (±1) hyperplane weights — single source
+    * of truth lives in the LshCodes expression object. */
   private def planeWeights(table: Int, bit: Int): Seq[Double] =
-    (0 until Dim).map { j =>
-      val h = (table * 1315423911L + bit * 2654435761L + j * 97531L) * 0x9e3779b97f4a7c15L
-      if (((h >>> 31) & 1L) == 1L) 1.0 else -1.0
-    }
-
-  /** Sign code of a vector under one projection table. Projections go
-    * through the native FloatDot (±1 weights are float-exact), one
-    * fused loop per plane instead of a lambda frame per element. */
-  private def lshCode(v: Column, table: Int): Column =
-    (0 until BitsPerTable).map { bit =>
-      val w = planeWeights(table, bit)
-      val proj = graft.expressions.FloatDot.float_dot(v,
-        array(w.map(x => lit(x.toFloat)): _*))
-      when(proj >= 0, lit(1 << bit)).otherwise(lit(0))
-    }.reduce(_ + _)
+    graft.expressions.LshCodes.planeWeights(table, bit)
 
   private def corpus(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), col("embedding"),
@@ -106,11 +92,13 @@ object Similarity extends QueryModule {
     * per query over candidates only. */
   def annTopK(c: DataFrame, k: Int): DataFrame = {
     val q = querySet(c)
+    // All 16 table codes in one native-expression pass per vector (see
+    // LshCodes: the per-table FloatDot formulation put ~6k nodes into
+    // the plan and analysis/codegen dominated wall time).
     def codes(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-      df.select(col(idCol), explode(array((0 until NumTables).map(t =>
-        struct(lit(t).as("tbl"), lshCode(col(vecCol), t).as("code"))): _*))
-        .as("e"))
-        .select(col(idCol), col("e.tbl").as("tbl"), col("e.code").as("code"))
+      df.select(col(idCol), posexplode(
+        graft.expressions.LshCodes.lsh_codes(col(vecCol), NumTables,
+          BitsPerTable)).as(Seq("tbl", "code")))
     val corpusCodes = codes(c, "vec_id", "embedding")
     val queryCodes = codes(q.withColumnRenamed("q_emb", "embedding"),
       "query_id", "embedding")
