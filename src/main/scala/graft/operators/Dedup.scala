@@ -102,40 +102,22 @@ object Dedup extends QueryModule {
       // the trade to make.
       val K = 16
       val sets = shingleSets(documents(s, d))
-      val sh = sets.select(col("doc_id"), col("n"),
-        explode(col("set")).as("h"))
-      // global order: (document frequency, hash) ascending. The df
-      // table is tiny (distinct shingles ~ vocabulary^shingle-span)
-      // no matter how many documents there are — broadcast it instead
-      // of shuffling every (doc, shingle) row by hash. A singleton
-      // (df=1) shingle exists in exactly one document, so it can never
-      // be a shingle two prefixes meet on: only df>=2 rows enter the
-      // table OR the per-doc sort below.
-      val df = broadcast(sh.groupBy(col("h"))
-        .agg(count(lit(1)).as("df")).filter(col("df") >= 2))
-      // per-doc df>=2 shingles in global rarest-first (df, h) order.
-      // Under that order every df=1 shingle of a doc sorts BEFORE its
-      // df>=2 shingles, so the original prefix (first plen of the FULL
-      // order, df=1 dropped) equals the first plen - (n - n2) elements
-      // here — and the heavy collect+sort only ever touches the df>=2
-      // subset, not the whole shingle stream.
-      val pref = sh.join(df, Seq("h"))
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("df"), col("h"))))
-          .as("sorted2"),
-          first(col("n")).as("n"), count(lit(1)).as("n2"))
-        // prefix length for t=0.8: n - ceil(4n/5) + K, and
-        // ceil(4n/5) == (4n+4) div 5 exactly for integer n
-        .withColumn("plen", least(col("n"),
-          col("n") - expr("(n * 4 + 4) div 5") + K))
-        .withColumn("plen2",
-          greatest(lit(0L), col("plen") - (col("n") - col("n2")))
-            .cast("int"))
-        .select(col("doc_id"), col("n"),
-          expr("transform(slice(sorted2, 1, plen2), x -> x.h)")
-            .as("prefix"))
-      val prefixes = pref.select(col("doc_id"), col("n"),
-        explode(col("prefix")).as("h"))
+      // document frequency per shingle, df>=2 only (a singleton
+      // shingle exists in exactly one document, so it can never be a
+      // shingle two prefixes meet on). The table is vocabulary-bounded
+      // — ~13k rows at sf0.1, sublinear in corpus size — so it
+      // COLLECTS and rides into a narrow per-row prefix expression,
+      // exactly like broadcasting a small dimension. The relational
+      // alternative (broadcast-join the 1.3M-row shingle stream, then
+      // collect_list + array_sort per doc) shuffled and sorted the
+      // whole stream just to pick ~20 elements per document.
+      val df = sets.select(explode(col("set")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1).toInt))
+      val prefixes = sets.select(col("doc_id"), col("n"),
+        explode(graft.expressions.PrefixShingles.prefix_shingles(
+          col("set"), df, K, 4, 5)).as("h"))
       // length filter inside the candidate join: J >= 0.8 forces
       // 4*max(n) <= 5*min(n), killing size-mismatched pairs before
       // the expensive set intersection. Candidates then need >= K

@@ -1,0 +1,143 @@
+package graft
+
+import graft.expressions.{LshCodes, MinHashSig, PrefixShingles, ShingleHashes}
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the native expressions backing the dedup /
+  * similarity hot paths: each is checked against the composed
+  * built-in-function formulation it replaced (the semantics the DuckDB
+  * oracles were originally written against), plus interpreted-vs-
+  * codegen agreement where both paths exist. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingle_hashes equals distinct substring windows, incl. short strings") {
+    val df = Seq(
+      (1L, "abcdefghij"),          // 3 windows of 8
+      (2L, "abc"),                 // shorter than k -> 1 window (whole)
+      (3L, "aaaaaaaaaa"),          // all windows identical -> 1 distinct
+      (4L, "ab"),
+      (5L, "héllo wörld unicode£") // multi-byte chars
+    ).toDF("doc_id", "text")
+    val viaExpr = df.select(col("doc_id"),
+      size(ShingleHashes.shingle_hashes(col("text"), 8)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaBuiltins = df.select(col("doc_id"),
+      size(array_distinct(expr(
+        "transform(sequence(1, greatest(1, length(text) - 7))," +
+          " i -> substring(text, i, 8))"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaExpr == viaBuiltins)
+  }
+
+  test("shingle_hashes output is sorted and duplicate-free") {
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(ShingleHashes.shingle_hashes(col("text"), 8).as("set"))
+      .as[Array[Long]].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { a =>
+      assert(a.toSeq == a.toSeq.sorted && a.distinct.length == a.length)
+    }
+  }
+
+  test("shingle-set intersections match string-shingle intersections") {
+    // pairwise intersection counts over hash sets must equal the
+    // counts over the underlying distinct substring sets (the quantity
+    // every jaccard oracle checks)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(30)
+    val viaHash = docs.select(col("doc_id"),
+      ShingleHashes.shingle_hashes(col("text"), 8).as("s"))
+      .as[(Long, Array[Long])].collect().map { case (id, s) => id -> s.toSet }
+    val viaStr = docs.select(col("doc_id"), array_distinct(expr(
+      "transform(sequence(1, greatest(1, length(text) - 7))," +
+        " i -> substring(text, i, 8))")).as("s"))
+      .as[(Long, Array[String])].collect().map { case (id, s) => id -> s.toSet }
+    val byIdH = viaHash.toMap
+    val byIdS = viaStr.toMap
+    for ((a, b) <- byIdH.keys.toSeq.combinations(2).map(x => (x(0), x(1))))
+      assert(byIdH(a).intersect(byIdH(b)).size ==
+        byIdS(a).intersect(byIdS(b)).size)
+  }
+
+  test("minhash_sig: equal sets agree, signature similarity tracks jaccard") {
+    val a = (1L to 200L).toArray
+    val b = (1L to 200L).toArray                 // identical
+    val c = (1L to 160L).toArray ++ (1001L to 1040L).toArray // J = 2/3
+    val d = (5001L to 5200L).toArray             // disjoint
+    val df = Seq(("a", a), ("b", b), ("c", c), ("d", d)).toDF("k", "set")
+    val sigs = df.select(col("k"), MinHashSig.minhash_sig(col("set"), 48))
+      .as[(String, Array[Long])].collect().toMap
+    assert(sigs("a").toSeq == sigs("b").toSeq)
+    def agree(x: Array[Long], y: Array[Long]) =
+      x.zip(y).count { case (u, v) => u == v }
+    assert(agree(sigs("a"), sigs("c")) > 48 / 3) // E = 48 * 2/3 = 32
+    assert(agree(sigs("a"), sigs("d")) <= 2)     // E = 0
+  }
+
+  test("prefix_shingles matches the relational AllPairs prefix") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sets = docs.select(col("doc_id"),
+      ShingleHashes.shingle_hashes(col("text"), 8).as("set"))
+      .withColumn("n", size(col("set")).cast("long"))
+    val K = 16
+    val df = sets.select(explode(col("set")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt))
+    val viaExpr = sets.select(col("doc_id"),
+      PrefixShingles.prefix_shingles(col("set"), df, K, 4, 5).as("p"))
+      .as[(Long, Array[Long])].collect().map { case (id, p) => id -> p.toSet }
+      .toMap
+    // reference formulation: sort (df, h) over the FULL set, slice
+    // plen, drop df=1
+    val dfMap = df.toMap
+    val viaRef = sets.select(col("doc_id"), col("set"))
+      .as[(Long, Array[Long])].collect().map { case (id, set) =>
+        val n = set.length
+        val plen = math.min(n, n - ((n * 4 + 4) / 5) + K)
+        val sorted = set.map(h => (dfMap.getOrElse(h, 1), h)).sorted
+        id -> sorted.take(plen).filter(_._1 >= 2).map(_._2).toSet
+      }.toMap
+    assert(viaExpr == viaRef)
+  }
+
+  test("lsh_codes equals per-plane float_dot sign codes") {
+    import graft.expressions.FloatDot.float_dot
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val viaExpr = emb.select(col("vec_id"),
+      LshCodes.lsh_codes(col("embedding"), 16, 6).as("codes"))
+      .as[(Long, Array[Int])].collect().toMap
+    val perPlane = (0 until 16).map { t =>
+      (0 until 6).map { bit =>
+        val w = LshCodes.planeWeights(t, bit)
+        val proj = float_dot(col("embedding"),
+          array(w.map(x => lit(x.toFloat)): _*))
+        when(proj >= 0, lit(1 << bit)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    val viaPlanes = emb.select(col("vec_id"), array(perPlane: _*).as("codes"))
+      .as[(Long, Array[Int])].collect().toMap
+    assert(viaExpr.keys == viaPlanes.keys)
+    viaExpr.foreach { case (id, codes) =>
+      assert(codes.toSeq == viaPlanes(id).toSeq, s"vec $id")
+    }
+  }
+
+  test("native expressions: interpreted eval matches codegen") {
+    val df = spark.read.parquet(s"$sf/documents.parquet").limit(40)
+    def run(): Seq[(Int, Seq[Long])] = df.select(
+      size(ShingleHashes.shingle_hashes(col("text"), 8)).as("ns"),
+      MinHashSig.minhash_sig(
+        ShingleHashes.shingle_hashes(col("text"), 8), 16).as("sig"))
+      .as[(Int, Array[Long])].collect().toSeq.map { case (n, s) => (n, s.toSeq) }
+    val viaCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val viaInterp =
+      try run()
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    assert(viaCodegen == viaInterp)
+  }
+}
