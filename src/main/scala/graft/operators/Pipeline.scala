@@ -162,6 +162,55 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination: corpus documents sharing >= 8 distinct
+    // character 8-grams with any "benchmark" document (here: doc_id <
+    // 20 stands in for the eval set). The benchmark side is tiny by
+    // definition, so its exploded shingles broadcast and the corpus
+    // side streams — one scan, no corpus shuffle: the shape that holds
+    // when the corpus is 100 TB and the benchmark is a few MB.
+    "text_decontaminate" -> ((s, d) => {
+      val sets = Dedup.shingleSets(documents(s, d))
+      def shingles(df: DataFrame) =
+        df.select(col("doc_id"), explode(col("set")).as("h"))
+      val bench = shingles(sets.filter(col("doc_id") < 20))
+        .withColumnRenamed("doc_id", "bench_id")
+      shingles(sets.filter(col("doc_id") >= 20))
+        .join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 8)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Deterministic shard planning: content-hash shard assignment plus
+    // per-shard row/byte accounting — the "write training shards"
+    // planning aggregate. Pure map + one aggregate over 32 shard keys;
+    // the downstream writer is partitionBy(shard) with the same
+    // expression, so assignment is reproducible across engines & runs.
+    "shard_assign" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("shard", expr(
+          "cast(conv(substring(md5(concat('sh', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 32"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"))
+        .orderBy(col("shard"))
+    }),
+
+    // Survivor selection: drop every near-dup cluster member except
+    // the min-id representative — the decision a dedup pipeline
+    // actually ships. Anti-join of the corpus against the non-survivor
+    // set (tiny relative to the corpus), so the corpus streams.
+    "dedup_survivors" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cc = connectedComponents(
+        Dedup.minhashPairs(docs).select(col("a_id"), col("b_id")))
+      docs.join(cc.filter(col("doc_id") =!= col("cluster_id")),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-dimension embedding statistics: one narrow explode + one
     // aggregate, the standard health check before indexing/training.
     // Mean goes through the shared decimal quantization so partial
@@ -200,6 +249,48 @@ object Pipeline extends QueryModule {
         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b)
         |SELECT node AS doc_id, MIN(r) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20)
+        |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+        |FROM c JOIN b ON c.s = b.s
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 8
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "shard_assign" ->
+      """SELECT ('0x' || substr(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "dedup_survivors" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |np AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
+        |edges(a, b) AS (
+        |  SELECT a_id, b_id FROM np UNION SELECT b_id, a_id FROM np),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_hash" ->
       """SELECT doc_id, lang FROM documents

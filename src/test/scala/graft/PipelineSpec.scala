@@ -64,6 +64,47 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("shard assignment covers the whole corpus with bounded skew") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val rows = SparkEntry.queries("shard_assign")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == docs, "docs lost or duplicated")
+    val counts = rows.map(_.getLong(1))
+    // md5 assignment should stay roughly balanced (no empty/hot shard
+    // beyond 4x the mean at this corpus size)
+    assert(counts.max <= 4 * math.max(1, docs / 32), s"hot shard: ${counts.max}")
+  }
+
+  test("decontamination reports only pairs sharing >= 8 true shingles") {
+    def shingleSet(text: String): Set[String] =
+      (1 to math.max(1, text.length - 7)).map(i =>
+        text.substring(i - 1, math.min(text.length, i + 7))).toSet
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    val rows = SparkEntry.queries("text_decontaminate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, b, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(d >= 20 && b < 20)
+      assert(shingleSet(texts(d)).intersect(shingleSet(texts(b))).size == n,
+        s"pair ($d,$b)")
+    }
+  }
+
+  test("survivor selection keeps exactly one doc per near-dup cluster") {
+    val clusters = SparkEntry.queries("dedup_cluster")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val survivors = SparkEntry.queries("dedup_survivors")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    // every clustered doc except its min-id representative is dropped
+    clusters.foreach { case (doc, cl) =>
+      assert(survivors.contains(doc) == (doc == cl), s"doc $doc cl $cl")
+    }
+    assert(survivors.size ==
+      total - clusters.count { case (doc, cl) => doc != cl })
+  }
+
   test("embedding dim stats cover every dimension with sane bounds") {
     val rows = SparkEntry.queries("emb_dim_stats")(spark, sf).collect()
     assert(rows.length == 64)
