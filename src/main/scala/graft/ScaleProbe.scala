@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-probe main: replicates the sf0.1 tables Nx (ids offset so
-  * keys stay distinct) and times the heaviest operators, printing one
-  * JSON line of seconds per op at 1x and Nx. The point is the RATIO:
-  * near-linear growth means the plan survives scale-up; super-linear
-  * growth flags an all-pairs or skew blowup. Not part of the driver
-  * contract — a development instrument.
+/** Scale-probe main: writes an Nx-replicated copy of the sf tables
+  * (ids offset so keys stay distinct; document text perturbed per copy
+  * so replication does not manufacture cross-copy near-dup cliques)
+  * and times the REAL declared queries at 1x and Nx. The point is the
+  * RATIO: near-linear growth means the plan survives scale-up;
+  * super-linear growth flags an all-pairs or skew blowup. Not part of
+  * the driver contract — a development instrument.
   *
   * Usage: SPARK_GRAFT_SCALE=10 sbt "runMain graft.ScaleProbe"
   */
@@ -21,43 +22,52 @@ object ScaleProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
-    def replicate(df: DataFrame, idCols: Seq[String], copies: Int): DataFrame =
+    val tmp = s"/tmp/graft_scale$n"
+    def replicate(df: DataFrame, idCols: Seq[String], copies: Int,
+        perturb: Option[String] = None): DataFrame =
       (0 until copies).map { i =>
-        idCols.foldLeft(df) { (acc, c) =>
+        val shifted = idCols.foldLeft(df) { (acc, c) =>
           acc.withColumn(c, col(c) + lit(i.toLong * 10000000L))
+        }
+        perturb match {
+          // per-copy character substitution: a bijective char mapping
+          // preserves each copy's internal near-dup structure exactly
+          // (shingle equality is preserved within a copy) while making
+          // cross-copy shingle overlap ~zero. A mere suffix tag is NOT
+          // enough — it leaves cross-copy jaccard ≈ 0.94 > 0.8, which
+          // manufactures 10-cliques and measures output blowup, not
+          // pipeline scaling.
+          case Some(c) if i > 0 =>
+            val src = "etaoinshrdlu"
+            val dst = src.drop(i % src.length) + src.take(i % src.length)
+            shifted.withColumn(c, translate(col(c), src, dst))
+          case _ => shifted
         }
       }.reduce(_ unionByName _)
 
+    replicate(Tables.documents(spark, d), Seq("doc_id"), n, Some("text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    replicate(Tables.embeddings(spark, d), Seq("vec_id"), n)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    replicate(Tables.lineitem(spark, d), Seq("l_orderkey"), n)
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+
+    val ops = Seq("q1_pricing", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+      "dedup_cluster", "sim_ann_lsh", "text_decontaminate")
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-
-    val docs1 = Tables.documents(spark, d)
-    val docsN = replicate(docs1, Seq("doc_id"), n)
-    val li1 = Tables.lineitem(spark, d)
-    val liN = replicate(li1, Seq("l_orderkey"), n)
-    val emb1 = Tables.embeddings(spark, d)
-
-    import graft.operators.Dedup
-    def ngram(df: DataFrame): Long = {
-      // same pipeline as dedup_ngram_jaccard, parameterized by corpus
-      val tmp = df.select(col("doc_id"), col("text"))
-      tmp.createOrReplaceTempView("scale_docs")
-      Dedup.minhashPairs(tmp).count() // minhash path exercises shingle+verify
+    // steady-state warmup (codegen/JIT) on the small side
+    ops.foreach(op => SparkEntry.queries(op)(spark, d).count())
+    spark.sharedState.cacheManager.clearCache()
+    val r = ops.flatMap { op =>
+      val t1 = time(SparkEntry.queries(op)(spark, d).count())
+      val tN = time(SparkEntry.queries(op)(spark, tmp).count())
+      Seq(s"${op}_1x" -> t1, s"${op}_${n}x" -> tN,
+        s"${op}_ratio" -> tN / t1)
     }
-    def q1(df: DataFrame): Long =
-      df.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(Num.dsum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
-        .count()
-
-    q1(li1) // JIT/IO warmup so 1x-vs-Nx ratios compare steady state
-    val r = Map(
-      "q1_agg_1x" -> time(q1(li1)),
-      s"q1_agg_${n}x" -> time(q1(liN)),
-      "minhash_1x" -> time(ngram(docs1)),
-      s"minhash_${n}x" -> time(ngram(docsN)))
     println("{" + r.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString(",") + s""","scale":$n}""")
     spark.stop()
