@@ -13,41 +13,33 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
     val docs = spark.read.parquet(d + "/documents.parquet")
-    val K = 16
     var t0 = System.nanoTime()
     def t(label: String)(body: => Long): Unit = {
       t0 = System.nanoTime()
       val n = body
       println(label + "=" + n + " in " + (System.nanoTime()-t0)/1e9)
     }
-    val sets = graft.operators.Dedup.shingleSets(docs)
-    t("sets")(sets.count())
-    val sh = sets.select(col("doc_id"), col("n"), explode(col("set")).as("h"))
-    t("sh")(sh.count())
-    val dfT = sh.groupBy(col("h")).agg(count(lit(1)).as("df")).filter(col("df") >= 2)
-    t("df")(dfT.count())
-    val pref = sh.join(broadcast(dfT), Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("sorted2"),
-        first(col("n")).as("n"), count(lit(1)).as("n2"))
-      .withColumn("plen", least(col("n"), col("n") - expr("(n * 4 + 4) div 5") + K))
-      .withColumn("plen2", greatest(lit(0L), col("plen") - (col("n") - col("n2"))).cast("int"))
-      .select(col("doc_id"), col("n"),
-        expr("transform(slice(sorted2, 1, plen2), x -> x.h)").as("prefix"))
-    t("pref")(pref.count())
-    val prefixes = pref.select(col("doc_id"), col("n"), explode(col("prefix")).as("h")).cache()
-    t("prefixes")(prefixes.count())
-    val candidates = prefixes.as("x")
-      .join(prefixes.as("y"), col("x.h") === col("y.h") &&
-        col("x.doc_id") < col("y.doc_id") &&
-        col("x.n") * 4 <= col("y.n") * 5 && col("y.n") * 4 <= col("x.n") * 5)
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("shared"), first(col("x.n")).as("xn"), first(col("y.n")).as("yn"))
-      .filter(col("shared") >= least(lit(K), expr("(xn * 4 + 4) div 5"), expr("(yn * 4 + 4) div 5")))
-      .select(col("a_id"), col("b_id"))
-    t("cands")(candidates.count())
-    t("full")(graft.operators.Dedup.queries("dedup_ngram_jaccard")(spark, d).count())
-    t("full2")(graft.operators.Dedup.queries("dedup_ngram_jaccard")(spark, d).count())
+    import graft.expressions.SimHash64.simhash64
+    val sigs = docs.select(col("doc_id"),
+      simhash64(expr(
+        "transform(filter(split(text, '\\\\s+'), t -> t != '')," +
+          " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+        .as("sig"))
+    t("sigs")(sigs.count())
+    t("sigs2")(sigs.count())
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+        shiftrightunsigned(col("sig"), i * 15).bitwiseAND(lit(0x7FFFL))
+          .as("key"))): _*)).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.band").as("band"),
+        col("e.key").as("key"))
+    val joined = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") &&
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.sig ^ y.sig)").as("hamming"))
+    t("joined")(joined.count())
+    t("full")(graft.operators.Dedup.queries("dedup_simhash")(spark, d).count())
     spark.stop()
   }
 }

@@ -299,13 +299,18 @@ object Dedup extends QueryModule {
           .as("key"))): _*)).as("e"))
       .select(col("doc_id"), col("sig"), col("e.band").as("band"),
         col("e.key").as("key"))
+    // the Hamming cut rides the join condition: candidates failing it
+    // die inside the hash-join match loop instead of materializing
+    // through the distinct (bucket collisions are ~50x the survivor
+    // count on natural-language SimHashes, whose bits are far from
+    // uniform — hot buckets otherwise dominate the stage)
     banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band") &&
-        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id") &&
+        expr("bit_count(x.sig ^ y.sig)") <= maxHamming)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         expr("bit_count(x.sig ^ y.sig)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   override def oracles: Map[String, String] = Map(
