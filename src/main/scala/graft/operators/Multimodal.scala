@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{QueryModule, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
@@ -81,8 +83,57 @@ object Multimodal extends QueryModule {
             .as("frame_idx"))
         .withColumn("byte_offset", col("frame_idx") * 100)
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Resize planning: integer aspect-fit of each decoded image into
+    // 224x224 — the metadata transform that sizes the real resize
+    // kernel's output buffers. Pure integer arithmetic on decoded
+    // dims, so the oracle verifies it exactly.
+    "mm_resize" -> ((s, d) => {
+      decoded(s, d)
+        .select(col("doc_id"), col("width"), col("height"),
+          expr("CASE WHEN width >= height THEN CAST(224 AS BIGINT)" +
+            " ELSE (width * 224) div height END").as("out_w"),
+          expr("CASE WHEN width >= height THEN (height * 224) div width" +
+            " ELSE CAST(224 AS BIGINT) END").as("out_h"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Batch assembly plan: pack the sampled-frame stream into
+    // fixed-size minibatches of 32 WITHIN a shard (batching is
+    // per-shard at scale — a global row_number would serialize on one
+    // partition; per-shard windows parallelize by shard key exactly
+    // like the downstream inference tasks they feed).
+    "mm_batch_plan" -> ((s, d) => {
+      val frames = decoded(s, d)
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), col("n_frames") - 1L, lit(10L)))
+            .as("frame_idx"))
+        .withColumn("shard", col("doc_id") % 8)
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+      frames
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", expr("CAST((rn - 1) div 32 AS BIGINT)"))
+        .groupBy(col("shard"), col("batch_id"))
+        .agg(count(lit(1)).as("n_items"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("batch_id"))
     })
   )
+
+  /** Shared decode stage (typed per-partition decoder, see STUB note). */
+  private def decoded(s: SparkSession, d: String) = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => FakeDecoder.decode(id, bytes) }
+      }.toDF()
+  }
 
   override def oracles: Map[String, String] = Map(
     // text is pure ASCII in this corpus, so byte length == char length
@@ -102,6 +153,33 @@ object Multimodal extends QueryModule {
       """SELECT doc_id, u.f AS frame_idx, u.f * 100 AS byte_offset
         |FROM documents, UNNEST(range(0, len(text) // 100, 10)) u(f)
         |WHERE len(text) >= 100
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 64 + len(text) % 576 AS width,
+        |    64 + (len(text) * 7) % 416 AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN width >= height THEN CAST(224 AS BIGINT)
+        |    ELSE width * 224 // height END AS out_w,
+        |  CASE WHEN width >= height THEN height * 224 // width
+        |    ELSE CAST(224 AS BIGINT) END AS out_h
+        |FROM dims ORDER BY doc_id""".stripMargin,
+
+    "mm_batch_plan" ->
+      """WITH frames AS (
+        |  SELECT doc_id, u.f AS frame_idx, doc_id % 8 AS shard
+        |  FROM documents, UNNEST(range(0, len(text) // 100, 10)) u(f)
+        |  WHERE len(text) >= 100),
+        |numbered AS (
+        |  SELECT shard, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY shard
+        |      ORDER BY doc_id, frame_idx) AS rn
+        |  FROM frames)
+        |SELECT shard, CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+        |  COUNT(*) AS n_items, MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc
+        |FROM numbered GROUP BY 1, 2 ORDER BY shard, batch_id""".stripMargin
   )
 }
