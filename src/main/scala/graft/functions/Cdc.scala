@@ -77,6 +77,40 @@ object Cdc {
       col("_c.kind").as("operation") :+ pkey.as("pkey")): _*)
   }
 
+  /** P2 full-change mode (reference `--full-change`): each change
+    * element is kept WHOLE — no PK lookup, no table/PK validation at
+    * all (reference formatter.py:117-118 skips both;
+    * tests/test_formatter.py:184-199 pin the no-validation semantics).
+    * Only the table-regex filter (F1) still applies. The reference
+    * asserts this mode requires wal2json + CSVPayload
+    * (__main__.py:45-47); the matching serializer is
+    * [[csvPayloadFull]].
+    *
+    * @return xid LONG, table_name STRING, operation STRING (=
+    *         change.kind), change STRUCT (the full wal2json element)
+    */
+  def parseWal2JsonFull(
+      df: DataFrame, payloadCol: String,
+      tablePat: String = defaultTablePat): DataFrame = {
+    val keep = df.columns.filter(_ != payloadCol).map(col).toSeq
+    df.withColumn("_w", from_json(col(payloadCol), Model.walMessageSchema))
+      .select((keep :+ col("_w.xid").as("xid") :+
+        explode(col("_w.change")).as("change")): _*)
+      .withColumn("table_name",
+        concat(col("change.schema"), lit("."), col("change.table")))
+      .filter(col("table_name").rlike(tablePat))
+      .select((keep :+ col("xid") :+ col("table_name") :+
+        col("change.kind").as("operation") :+ col("change")): _*)
+  }
+
+  /** X2 in full-change mode: `0,CDC,{json of {xid, change}}` — the
+    * FullChange serialization (reference formatter.py:158-163 over
+    * FullChange._asdict(), README.rst:107-117). Compact JSON, field
+    * order fixed by the structs. */
+  def csvPayloadFull(xid: Column, change: Column): Column =
+    concat(lit("0,CDC,"), to_json(struct(
+      xid.as("xid"), change.as("change"))))
+
   // -------------------------------------------------------------------
   // P1/P3/F1/F3/J1: test_decoding text → Change rows with xact carry.
   // -------------------------------------------------------------------

@@ -104,6 +104,27 @@ object CdcQueries extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // P2 full-change mode round-trip (--full-change): the whole change
+    // element passes through untouched — no PK lookup, no validation —
+    // and X2 serializes {xid, change} wholesale. Byte-exact oracle.
+    "cdc_full_change" -> ((s, d) => {
+      val pay = events(s, d).select(to_json(struct(
+        col("event_id").as("xid"),
+        array(struct(
+          lit("insert").as("kind"),
+          lit("public").as("schema"),
+          lit("events").as("table"),
+          array(lit("event_id"), lit("event_type")).as("columnnames"),
+          array(lit("bigint"), lit("text")).as("columntypes"),
+          array(col("event_id").cast("string"), col("event_type"))
+            .as("columnvalues")))
+          .as("change"))).as("payload"))
+      val parsed = Cdc.parseWal2JsonFull(pay, "payload")
+      parsed.select(col("xid"), col("table_name"), col("operation"),
+        Cdc.csvPayloadFull(col("xid"), col("change")).as("fmt_msg"))
+        .orderBy(col("xid"))
+    }),
+
     // Lenient-mode dead-lettering: every 5th payload references a
     // table missing from the PK catalog; strict mode would halt the
     // pipeline (reference semantics), lenient mode preserves the row
@@ -170,6 +191,17 @@ object CdcQueries extends QueryModule {
         |      ',public.events,' || event_type || ',' ||
         |      CAST(user_id AS VARCHAR) END AS fmt_msg
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_full_change" ->
+      """SELECT event_id AS xid, 'public.events' AS table_name,
+        |  'insert' AS operation,
+        |  '0,CDC,{"xid":' || CAST(event_id AS VARCHAR) ||
+        |  ',"change":{"kind":"insert","schema":"public","table":"events",' ||
+        |  '"columnnames":["event_id","event_type"],' ||
+        |  '"columntypes":["bigint","text"],' ||
+        |  '"columnvalues":["' || CAST(event_id AS VARCHAR) || '","' ||
+        |  event_type || '"]}}' AS fmt_msg
+        |FROM events ORDER BY xid""".stripMargin,
 
     "cdc_dead_letter" ->
       """SELECT event_id AS xid,

@@ -140,6 +140,27 @@ class CdcSpec extends SparkSpec {
       """0,CDC,{"xid":1,"table":"public.species","operation":"UPDATE","pkey":"1"}""")
   }
 
+  test("full-change mode skips table/PK validation entirely") {
+    // reference tests/test_formatter.py:184-199: unknown tables pass
+    // straight through in --full-change mode (no catalog lookup at all)
+    val payload =
+      """{"xid": 7, "change": [{"kind": "update", "schema": "public",""" +
+        """ "table": "no_such_table", "columnnames": ["z"],""" +
+        """ "columntypes": ["text"], "columnvalues": ["v"]}]}"""
+    val df = Seq(payload).toDF("payload")
+    val out = Cdc.parseWal2JsonFull(df, "payload")
+      .select(col("xid"), col("table_name"), col("operation"),
+        Cdc.csvPayloadFull(col("xid"), col("change")).as("fmt"))
+      .head
+    assert(out.getLong(0) == 7L)
+    assert(out.getString(1) == "public.no_such_table")
+    assert(out.getString(2) == "update")
+    assert(out.getString(3) ==
+      """0,CDC,{"xid":7,"change":{"kind":"update","schema":"public",""" +
+        """"table":"no_such_table","columnnames":["z"],""" +
+        """"columntypes":["text"],"columnvalues":["v"]}}""")
+  }
+
   test("operation gate nulls non-matching rows, case-insensitively") {
     val df = Seq(("UPDATE", "m1"), ("insert", "m2"), ("TRUNCATE", "m3"))
       .toDF("op", "msg")
