@@ -62,6 +62,20 @@ class SimilaritySpec extends SparkSpec {
         |FROM emb_sql_test ORDER BY vec_id""".stripMargin).collect()
     assert(viaSql.length == 5)
     assert(viaSql.forall(_.getDouble(1) > 0))
+    // dedup-family expressions: literal arity params, composed in SQL
+    val dd = spark.sql(
+      """SELECT shingle_hashes('abcdefghijkl', 8) AS sh,
+        |  minhash_sig(shingle_hashes('abcdefghijkl', 8), 16) AS sig,
+        |  sorted_intersect_count(shingle_hashes('abcdefghijkl', 8),
+        |    shingle_hashes('abcdefghijkl', 8)) AS ic""".stripMargin)
+      .collect().head
+    assert(dd.getSeq[Long](0).length == 5)   // 12 chars -> 5 windows
+    assert(dd.getSeq[Long](1).length == 16)
+    assert(dd.getInt(2) == 5)
+    val lc = spark.sql(
+      """SELECT lsh_codes(CAST(array_repeat(CAST(0.5 AS FLOAT), 64)
+        |  AS ARRAY<FLOAT>), 16, 6) AS codes""".stripMargin).collect().head
+    assert(lc.getSeq[Int](0).length == 16)
   }
 
   test("brute-force top-k is deterministic across runs") {
