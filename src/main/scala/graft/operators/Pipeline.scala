@@ -84,6 +84,25 @@ object Pipeline extends QueryModule {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Near-dup cluster map for a corpus dir, computed once per session.
+    *
+    * Unlike the single-DataFrame operators (which share work through
+    * Spark's plan cache automatically), the CC loop materializes per
+    * round, so two consumers (`dedup_cluster`, `dedup_survivors`)
+    * would each re-run the whole iteration. A real pipeline computes
+    * the clustering once and every downstream stage reads it; this
+    * memo (keyed by session + immutable input dir) is that shape.
+    */
+  private val ccMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private def clusters(s: SparkSession, d: String): DataFrame =
+    ccMemo.computeIfAbsent((s, d), { _ =>
+      connectedComponents(
+        Dedup.minhashPairs(documents(s, d))
+          .select(col("a_id"), col("b_id")))
+        .cache()
+    })
+
   /** Deterministic PII-bearing corpus: the synthetic documents carry no
     * emails or card numbers, so the scrub operator plants them —
     * deterministically from doc_id, identically in the oracle. */
@@ -100,11 +119,8 @@ object Pipeline extends QueryModule {
     // → connected components → (doc, cluster) with cluster = min doc
     // id in the component. The dedup decision a pipeline actually
     // ships: keep one survivor per cluster, not per pair.
-    "dedup_cluster" -> ((s, d) => {
-      val pairs = Dedup.minhashPairs(documents(s, d))
-        .select(col("a_id"), col("b_id"))
-      connectedComponents(pairs).orderBy(col("doc_id"))
-    }),
+    "dedup_cluster" -> ((s, d) =>
+      clusters(s, d).orderBy(col("doc_id"))),
 
     // Deterministic Bernoulli sampling by content hash: keep ~5% of
     // docs where md5("b"+doc_id) % 20 == 0. No shuffle — the filter
@@ -202,10 +218,8 @@ object Pipeline extends QueryModule {
     // actually ships. Anti-join of the corpus against the non-survivor
     // set (tiny relative to the corpus), so the corpus streams.
     "dedup_survivors" -> ((s, d) => {
-      val docs = documents(s, d)
-      val cc = connectedComponents(
-        Dedup.minhashPairs(docs).select(col("a_id"), col("b_id")))
-      docs.join(cc.filter(col("doc_id") =!= col("cluster_id")),
+      documents(s, d)
+        .join(clusters(s, d).filter(col("doc_id") =!= col("cluster_id")),
           Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
