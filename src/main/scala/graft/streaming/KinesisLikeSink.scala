@@ -62,33 +62,37 @@ object LocalFilePutClient {
   private val attempted = new ConcurrentHashMap[String, java.lang.Boolean]()
 }
 
-/** Size-bounded aggregation buffer — the KPL RecordAggregator shape. */
+/** Size-bounded aggregation buffer — the KPL RecordAggregator
+  * (reference stream.py:16,32-44), emitting the genuine KPL
+  * aggregated-record wire bytes (see KplAggregate) with
+  * partition_key = str(xid) per user record, exactly like the
+  * reference's `add_user_record(str(change.xid), data)`. */
 class RecordAggregator(maxBytes: Int) {
-  private val buf = new java.io.ByteArrayOutputStream()
-  private var n = 0
+  private var entries =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+  private var est = 20 // magic + md5 framing
 
   /** Add one record; returns a full aggregate if adding would
     * overflow the size bound (caller sends it, then the record goes
     * into the fresh buffer). */
-  def add(record: Array[Byte]): Option[Array[Byte]] = {
+  def add(partitionKey: String, record: Array[Byte]): Option[Array[Byte]] = {
+    val cost = KplAggregate.recordOverhead(partitionKey, record.length)
     val full =
-      if (n > 0 && buf.size() + record.length + 1 > maxBytes)
-        Some(clearAndGet())
+      if (entries.nonEmpty && est + cost > maxBytes) Some(clearAndGet())
       else None
-    buf.write(record)
-    buf.write('\n')
-    n += 1
+    entries += ((partitionKey, record))
+    est += cost
     full
   }
 
   def clearAndGet(): Array[Byte] = {
-    val out = buf.toByteArray
-    buf.reset()
-    n = 0
+    val out = KplAggregate.encode(entries.toSeq)
+    entries = scala.collection.mutable.ArrayBuffer.empty
+    est = 20
     out
   }
 
-  def nonEmpty: Boolean = n > 0
+  def nonEmpty: Boolean = entries.nonEmpty
 }
 
 class OrderedAggregatingWriter(client: PutClient,
@@ -106,7 +110,7 @@ class OrderedAggregatingWriter(client: PutClient,
     val maxB = maxAggBytes
     val base = backoffBaseMs
     val limit = backoffLimitMs
-    batch.select(col("lsn"), col("fmt_msg"))
+    batch.select(col("lsn"), col("fmt_msg"), col("xid"))
       .coalesce(1)
       .sortWithinPartitions("lsn")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -130,7 +134,9 @@ class OrderedAggregatingWriter(client: PutClient,
         }
         rows.foreach { r =>
           if (!r.isNullAt(1)) {
-            agg.add(r.getString(1).getBytes(StandardCharsets.UTF_8))
+            // partition key = str(xid), reference stream.py:36
+            agg.add(String.valueOf(r.getLong(2)),
+              r.getString(1).getBytes(StandardCharsets.UTF_8))
               .foreach(send)
           }
         }

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import graft.catalog.PkCatalog
 import graft.core.PrimaryKeyMapItem
-import graft.streaming.{CdcPipeline, LocalFilePutClient}
+import graft.streaming.{CdcPipeline, KplAggregate, LocalFilePutClient}
 
 /** End-to-end Structured Streaming specs for the CDC pipeline:
   * source offsets/commit, ordered sink, backpressure, checkpoint
@@ -32,13 +32,19 @@ class StreamingSpec extends SparkSpec {
     p.toString
   }
 
-  private def sinkRecords(sinkDir: String): Seq[String] = {
+  /** KCL-side view of the sink: deaggregate every put, in order. */
+  private def sinkUserRecords(sinkDir: String): Seq[(String, String)] = {
     val d = Paths.get(sinkDir)
     if (!Files.exists(d)) return Seq.empty
     Files.list(d).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
-      .flatMap(f => new String(Files.readAllBytes(f),
-        StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq)
+      .flatMap(f => KplAggregate.decode(Files.readAllBytes(f)))
+      .map { case (pk, data) =>
+        (pk, new String(data, StandardCharsets.UTF_8))
+      }
   }
+
+  private def sinkRecords(sinkDir: String): Seq[String] =
+    sinkUserRecords(sinkDir).map(_._2)
 
   test("end-to-end: parse, gate, format, ordered sink, LSN feedback") {
     val dir = tmp()
@@ -172,6 +178,29 @@ class StreamingSpec extends SparkSpec {
     val files = Files.list(Paths.get(s"$dir/sink")).count()
     // 50 small records easily fit one 1MB aggregate per micro-batch
     assert(files < 50, s"no aggregation happened: $files puts")
-    assert(sinkRecords(s"$dir/sink").size == 50)
+    val recs = sinkUserRecords(s"$dir/sink")
+    assert(recs.size == 50)
+    // per-record partition key is the xid, like the reference's
+    // add_user_record(str(change.xid), data)
+    assert(recs.map(_._1) == (0 until 50).map(_.toString))
+  }
+
+  test("KPL aggregate wire format round-trips and is md5-framed") {
+    val records = Seq(("100", "alpha"), ("100", "beta"), ("200", "gamma"))
+      .map { case (k, v) => (k, v.getBytes(StandardCharsets.UTF_8)) }
+    val agg = KplAggregate.encode(records)
+    // magic prefix per the published format
+    assert(agg.take(4).sameElements(KplAggregate.Magic))
+    val back = KplAggregate.decode(agg)
+    assert(back.map(_._1) == Seq("100", "100", "200"))
+    assert(back.map(r => new String(r._2, StandardCharsets.UTF_8)) ==
+      Seq("alpha", "beta", "gamma"))
+    // key table deduplicates shared partition keys
+    assert(agg.length < records.map(r =>
+      KplAggregate.recordOverhead(r._1, r._2.length)).sum + 20)
+    // corrupting one payload byte must fail the md5 check
+    val bad = agg.clone()
+    bad(10) = (bad(10) ^ 1).toByte
+    intercept[IllegalArgumentException](KplAggregate.decode(bad))
   }
 }
