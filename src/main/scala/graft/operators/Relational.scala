@@ -106,6 +106,37 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // KMV (k-minimum-values) distinct-count sketch, k=256: estimate =
+    // (k-1) / h_k where h_k is the k-th smallest distinct uniform hash.
+    // Unlike HLL sketches (engine-specific merge internals), KMV over a
+    // shared md5-derived hash is EXACTLY portable — both engines
+    // compute identical doubles, so this is the oracle-checkable
+    // approximate-distinct operator (q_approx_stats stays rows-only
+    // because Spark's HLL++ is not reproducible outside Spark). The
+    // collect_set formulation is the semantic spec; at 100 TB the same
+    // estimator runs as a bounded k-element aggregation buffer (only
+    // the k smallest hashes ever need to survive a merge).
+    "q_kmv_distinct" -> ((s, d) => {
+      val k = 256
+      lineitem(s, d)
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(l_partkey as string)), 1, 8), 16, 10) as double)" +
+            " / 4294967296.0"))
+        .groupBy(col("l_returnflag"))
+        .agg(array_sort(collect_set(col("h"))).as("hs"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))
+        // fewer than k distinct hashes seen => the sketch holds the
+        // whole set and the estimate IS the (hash-)distinct count —
+        // the standard KMV small-set branch
+        .withColumn("kmv_estimate",
+          when(size(col("hs")) >= k,
+            lit((k - 1).toDouble) / element_at(col("hs"), k))
+            .otherwise(size(col("hs")).cast("double")))
+        .select(col("l_returnflag"), col("kmv_estimate"),
+          col("exact_distinct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- joins ----------------------------------------------------------
     // TPC-H Q3: shipping priority. 3-way join, group, top-10.
     "q3_shipping" -> ((s, d) => {
@@ -570,6 +601,22 @@ object Relational extends QueryModule {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.purchase_id""".stripMargin,
+
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, l_partkey,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 AS h
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, list_sort(list(DISTINCT h)) AS hs,
+        |    COUNT(DISTINCT l_partkey) AS exact_distinct
+        |  FROM h GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CASE WHEN len(hs) >= 256 THEN 255.0 / hs[256]
+        |    ELSE CAST(len(hs) AS DOUBLE) END AS kmv_estimate,
+        |  exact_distinct
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "q_range_join" ->
       """SELECT l1.l_orderkey AS k, COUNT(*) AS n_ordered_pairs

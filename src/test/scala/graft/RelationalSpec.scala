@@ -50,4 +50,18 @@ class RelationalSpec extends SparkSpec {
         s"$k: approx $ap vs exact $ex drifts > 5%")
     }
   }
+
+  test("KMV sketch estimates distinct counts within ~3/sqrt(k)") {
+    // k=256 -> standard error ~1/16; 3 sigma ~ 19%
+    val rows = SparkEntry.queries("q_kmv_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, ex) = (r.getDouble(1), r.getLong(2))
+      // below k distinct the sketch is exact (small-set branch, modulo
+      // 32-bit hash collisions); above it the estimator error applies
+      val tol = if (ex <= 256) 0.01 else 3.0 / 16
+      assert(math.abs(est - ex) / ex <= tol,
+        s"${r.getString(0)}: KMV $est vs exact $ex")
+    }
+  }
 }
