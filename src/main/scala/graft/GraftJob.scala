@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.Cdc
+import graft.streaming.{CdcPipeline, OrderedAggregatingWriter, PutClient}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's user-facing configuration surface (its CLI,
+  * reference __main__.py:20-60) as a typed config. A pg2kinesis user
+  * maps each flag one-to-one:
+  *
+  *   --slot-name      → slotName        --table-pat  → tablePat
+  *   --plugin         → plugin          --operations → operations
+  *   --message-formatter → formatter    --full-change → fullChange
+  *   --stream-name    → sinkDir (put client)  send window (13 s) → trigger
+  *
+  * `operations = Seq("all")` expands to the reference's four-DML
+  * allow-list (__main__.py:42-43).
+  */
+case class GraftConfig(
+    sourcePath: String,
+    sinkDir: String,
+    checkpointDir: String,
+    plugin: String = "wal2json",
+    tablePat: String = Cdc.defaultTablePat,
+    operations: Seq[String] = Seq("all"),
+    formatter: String = "CSVPayload",
+    fullChange: Boolean = false,
+    sendWindowSecs: Int = 13,
+    maxRecordsPerTrigger: Long = Long.MaxValue) {
+  def expandedOps: Seq[String] =
+    if (operations.map(_.toLowerCase) == Seq("all"))
+      Seq("insert", "update", "delete", "truncate")
+    else operations
+}
+
+/** One front door wiring config → source → parse → gate → format →
+  * ordered KPL sink, mirroring the reference's `main()` composition. */
+object GraftJob {
+
+  /** Reference __main__.py:45-47: --full-change asserts wal2json +
+    * CSVPayload. */
+  private def validate(cfg: GraftConfig): Unit = {
+    require(!cfg.fullChange ||
+      (cfg.plugin == "wal2json" &&
+        cfg.formatter.equalsIgnoreCase("csvpayload")),
+      "--full-change requires plugin=wal2json and formatter=CSVPayload")
+    require(Seq("wal2json", "test_decoding").contains(cfg.plugin),
+      s"unknown plugin: ${cfg.plugin}")
+  }
+
+  /** The transformed (unsunk) stream: lsn, xid, fmt_msg. */
+  def transform(spark: SparkSession, cfg: GraftConfig,
+      pkCatalog: DataFrame): DataFrame = {
+    validate(cfg)
+    val ops = cfg.expandedOps
+    val out = cfg.plugin match {
+      case "wal2json" =>
+        val raw = spark.readStream
+          .format(classOf[graft.sources.CdcFileSourceProvider].getName)
+          .option("path", cfg.sourcePath)
+          .option("maxRecordsPerTrigger", cfg.maxRecordsPerTrigger.toString)
+          .load()
+        if (cfg.fullChange) {
+          Cdc.parseWal2JsonFull(raw, "payload", cfg.tablePat)
+            .withColumn("fmt_msg", Cdc.operationGate(col("operation"),
+              Cdc.csvPayloadFull(col("xid"), col("change")), ops))
+        } else {
+          Cdc.parseWal2Json(raw, "payload", pkCatalog, cfg.tablePat)
+            .withColumn("fmt_msg", Cdc.operationGate(col("operation"),
+              Cdc.formatterFor(cfg.formatter)(col("xid"), col("table_name"),
+                col("operation"), col("pkey")), ops))
+        }
+      case "test_decoding" =>
+        // xid carry lives in keyed state (P3 across micro-batches);
+        // the PK extraction tail is shared with the batch parser
+        val split = CdcPipeline
+          .transformTestDecoding(spark, cfg.sourcePath,
+            cfg.maxRecordsPerTrigger)
+          .toDF("lsn", "xid", "table_name", "operation", "body")
+          .filter(col("table_name").rlike(cfg.tablePat))
+        Cdc.testDecodingPkey(split, "body", pkCatalog)
+          .withColumn("fmt_msg", Cdc.operationGate(col("operation"),
+            Cdc.formatterFor(cfg.formatter)(col("xid"), col("table_name"),
+              col("operation"), col("pkey")), ops))
+    }
+    out.select(col("lsn"), col("xid"), col("fmt_msg"))
+      .observe("cdc_metrics",
+        count(lit(1)).as("msg_count"),
+        sum(length(col("fmt_msg"))).as("msg_bytes"))
+  }
+
+  /** Start the full job (ordered KPL-format sink, LSN feedback via the
+    * source's commit). */
+  def start(spark: SparkSession, cfg: GraftConfig, pkCatalog: DataFrame,
+      putClient: PutClient = null): StreamingQuery = {
+    val client = if (putClient != null) putClient
+      else new graft.streaming.LocalFilePutClient(cfg.sinkDir)
+    val writer = new OrderedAggregatingWriter(client)
+    transform(spark, cfg, pkCatalog)
+      .writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.ProcessingTime(cfg.sendWindowSecs * 1000L))
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => writer.writeBatch(df, id)
+      }
+      .start()
+  }
+}

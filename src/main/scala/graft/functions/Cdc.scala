@@ -176,6 +176,35 @@ object Cdc {
       col("operation"), pkey.as("pkey"))
   }
 
+  /** Per-table PK regex extraction for already-split test_decoding
+    * rows (columns `table_name` + `bodyCol`) — the tail of
+    * [[parseTestDecoding]] for callers that did the BEGIN-xid carry
+    * elsewhere (the streaming path carries it in keyed state). Adds
+    * `pkey`; strict mode reproduces the reference's halt-on-error. */
+  def testDecodingPkey(df: DataFrame, bodyCol: String,
+      pkCatalog: DataFrame, strict: Boolean = true): DataFrame = {
+    val joined = df
+      .join(broadcast(pkCatalog), Seq("table_name"), "left")
+      .withColumn("_pk_pat", concat(col("pk_name"), lit("\\["),
+        col("pk_type"), lit("\\]:'?([\\w\\-]+)'?")))
+      .withColumn("_pk_raw",
+        expr(s"regexp_extract(`$bodyCol`, _pk_pat, 1)"))
+    val pkey =
+      if (strict)
+        when(col("pk_name").isNull,
+          raise_error(concat(lit("Unable to locate table: "),
+            col("table_name"))).cast("string"))
+          .when(col("_pk_raw") === "",
+            raise_error(concat(
+              lit("Unable to locate primary key for table "),
+              col("table_name"))).cast("string"))
+          .otherwise(col("_pk_raw"))
+      else when(col("pk_name").isNotNull && col("_pk_raw") =!= "",
+        col("_pk_raw"))
+    joined.withColumn("pkey", pkey)
+      .drop("_pk_pat", "_pk_raw", "pk_name", "pk_type")
+  }
+
   // -------------------------------------------------------------------
   // X1/X2: output formatters.
   // -------------------------------------------------------------------

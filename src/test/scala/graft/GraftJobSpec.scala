@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.catalog.PkCatalog
+import graft.core.PrimaryKeyMapItem
+import graft.streaming.KplAggregate
+
+/** The reference-CLI-equivalent front door: every config combination a
+  * pg2kinesis user runs today, through the one GraftJob entrypoint. */
+class GraftJobSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-job").toString
+
+  private lazy val cat = PkCatalog.fromItems(spark, Seq(
+    PrimaryKeyMapItem("public.species", "id", "integer", 1)))
+
+  private def records(sinkDir: String): Seq[String] = {
+    val d = Paths.get(sinkDir)
+    if (!Files.exists(d)) return Seq.empty
+    Files.list(d).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+      .flatMap(f => KplAggregate.decode(Files.readAllBytes(f)))
+      .map(r => new String(r._2, StandardCharsets.UTF_8))
+  }
+
+  private def run(cfg: GraftConfig): Unit = {
+    val q = GraftJob.start(spark, cfg, cat)
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("wal2json + CSV formatter + operations=all") {
+    val dir = tmp()
+    val src = Paths.get(dir, "wal.jsonl")
+    Files.write(src, (0 until 6).map(i =>
+      s"""{"xid": $i, "change": [{"kind": "${if (i % 2 == 0) "insert" else "update"}",""" +
+        s""" "schema": "public", "table": "species", "columnnames": ["id"],""" +
+        s""" "columntypes": ["integer"], "columnvalues": [$i]}]}""")
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    run(GraftConfig(src.toString, s"$dir/sink", s"$dir/ckpt",
+      formatter = "CSV", sendWindowSecs = 0))
+    val recs = records(s"$dir/sink")
+    assert(recs.size == 6) // operations=all keeps every DML
+    assert(recs.head == "0,CDC,0,public.species,insert,0")
+    assert(recs(1) == "0,CDC,1,public.species,update,1")
+  }
+
+  test("test_decoding plugin end-to-end with PK extraction") {
+    val dir = tmp()
+    val src = Paths.get(dir, "wal.txt")
+    Files.write(src, Seq(
+      "BEGIN 700",
+      "table public.species: UPDATE: id[integer]:41 name[character varying]:'Bling'",
+      "COMMIT",
+      "BEGIN 701",
+      "table public.species: DELETE: id[integer]:42")
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    run(GraftConfig(src.toString, s"$dir/sink", s"$dir/ckpt",
+      plugin = "test_decoding", formatter = "CSV", sendWindowSecs = 0))
+    assert(records(s"$dir/sink") == Seq(
+      "0,CDC,700,public.species,UPDATE,41",
+      "0,CDC,701,public.species,DELETE,42"))
+  }
+
+  test("full-change mode emits whole change elements") {
+    val dir = tmp()
+    val src = Paths.get(dir, "wal.jsonl")
+    Files.write(src,
+      ("""{"xid": 9, "change": [{"kind": "insert", "schema": "public",""" +
+        """ "table": "unknown_table", "columnnames": ["a"],""" +
+        """ "columntypes": ["text"], "columnvalues": ["x"]}]}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    run(GraftConfig(src.toString, s"$dir/sink", s"$dir/ckpt",
+      fullChange = true, sendWindowSecs = 0))
+    val recs = records(s"$dir/sink")
+    // unknown table passes through untouched: no validation in this mode
+    assert(recs == Seq(
+      """0,CDC,{"xid":9,"change":{"kind":"insert","schema":"public",""" +
+        """"table":"unknown_table","columnnames":["a"],""" +
+        """"columntypes":["text"],"columnvalues":["x"]}}"""))
+  }
+
+  test("full-change requires wal2json + CSVPayload, like the reference") {
+    intercept[IllegalArgumentException] {
+      GraftJob.transform(spark, GraftConfig("/nope", "/nope", "/nope",
+        fullChange = true, formatter = "CSV"), cat)
+    }
+    intercept[IllegalArgumentException] {
+      GraftJob.transform(spark, GraftConfig("/nope", "/nope", "/nope",
+        plugin = "test_decoding", fullChange = true), cat)
+    }
+  }
+}
