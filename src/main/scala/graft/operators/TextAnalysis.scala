@@ -102,6 +102,37 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("lang"), col("predicted"))
     }),
 
+    // Bigram corpus-coverage scoring: the fraction of a document's
+    // token bigrams that occur >= 5 times corpus-wide — a
+    // repetitiveness/naturalness proxy used for LM-data filtering
+    // (integer counts + one exact division, so fully oracle-checked,
+    // unlike log-prob LM scores whose libm transcendentals differ
+    // across engines). The common-bigram table is vocabulary-bounded
+    // => broadcast; the corpus side streams once.
+    "text_bigram_coverage" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("bigrams", expr(
+          "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(toks[i - 1], ' ', toks[i]))" +
+            " ELSE array() END"))
+      val bg = docs.select(col("doc_id"), explode(col("bigrams")).as("b"))
+      val common = broadcast(bg.groupBy(col("b"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 5)
+        .select(col("b")))
+      bg.join(common, Seq("b"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
+        .join(docs.select(col("doc_id"),
+          size(col("bigrams")).cast("long").as("n_bigrams")),
+          Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_bigrams"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .withColumn("coverage",
+          when(col("n_bigrams") > 0,
+            col("n_common").cast("double") / col("n_bigrams")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Karp-Rabin content fingerprint: sequential modular fold over
     // character codes (base 257 mod 1e9+7). Order-dependent by design
     // — it IS the document identity — and exactly portable because
@@ -154,6 +185,30 @@ object TextAnalysis extends QueryModule {
          |SELECT lang, CASE $cases END AS predicted, COUNT(*) AS n
          |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
     },
+
+    "text_bigram_coverage" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 2 THEN
+         |      list_transform(generate_series(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i + 1])
+         |    ELSE [] END AS bigrams
+         |  FROM t),
+         |bg AS (SELECT doc_id, u.b FROM b, UNNEST(bigrams) u(b)),
+         |common AS (
+         |  SELECT b FROM bg GROUP BY b HAVING COUNT(*) >= 5),
+         |nc AS (
+         |  SELECT doc_id, COUNT(*) AS n_common FROM bg
+         |  WHERE b IN (SELECT b FROM common) GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(len(b.bigrams) AS BIGINT) AS n_bigrams,
+         |  COALESCE(nc.n_common, 0) AS n_common,
+         |  CASE WHEN len(b.bigrams) > 0 THEN
+         |    CAST(COALESCE(nc.n_common, 0) AS DOUBLE) / len(b.bigrams)
+         |  END AS coverage
+         |FROM b LEFT JOIN nc ON b.doc_id = nc.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -105,6 +105,31 @@ class PipelineSpec extends SparkSpec {
       total - clusters.count { case (doc, cl) => doc != cl })
   }
 
+  test("bigram coverage matches a brute-force recount") {
+    val rows = SparkEntry.queries("text_bigram_coverage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nb, nc, cov) =>
+      assert(nc <= nb && cov >= 0.0 && cov <= 1.0)
+    }
+    // brute force over the whole corpus (sf0.001 is small)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split("\\s+").filter(_.nonEmpty).toSeq)
+    val bigrams = texts.map { case (id, t) =>
+      id -> t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    }
+    val counts = bigrams.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size).toMap
+    val expect = bigrams.map { case (id, bs) =>
+      id -> ((bs.size.toLong, bs.count(counts(_) >= 5).toLong))
+    }.toMap
+    rows.foreach { case (id, nb, nc, _) =>
+      assert((nb, nc) == expect(id), s"doc $id")
+    }
+  }
+
   test("embedding dim stats cover every dimension with sane bounds") {
     val rows = SparkEntry.queries("emb_dim_stats")(spark, sf).collect()
     assert(rows.length == 64)
