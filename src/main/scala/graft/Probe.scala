@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.expressions.PrefixShingles
 
 // Throwaway dev probe (not part of the library surface).
 object Probe {
@@ -13,33 +14,27 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
     val docs = spark.read.parquet(d + "/documents.parquet")
-    var t0 = System.nanoTime()
-    def t(label: String)(body: => Long): Unit = {
-      t0 = System.nanoTime()
-      val n = body
-      println(label + "=" + n + " in " + (System.nanoTime()-t0)/1e9)
+    val sets = graft.operators.Dedup.shingleSets(docs)
+    sets.count()
+    val df = sets.select(explode(col("set")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt))
+    for (k <- Seq(8, 12, 16, 24)) {
+      val t0 = System.nanoTime()
+      val prefixes = sets.select(col("doc_id"), col("n"),
+        explode(PrefixShingles.prefix_shingles(col("set"), df, k, 4, 5)).as("h"))
+      val cands = prefixes.as("x")
+        .join(prefixes.as("y"), col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") * 4 <= col("y.n") * 5 && col("y.n") * 4 <= col("x.n") * 5)
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("shared"),
+          first(col("x.n")).as("xn"), first(col("y.n")).as("yn"))
+        .filter(col("shared") >= least(lit(k),
+          expr("(xn * 4 + 4) div 5"), expr("(yn * 4 + 4) div 5")))
+      println(s"K=$k cands=" + cands.count() + " in " + (System.nanoTime()-t0)/1e9)
     }
-    import graft.expressions.SimHash64.simhash64
-    val sigs = docs.select(col("doc_id"),
-      simhash64(expr(
-        "transform(filter(split(text, '\\\\s+'), t -> t != '')," +
-          " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
-        .as("sig"))
-    t("sigs")(sigs.count())
-    t("sigs2")(sigs.count())
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        shiftrightunsigned(col("sig"), i * 15).bitwiseAND(lit(0x7FFFL))
-          .as("key"))): _*)).as("e"))
-      .select(col("doc_id"), col("sig"), col("e.band").as("band"),
-        col("e.key").as("key"))
-    val joined = banded.as("x")
-      .join(banded.as("y"), col("x.band") === col("y.band") &&
-        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        expr("bit_count(x.sig ^ y.sig)").as("hamming"))
-    t("joined")(joined.count())
-    t("full")(graft.operators.Dedup.queries("dedup_simhash")(spark, d).count())
     spark.stop()
   }
 }
