@@ -225,6 +225,35 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-mix accounting: per (source, lang) document/char counts
+    // and corpus share — the data-mixture report every training run
+    // starts from. One aggregate; the share divides by a windowed
+    // grand total over the (tiny) aggregated rows, not the corpus.
+    "corpus_mix" -> ((s, d) => {
+      val agg = documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+      agg.withColumn("doc_share", col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy()))
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    // Label-conditioned per-dimension embedding stats — the
+    // class-separation health check for labeled vector data (same
+    // shape as emb_dim_stats with the label key carried through).
+    "emb_label_stats" -> ((s, d) => {
+      embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("pos", "val")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          col("val").cast("double").as("v"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), davg(col("v")).as("mean"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // Per-dimension embedding statistics: one narrow explode + one
     // aggregate, the standard health check before indexing/training.
     // Mean goes through the shared decimal quantization so partial
@@ -340,6 +369,22 @@ object Pipeline extends QueryModule {
         |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |    '[0-9]{12,19}', '<CARD>', 'g')) AS scrubbed_len
         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "corpus_mix" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS doc_share
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
+    "emb_label_stats" -> {
+      s"""SELECT label, i AS dim, COUNT(*) AS n,
+         |  ${sqlAvg("CAST(embedding[i] AS DOUBLE)")} AS mean,
+         |  MIN(CAST(embedding[i] AS DOUBLE)) AS vmin,
+         |  MAX(CAST(embedding[i] AS DOUBLE)) AS vmax
+         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+         |GROUP BY label, i ORDER BY label, dim""".stripMargin
+    },
 
     "emb_dim_stats" -> {
       s"""SELECT i AS dim, COUNT(*) AS n,

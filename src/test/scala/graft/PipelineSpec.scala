@@ -130,6 +130,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("corpus mix shares sum to 1 and count every document") {
+    val rows = SparkEntry.queries("corpus_mix")(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+  }
+
+  test("label stats cover every (label, dim) cell") {
+    val rows = SparkEntry.queries("emb_label_stats")(spark, sf).collect()
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(rows.length == labels * 64)
+    rows.foreach { r =>
+      val (mean, vmin, vmax) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mean >= vmin - 1e-12 && mean <= vmax + 1e-12,
+        s"label ${r.get(0)} dim ${r.get(1)}: $vmin <= $mean <= $vmax")
+    }
+  }
+
   test("embedding dim stats cover every dimension with sane bounds") {
     val rows = SparkEntry.queries("emb_dim_stats")(spark, sf).collect()
     assert(rows.length == 64)
