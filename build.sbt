@@ -14,6 +14,10 @@ run / fork := true
 // Forked program output goes straight to stdout/stderr (no sbt [info]
 // prefix) so Bench's single JSON line is machine-parseable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No "[success] Total time: ..." epilogue after the program exits —
+// Bench's JSON line must be the LAST line of sbt's combined output
+// (round-2 bench output was unparseable because of this line).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

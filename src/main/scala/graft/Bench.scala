@@ -31,10 +31,20 @@ object Bench {
       val p = java.nio.file.Paths.get(sfDir).getParent
       val c = if (p == null) null else p.resolve("sf0.001")
       if (c != null && java.nio.file.Files.isDirectory(c)) c.toString
-      else sfDir
+      else null // no smaller SF available: skip warmup rather than
+                // pre-running (and cache-priming) the measured dir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    if (warmDir != null) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+      // Codegen/JIT caches survive this; materialized warmDir data and
+      // the cluster memo must not (they'd skew memory pressure and, if
+      // warmDir ever equaled sfDir, hand the timed loop free answers).
+      spark.sharedState.cacheManager.clearCache()
+      graft.operators.Pipeline.resetMemo()
+    } else {
+      System.err.println(s"bench: no sf0.001 sibling of $sfDir; skipping warmup (cold-start timings)")
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -44,7 +54,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // JSON is the LAST line of output: silence Spark's shutdown logging
+    // and stop the session BEFORE printing, so no stray WARN line (or
+    // sbt epilogue — suppressed via showSuccess := false) follows it.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

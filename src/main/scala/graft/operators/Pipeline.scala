@@ -95,13 +95,22 @@ object Pipeline extends QueryModule {
     */
   private val ccMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
-  private def clusters(s: SparkSession, d: String): DataFrame =
+  /** Drop every memoized clustering (benchmarks/probes call this when
+    * they need a cold re-computation, e.g. after a warmup pass or when
+    * a probe rewrites an input dir in place — the memo assumes input
+    * dirs are immutable within a session). */
+  def resetMemo(): Unit = ccMemo.clear()
+  private def clusters(s: SparkSession, d: String): DataFrame = {
+    // evict entries whose session is gone so long-lived JVMs that cycle
+    // SparkSessions don't pin dead cached plans
+    ccMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     ccMemo.computeIfAbsent((s, d), { _ =>
       connectedComponents(
         Dedup.minhashPairs(documents(s, d))
           .select(col("a_id"), col("b_id")))
         .cache()
     })
+  }
 
   /** Deterministic PII-bearing corpus: the synthetic documents carry no
     * emails or card numbers, so the scrub operator plants them —
