@@ -30,9 +30,13 @@ object Bench {
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir).getParent
       val c = if (p == null) null else p.resolve("sf0.001")
-      if (c != null && java.nio.file.Files.isDirectory(c)) c.toString
-      else null // no smaller SF available: skip warmup rather than
-                // pre-running (and cache-priming) the measured dir
+      // skip warmup when no smaller SF exists OR when the measured dir
+      // IS sf0.001 — pre-reading the measured dir would prime the OS
+      // page cache for the timed loop (Spark-level clears don't cover it)
+      if (c != null && java.nio.file.Files.isDirectory(c) &&
+          c.toRealPath() != java.nio.file.Paths.get(sfDir).toRealPath())
+        c.toString
+      else null
     }
     if (warmDir != null) {
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -58,7 +62,8 @@ object Bench {
     // and stop the session BEFORE printing, so no stray WARN line (or
     // sbt epilogue — suppressed via showSuccess := false) follows it.
     spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
+    // a shutdown race inside stop() must not eat the result line
+    try spark.stop() catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

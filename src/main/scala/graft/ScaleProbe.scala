@@ -41,7 +41,11 @@ object ScaleProbe {
           // pipeline scaling.
           case Some(c) if i > 0 =>
             val src = "etaoinshrdlu"
-            val dst = src.drop(i % src.length) + src.take(i % src.length)
+            // rotation in [1, len-1] for EVERY copy index: i % len == 0
+            // would make the mapping the identity and reintroduce the
+            // cross-copy cliques the perturbation exists to prevent
+            val rot = 1 + (i - 1) % (src.length - 1)
+            val dst = src.drop(rot) + src.take(rot)
             shifted.withColumn(c, translate(col(c), src, dst))
           case _ => shifted
         }

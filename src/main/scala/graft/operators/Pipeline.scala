@@ -99,7 +99,14 @@ object Pipeline extends QueryModule {
     * they need a cold re-computation, e.g. after a warmup pass or when
     * a probe rewrites an input dir in place — the memo assumes input
     * dirs are immutable within a session). */
-  def resetMemo(): Unit = ccMemo.clear()
+  def resetMemo(): Unit = {
+    // unpersist before dropping the handle: clearing alone would leave
+    // the cached clustering pinned in the session CacheManager with no
+    // reference left to free it
+    ccMemo.values.forEach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    ccMemo.clear()
+  }
   private def clusters(s: SparkSession, d: String): DataFrame = {
     // evict entries whose session is gone so long-lived JVMs that cycle
     // SparkSessions don't pin dead cached plans

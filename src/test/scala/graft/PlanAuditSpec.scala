@@ -16,6 +16,14 @@ class PlanAuditSpec extends SparkSpec {
   //    assignment — bounded small side by construction)
   private val nestedLoopOk = Set("sim_topk_brute", "sim_ann_ivf")
 
+  /** The audited predicate, factored out so the mutation test below can
+    * prove it actually fires (the previous disjunctive form was vacuous:
+    * Spark prints `BroadcastNestedLoopJoin BuildLeft/BuildRight`, never
+    * `BroadcastNestedLoopJoin Inner`, so it could not fail). */
+  private def plansNestedLoop(plan: String): Boolean =
+    plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin")
+
   test("no declared query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, sf)
@@ -24,11 +32,17 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
       if (!nestedLoopOk(name))
-        assert(!plan.contains("BroadcastNestedLoopJoin Inner") ||
-          plan.contains("BuildRight, Inner") ||
-          !plan.contains("NestedLoop"),
+        assert(!plansNestedLoop(plan),
           s"$name plans an unexpected nested-loop join:\n$plan")
     }
+  }
+
+  test("the nested-loop audit fires on a deliberate cartesian (mutation probe)") {
+    val df = spark.range(8).toDF("x").crossJoin(spark.range(8).toDF("y"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plansNestedLoop(plan),
+      s"audit predicate failed to flag a cross join:\n$plan")
   }
 
   test("every batch query keeps a whole-stage-codegen span") {
