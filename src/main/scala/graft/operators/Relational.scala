@@ -87,22 +87,41 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
-    // Sketch aggregates: HLL++ distinct + quantile sketch. At 100 TB
-    // these replace exact distincts wherever tolerance allows — fixed
-    // memory, one pass, mergeable partials. Rows-only check (sketch
-    // internals are engine-specific); RelationalSpec bounds the error
-    // against the exact answers.
+    // Approximate stats with PORTABLE sketches: distinct via bounded
+    // KMV (O(k) state, mergeable — see KmvSmallest) and percentiles
+    // via a deterministic md5-keyed ~10% row sample with an exact
+    // interpolated percentile over the sample. Both are one-pass,
+    // fixed-memory, order-independent — the properties HLL++ /
+    // approx_percentile buy at 100 TB — but unlike those (whose merge
+    // internals are engine-specific) every intermediate here is a
+    // shared md5-derived value, so DuckDB reproduces the result
+    // bit-for-bit and this query carries a full hash oracle.
+    // RelationalSpec additionally bounds both estimates against the
+    // exact answers.
     "q_approx_stats" -> ((s, d) => {
+      val k = 128
       lineitem(s, d)
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(l_partkey as string)), 1, 8), 16, 10) as double)" +
+            " / 4294967296.0"))
+        // sample keyed on the row's unique (orderkey, linenumber) id:
+        // both engines compute the identical md5, so the sampled set —
+        // not just its size — is identical
+        .withColumn("sampled_price", when(expr(
+          "cast(conv(substring(md5(concat(cast(l_orderkey as string), '-'," +
+            " cast(l_linenumber as string))), 1, 8), 16, 10) as bigint) % 10 = 0"),
+          col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.95))")
-            .as("qs"))
-        // Scalar columns only: the harness canonicalizes results by
-        // sorting on every column, which an array column can't support.
+        .agg(
+          graft.expressions.KmvSmallest.kmv_smallest(col("h"), k).as("hs"),
+          expr("percentile(sampled_price, 0.5)").as("p50_price"),
+          expr("percentile(sampled_price, 0.95)").as("p95_price"))
+        .withColumn("approx_parts",
+          when(size(col("hs")) >= k,
+            lit((k - 1).toDouble) / element_at(col("hs"), k))
+            .otherwise(size(col("hs")).cast("double")))
         .select(col("l_returnflag"), col("approx_parts"),
-          element_at(col("qs"), 1).as("p50_price"),
-          element_at(col("qs"), 2).as("p95_price"))
+          col("p50_price"), col("p95_price"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -110,12 +129,13 @@ object Relational extends QueryModule {
     // (k-1) / h_k where h_k is the k-th smallest distinct uniform hash.
     // Unlike HLL sketches (engine-specific merge internals), KMV over a
     // shared md5-derived hash is EXACTLY portable — both engines
-    // compute identical doubles, so this is the oracle-checkable
-    // approximate-distinct operator (q_approx_stats stays rows-only
-    // because Spark's HLL++ is not reproducible outside Spark). The
-    // collect_set formulation is the semantic spec; at 100 TB the same
-    // estimator runs as a bounded k-element aggregation buffer (only
-    // the k smallest hashes ever need to survive a merge).
+    // compute identical doubles. The aggregation state is the bounded
+    // native KmvSmallest buffer: O(k) doubles per group under any merge
+    // order (a collect_set formulation is estimator-equivalent but
+    // holds EVERY distinct hash per group — memory-linear in distinct
+    // count, which is exactly what a sketch exists to avoid at 100 TB).
+    // The DuckDB oracle keeps the full-set formulation; equality holds
+    // because the k smallest distinct values determine the estimate.
     "q_kmv_distinct" -> ((s, d) => {
       val k = 256
       lineitem(s, d)
@@ -123,7 +143,7 @@ object Relational extends QueryModule {
           "cast(conv(substring(md5(cast(l_partkey as string)), 1, 8), 16, 10) as double)" +
             " / 4294967296.0"))
         .groupBy(col("l_returnflag"))
-        .agg(array_sort(collect_set(col("h"))).as("hs"),
+        .agg(graft.expressions.KmvSmallest.kmv_smallest(col("h"), k).as("hs"),
           countDistinct(col("l_partkey")).as("exact_distinct"))
         // fewer than k distinct hashes seen => the sketch holds the
         // whole set and the estimate IS the (hash-)distinct count —
@@ -601,6 +621,26 @@ object Relational extends QueryModule {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.purchase_id""".stripMargin,
+
+    "q_approx_stats" ->
+      """WITH l AS (
+        |  SELECT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 AS h,
+        |    CASE WHEN ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+        |        || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+        |      THEN l_extendedprice END AS sampled_price
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, list_sort(list(DISTINCT h)) AS hs,
+        |    quantile_cont(sampled_price, 0.5) AS p50_price,
+        |    quantile_cont(sampled_price, 0.95) AS p95_price
+        |  FROM l GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CASE WHEN len(hs) >= 128 THEN 127.0 / hs[128]
+        |       ELSE CAST(len(hs) AS DOUBLE) END AS approx_parts,
+        |  p50_price, p95_price
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "q_kmv_distinct" ->
       """WITH h AS (

@@ -122,6 +122,50 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("kmv_smallest equals sorted collect_set prefix under any partitioning") {
+    import graft.expressions.KmvSmallest.kmv_smallest
+    val k = 16
+    // 1000 rows, 250 distinct hashes (each seen 4x), deliberately
+    // shuffled across partition counts so partial/merge order varies
+    val base = spark.range(1000)
+      .withColumn("g", (col("id") % 3).cast("int"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(id % 250 as string)), 1, 8), 16, 10)" +
+          " as double) / 4294967296.0"))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = base.repartition(parts, col("id"))
+      val viaAgg = df.groupBy(col("g"))
+        .agg(kmv_smallest(col("h"), k).as("hs"))
+        .as[(Int, Array[Double])].collect().toMap
+      val viaSet = df.groupBy(col("g"))
+        .agg(array_sort(collect_set(col("h"))).as("hs"))
+        .as[(Int, Array[Double])].collect().toMap
+      assert(viaAgg.keys == viaSet.keys)
+      viaAgg.foreach { case (g, hs) =>
+        assert(hs.length == math.min(k, viaSet(g).length), s"group $g size")
+        assert(hs.toSeq == viaSet(g).take(k).toSeq, s"group $g @ $parts parts")
+      }
+    }
+  }
+
+  test("kmv_smallest state stays bounded and handles small sets exactly") {
+    import graft.expressions.KmvSmallest.kmv_smallest
+    // fewer distinct values than k -> the full (exact) distinct set
+    val small = spark.range(100)
+      .withColumn("h", (col("id") % 5).cast("double"))
+      .agg(kmv_smallest(col("h"), 16).as("hs"))
+      .as[Array[Double]].head()
+    assert(small.toSeq == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+    // SQL registration path
+    Graft.register(spark)
+    spark.range(100).withColumn("h", (col("id") % 40).cast("double"))
+      .createOrReplaceTempView("kmv_in")
+    val viaSql = spark.sql(
+      "SELECT kmv_smallest(h, 8) AS hs FROM kmv_in")
+      .as[Array[Double]].head()
+    assert(viaSql.toSeq == (0 until 8).map(_.toDouble))
+  }
+
   test("native expressions: interpreted eval matches codegen") {
     val df = spark.read.parquet(s"$sf/documents.parquet").limit(40)
     def run(): Seq[(Int, Seq[Long])] = df.select(
