@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, each designed
@@ -102,22 +103,7 @@ object Dedup extends QueryModule {
       // the trade to make.
       val K = 16
       val sets = shingleSets(documents(s, d))
-      // document frequency per shingle, df>=2 only (a singleton
-      // shingle exists in exactly one document, so it can never be a
-      // shingle two prefixes meet on). The table is vocabulary-bounded
-      // — ~13k rows at sf0.1, sublinear in corpus size — so it
-      // COLLECTS and rides into a narrow per-row prefix expression,
-      // exactly like broadcasting a small dimension. The relational
-      // alternative (broadcast-join the 1.3M-row shingle stream, then
-      // collect_list + array_sort per doc) shuffled and sorted the
-      // whole stream just to pick ~20 elements per document.
-      val df = sets.select(explode(col("set")).as("h"))
-        .groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2)
-        .collect().map(r => (r.getLong(0), r.getLong(1).toInt))
-      val prefixes = sets.select(col("doc_id"), col("n"),
-        explode(graft.expressions.PrefixShingles.prefix_shingles(
-          col("set"), df, K, 4, 5)).as("h"))
+      val prefixes = prefixTable(sets, K)
       // length filter inside the candidate join: J >= 0.8 forces
       // 4*max(n) <= 5*min(n), killing size-mismatched pairs before
       // the expensive set intersection. Candidates then need >= K
@@ -173,45 +159,126 @@ object Dedup extends QueryModule {
     "dedup_simhash" -> ((s, d) =>
       simhashPairs(documents(s, d)).orderBy(col("a_id"), col("b_id"))),
 
-    // Embedding cosine near-dup pairs (exact, double precision).
-    // Blocked brute force: the corpus (id, vector, norm) broadcasts
-    // to every partition and each task streams its rows against the
-    // block in one tight loop — the GEMM-ish shape a 100 TB all-pairs
-    // scorer needs. A relational nested-loop join computes the same
-    // thing but materializes every pair as a wide row first (two
-    // 64-float arrays per pair), which made the join itself — not the
-    // math — the bottleneck (35 s vs ~2 s at sf0.1). The per-pair
-    // double fold is identical, so the DuckDB oracle still matches
-    // bit-for-bit. At larger-than-memory corpus sizes this becomes a
-    // block-partitioned self-join of the same kernel.
+    // Embedding cosine near-dup pairs (exact, double precision), as a
+    // BLOCK-PARTITIONED grid self-join: vectors hash into B blocks,
+    // each grid cell (i, j), i <= j, scores block i against block j in
+    // one tight executor-side loop — the GEMM-ish kernel an all-pairs
+    // scorer needs, with NOTHING materialized on the driver (the
+    // previous formulation broadcast the collected corpus: correct,
+    // but driver-bounded — the exact thing that dies at 100 TB). Each
+    // unordered pair lands in exactly one cell, so no dedup pass is
+    // needed. The B-row blocks table cross-joins with itself
+    // (B(B+1)/2 cells — bounded by construction, see PlanAuditSpec
+    // exemption); per-cell memory is two blocks, tuned by B, and a
+    // relational nested-loop join over raw rows is avoided because it
+    // materializes every candidate pair as a wide two-array row before
+    // filtering (35 s vs ~2 s at sf0.1). The per-pair double fold is
+    // identical to the oracle's list_dot_product, so results match
+    // bit-for-bit.
     "dedup_embedding_cosine" -> ((s, d) => {
       import s.implicits._
-      val e = embeddings(s, d)
+      val numBlocks = 8
+      val blocks = embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
-          dot(col("embedding"), col("embedding")).as("nrm"))
-        .as[(Long, Array[Float], Double)]
-      val block = s.sparkContext.broadcast(e.collect().sortBy(_._1))
-      val pairs = e.mapPartitions { it =>
-        val corpus = block.value
-        it.flatMap { case (aId, aVec, aNrm) =>
-          corpus.iterator
-            .filter(_._1 > aId)
-            .map { case (bId, bVec, bNrm) =>
-              var acc = 0.0
-              var i = 0
-              val n = math.min(aVec.length, bVec.length)
-              while (i < n) {
-                acc += aVec(i).toDouble * bVec(i).toDouble
-                i += 1
-              }
-              (aId, bId, acc / (math.sqrt(aNrm) * math.sqrt(bNrm)))
-            }
-            .filter(_._3 >= 0.4)
+          dot(col("embedding"), col("embedding")).as("nrm"),
+          pmod(col("vec_id"), lit(numBlocks)).cast("int").as("blk"))
+        .groupBy(col("blk"))
+        .agg(collect_list(
+          struct(col("vec_id"), col("embedding"), col("nrm"))).as("rows"))
+      val cells = blocks.as("x")
+        .join(blocks.as("y"), col("x.blk") <= col("y.blk"))
+        .select(col("x.blk").as("ablk"), col("y.blk").as("bblk"),
+          col("x.rows").as("arows"), col("y.rows").as("brows"))
+        .as[(Int, Int, Array[(Long, Array[Float], Double)],
+          Array[(Long, Array[Float], Double)])]
+      val pairs = cells.flatMap { case (ablk, bblk, arows, brows) =>
+        def cos(a: (Long, Array[Float], Double),
+            b: (Long, Array[Float], Double)): Double = {
+          val (av, bv) = (a._2, b._2)
+          var acc = 0.0
+          var i = 0
+          val n = math.min(av.length, bv.length)
+          while (i < n) { acc += av(i).toDouble * bv(i).toDouble; i += 1 }
+          acc / (math.sqrt(a._3) * math.sqrt(b._3))
         }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)]
+        if (ablk == bblk) {
+          var i = 0
+          while (i < arows.length) {
+            var j = i + 1
+            while (j < arows.length) {
+              val c = cos(arows(i), arows(j))
+              if (c >= 0.4) {
+                val (u, v) = (arows(i)._1, arows(j)._1)
+                out += ((math.min(u, v), math.max(u, v), c))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < arows.length) {
+            var j = 0
+            while (j < brows.length) {
+              val c = cos(arows(i), brows(j))
+              if (c >= 0.4) {
+                val (u, v) = (arows(i)._1, brows(j)._1)
+                out += ((math.min(u, v), math.max(u, v), c))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out
       }.toDF("a_id", "b_id", "cosine")
       pairs.orderBy(col("a_id"), col("b_id"))
     })
   )
+
+  /** AllPairs/PPJoin prefix table (doc_id, n, h), fully distributed.
+    *
+    * Under the global rarest-first (document-frequency, hash) order, a
+    * document's prefix is its first plen = n - ceil(t*n) + K shingles;
+    * df=1 singletons all sort first (df 1 < any df >= 2) and can never
+    * be a meeting point of two prefixes, so the emitted rows are the
+    * df>=2 shingles whose rank among the doc's df>=2 shingles is
+    * <= plen - (n - n2).
+    *
+    * Nothing touches the driver: the df table stays a DataFrame — AQE
+    * broadcasts the join when it is actually small (13k rows at sf0.1)
+    * and falls back to a shuffle join when the vocabulary is large
+    * (the 100 TB case, where a driver collect() of the df table would
+    * be billions of rows) — and the per-document rank is a window over
+    * the df>=2-filtered stream. That filter is what keeps the window
+    * shuffle cheap: natural-language 8-gram shingles are overwhelmingly
+    * unique, so the inner join against df>=2 discards most of the
+    * stream before anything is shuffled on doc_id.
+    *
+    * (A narrow-expression variant that embeds a driver-collected df
+    * table — PrefixShingles — remains available for probes; the
+    * declared query uses this relational path so no input scale can
+    * materialize unbounded state on the driver.)
+    */
+  def prefixTable(sets: DataFrame, k: Int): DataFrame = {
+    val exploded = sets.select(col("doc_id"), col("n"),
+      explode(col("set")).as("h"))
+    val df2 = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    exploded.join(df2, Seq("h"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n2", count(lit(1)).over(wDoc))
+      // plen over the FULL order; the first n - n2 positions are the
+      // doc's df=1 singletons. ceil(n*thr) in exact integer arithmetic.
+      .withColumn("plen",
+        least(col("n"), col("n") - expr("(n * 4 + 4) div 5") + lit(k)))
+      .filter(col("rk") <= col("plen") - (col("n") - col("n2")))
+      .select(col("doc_id"), col("n"), col("h"))
+  }
 
   /** MinHash signature → banded LSH candidates → exact-Jaccard verify.
     *

@@ -14,7 +14,11 @@ class PlanAuditSpec extends SparkSpec {
   //    (broadcast nested loop over 10 query vectors)
   //  - sim_ann_ivf: corpus × 32 broadcast centroids (coarse quantizer
   //    assignment — bounded small side by construction)
-  private val nestedLoopOk = Set("sim_topk_brute", "sim_ann_ivf")
+  //  - dedup_embedding_cosine: the B×B block-grid join (both sides have
+  //    exactly numBlocks rows by construction; the data rides inside
+  //    per-block arrays, not the joined rows)
+  private val nestedLoopOk =
+    Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
@@ -35,6 +39,46 @@ class PlanAuditSpec extends SparkSpec {
         assert(!plansNestedLoop(plan),
           s"$name plans an unexpected nested-loop join:\n$plan")
     }
+  }
+
+  test("declared query construction launches no Spark jobs (no driver collects)") {
+    // A query BUILDER that runs collect()/count() materializes data on
+    // the driver at plan time — the scale anti-pattern behind the old
+    // ngram df-table and embedding-corpus collects. Building the
+    // DataFrame must be fully lazy: zero jobs until an action runs.
+    // Exempt: the cluster-memoized family, which by design computes the
+    // iterative CC fixpoint eagerly exactly once per session (each
+    // round is a bounded delta-count, not an input materialization).
+    val eagerOk = Set("dedup_cluster", "dedup_survivors", "shard_assign",
+      "corpus_mix")
+    val sc = spark.sparkContext
+    @volatile var jobs = 0
+    @volatile var lastSite = ""
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // `spark.read.parquet` itself may run a footer/schema-inference
+        // job (stage named "parquet at Tables.scala:N") — Spark-internal
+        // metadata work, bytes per file at any scale. Only DATA jobs
+        // (collect/count/... inside a builder) are the anti-pattern.
+        if (!js.stageInfos.forall(_.name.startsWith("parquet at Tables"))) {
+          jobs += 1
+          lastSite = js.stageInfos.map(_.name).mkString("; ")
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      for ((name, fn) <- SparkEntry.queries if !eagerOk(name)) {
+        org.apache.spark.ListenerBusAccess.waitUntilEmpty(sc)
+        val before = jobs
+        fn(spark, sf)
+        org.apache.spark.ListenerBusAccess.waitUntilEmpty(sc)
+        assert(jobs == before,
+          s"$name launched ${jobs - before} job(s) during query construction" +
+            s" (last: $lastSite)")
+      }
+    } finally sc.removeSparkListener(listener)
   }
 
   test("the nested-loop audit fires on a deliberate cartesian (mutation probe)") {
