@@ -29,6 +29,8 @@ object Graft {
       exprs => expressions.LshCodes(exprs.head,
         intLit(exprs(1), "lsh_codes numTables"),
         intLit(exprs(2), "lsh_codes bitsPerTable")), "scala_udf")
+    reg.createOrReplaceTempFunction("py_json",
+      exprs => expressions.PyJson(exprs.head), "scala_udf")
     // aggregate: the analyzer wraps a bare AggregateFunction builder
     reg.createOrReplaceTempFunction("kmv_smallest",
       exprs => expressions.KmvSmallest(exprs.head,

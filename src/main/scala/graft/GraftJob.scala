@@ -65,7 +65,7 @@ object GraftJob {
         if (cfg.fullChange) {
           Cdc.parseWal2JsonFull(raw, "payload", cfg.tablePat)
             .withColumn("fmt_msg", Cdc.operationGate(col("operation"),
-              Cdc.csvPayloadFull(col("xid"), col("change")), ops))
+              Cdc.csvPayloadFull(col("xid"), col("change_json")), ops))
         } else {
           Cdc.parseWal2Json(raw, "payload", pkCatalog, cfg.tablePat)
             .withColumn("fmt_msg", Cdc.operationGate(col("operation"),

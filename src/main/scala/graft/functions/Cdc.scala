@@ -78,38 +78,55 @@ object Cdc {
   }
 
   /** P2 full-change mode (reference `--full-change`): each change
-    * element is kept WHOLE — no PK lookup, no table/PK validation at
-    * all (reference formatter.py:117-118 skips both;
-    * tests/test_formatter.py:184-199 pin the no-validation semantics).
-    * Only the table-regex filter (F1) still applies. The reference
-    * asserts this mode requires wal2json + CSVPayload
-    * (__main__.py:45-47); the matching serializer is
-    * [[csvPayloadFull]].
+    * element is kept WHOLE, as raw JSON text — no PK lookup, no
+    * table/PK validation at all (reference formatter.py:117-118 skips
+    * both; tests/test_formatter.py:184-249 pin the no-validation,
+    * whole-dict passthrough semantics). Only the table-regex filter
+    * (F1) still applies. Because the element is never re-projected
+    * through a schema, update/delete `oldkeys` (README.rst:107-117)
+    * and any other wal2json field survive verbatim, and numeric
+    * columnvalues stay numbers. The reference asserts this mode
+    * requires wal2json + CSVPayload (__main__.py:45-47); the matching
+    * serializer is [[csvPayloadFull]].
     *
     * @return xid LONG, table_name STRING, operation STRING (=
-    *         change.kind), change STRUCT (the full wal2json element)
+    *         change.kind), change_json STRING (the full wal2json
+    *         element, raw)
     */
   def parseWal2JsonFull(
       df: DataFrame, payloadCol: String,
       tablePat: String = defaultTablePat): DataFrame = {
     val keep = df.columns.filter(_ != payloadCol).map(col).toSeq
-    df.withColumn("_w", from_json(col(payloadCol), Model.walMessageSchema))
-      .select((keep :+ col("_w.xid").as("xid") :+
-        explode(col("_w.change")).as("change")): _*)
+    df.withColumn("xid",
+        get_json_object(col(payloadCol), "$.xid").cast("long"))
+      // 1→N raw-element explode (P4): element i extracted as raw text;
+      // empty/missing change arrays yield a null sequence, which
+      // explode drops
+      .withColumn("_n", expr(
+        s"json_array_length(get_json_object(`$payloadCol`, '$$.change'))"))
+      .withColumn("_i",
+        explode(when(col("_n") > 0, sequence(lit(0), col("_n") - 1))))
+      .withColumn("change_json", expr(
+        s"get_json_object(`$payloadCol`, concat('$$.change[', _i, ']'))"))
       .withColumn("table_name",
-        concat(col("change.schema"), lit("."), col("change.table")))
+        concat(get_json_object(col("change_json"), "$.schema"), lit("."),
+          get_json_object(col("change_json"), "$.table")))
       .filter(col("table_name").rlike(tablePat))
       .select((keep :+ col("xid") :+ col("table_name") :+
-        col("change.kind").as("operation") :+ col("change")): _*)
+        get_json_object(col("change_json"), "$.kind").as("operation") :+
+        col("change_json")): _*)
   }
 
   /** X2 in full-change mode: `0,CDC,{json of {xid, change}}` — the
-    * FullChange serialization (reference formatter.py:158-163 over
-    * FullChange._asdict(), README.rst:107-117). Compact JSON, field
-    * order fixed by the structs. */
-  def csvPayloadFull(xid: Column, change: Column): Column =
-    concat(lit("0,CDC,"), to_json(struct(
-      xid.as("xid"), change.as("change"))))
+    * FullChange serialization, byte-identical to the reference
+    * (formatter.py:158-163: `json.dumps(FullChange._asdict())` with
+    * default `', '`/`': '` separators and ensure_ascii; README.rst:
+    * 107-117). The raw element re-serializes through [[graft.expressions.PyJson]],
+    * so field order, `oldkeys`, and numeric value tokens all survive. */
+  def csvPayloadFull(xid: Column, changeJson: Column): Column =
+    concat(lit("0,CDC,{\"xid\": "), xid.cast("string"),
+      lit(", \"change\": "),
+      graft.expressions.PyJson.py_json(changeJson), lit("}"))
 
   // -------------------------------------------------------------------
   // P1/P3/F1/F3/J1: test_decoding text → Change rows with xact carry.

@@ -105,23 +105,33 @@ object CdcQueries extends QueryModule {
     }),
 
     // P2 full-change mode round-trip (--full-change): the whole change
-    // element passes through untouched — no PK lookup, no validation —
-    // and X2 serializes {xid, change} wholesale. Byte-exact oracle.
+    // element passes through AS RAW JSON — no PK lookup, no validation,
+    // no schema re-projection — and X2 serializes {xid, change}
+    // byte-identically to the reference's json.dumps. The synthesized
+    // stream cycles all three DML kinds, carries `oldkeys` on update/
+    // delete (README.rst:107-117, tests/test_formatter.py:184-249) and
+    // a NUMERIC columnvalue, so the oracle pins exactly the fidelity
+    // the schema-projection formulation used to lose (dropped oldkeys,
+    // numbers coerced to strings, compact whitespace).
     "cdc_full_change" -> ((s, d) => {
-      val pay = events(s, d).select(to_json(struct(
-        col("event_id").as("xid"),
-        array(struct(
-          lit("insert").as("kind"),
-          lit("public").as("schema"),
-          lit("events").as("table"),
-          array(lit("event_id"), lit("event_type")).as("columnnames"),
-          array(lit("bigint"), lit("text")).as("columntypes"),
-          array(col("event_id").cast("string"), col("event_type"))
-            .as("columnvalues")))
-          .as("change"))).as("payload"))
+      val kind = element_at(
+        array(lit("insert"), lit("update"), lit("delete")),
+        (col("event_id") % 3 + 1).cast("int"))
+      val oldkeys = when(col("event_id") % 3 === 0, lit(""))
+        .otherwise(format_string(
+          """, "oldkeys": {"keynames": ["event_id"],""" +
+            """ "keytypes": ["bigint"], "keyvalues": [%d]}""",
+          col("event_id")))
+      val pay = events(s, d).select(format_string(
+        """{"xid": %d, "change": [{"kind": "%s", "schema": "public",""" +
+          """ "table": "events", "columnnames": ["event_id", "event_type"],""" +
+          """ "columntypes": ["bigint", "text"],""" +
+          """ "columnvalues": [%d, "%s"]%s}]}""",
+        col("event_id"), kind, col("event_id"), col("event_type"),
+        oldkeys).as("payload"))
       val parsed = Cdc.parseWal2JsonFull(pay, "payload")
       parsed.select(col("xid"), col("table_name"), col("operation"),
-        Cdc.csvPayloadFull(col("xid"), col("change")).as("fmt_msg"))
+        Cdc.csvPayloadFull(col("xid"), col("change_json")).as("fmt_msg"))
         .orderBy(col("xid"))
     }),
 
@@ -194,13 +204,22 @@ object CdcQueries extends QueryModule {
 
     "cdc_full_change" ->
       """SELECT event_id AS xid, 'public.events' AS table_name,
-        |  'insert' AS operation,
-        |  '0,CDC,{"xid":' || CAST(event_id AS VARCHAR) ||
-        |  ',"change":{"kind":"insert","schema":"public","table":"events",' ||
-        |  '"columnnames":["event_id","event_type"],' ||
-        |  '"columntypes":["bigint","text"],' ||
-        |  '"columnvalues":["' || CAST(event_id AS VARCHAR) || '","' ||
-        |  event_type || '"]}}' AS fmt_msg
+        |  CASE event_id % 3 WHEN 0 THEN 'insert' WHEN 1 THEN 'update'
+        |    ELSE 'delete' END AS operation,
+        |  '0,CDC,{"xid": ' || CAST(event_id AS VARCHAR) ||
+        |  ', "change": {"kind": "' ||
+        |  CASE event_id % 3 WHEN 0 THEN 'insert' WHEN 1 THEN 'update'
+        |    ELSE 'delete' END ||
+        |  '", "schema": "public", "table": "events",' ||
+        |  ' "columnnames": ["event_id", "event_type"],' ||
+        |  ' "columntypes": ["bigint", "text"],' ||
+        |  ' "columnvalues": [' || CAST(event_id AS VARCHAR) || ', "' ||
+        |  event_type || '"]' ||
+        |  CASE WHEN event_id % 3 = 0 THEN ''
+        |    ELSE ', "oldkeys": {"keynames": ["event_id"],' ||
+        |      ' "keytypes": ["bigint"], "keyvalues": [' ||
+        |      CAST(event_id AS VARCHAR) || ']}' END ||
+        |  '}}' AS fmt_msg
         |FROM events ORDER BY xid""".stripMargin,
 
     "cdc_dead_letter" ->

@@ -140,25 +140,32 @@ class CdcSpec extends SparkSpec {
       """0,CDC,{"xid":1,"table":"public.species","operation":"UPDATE","pkey":"1"}""")
   }
 
-  test("full-change mode skips table/PK validation entirely") {
-    // reference tests/test_formatter.py:184-199: unknown tables pass
-    // straight through in --full-change mode (no catalog lookup at all)
+  test("full-change mode skips validation, keeps oldkeys + numeric values") {
+    // reference tests/test_formatter.py:184-249: unknown tables pass
+    // straight through in --full-change mode (no catalog lookup at
+    // all) and the change dict survives WHOLE — including update/
+    // delete oldkeys and numeric columnvalues, serialized exactly as
+    // json.dumps would (', '/': ' separators)
     val payload =
       """{"xid": 7, "change": [{"kind": "update", "schema": "public",""" +
-        """ "table": "no_such_table", "columnnames": ["z"],""" +
-        """ "columntypes": ["text"], "columnvalues": ["v"]}]}"""
+        """ "table": "no_such_table", "columnnames": ["z", "n"],""" +
+        """ "columntypes": ["text", "int4"],""" +
+        """ "columnvalues": ["v", 42], "oldkeys":""" +
+        """ {"keynames": ["n"], "keytypes": ["int4"], "keyvalues": [41]}}]}"""
     val df = Seq(payload).toDF("payload")
     val out = Cdc.parseWal2JsonFull(df, "payload")
       .select(col("xid"), col("table_name"), col("operation"),
-        Cdc.csvPayloadFull(col("xid"), col("change")).as("fmt"))
+        Cdc.csvPayloadFull(col("xid"), col("change_json")).as("fmt"))
       .head
     assert(out.getLong(0) == 7L)
     assert(out.getString(1) == "public.no_such_table")
     assert(out.getString(2) == "update")
     assert(out.getString(3) ==
-      """0,CDC,{"xid":7,"change":{"kind":"update","schema":"public",""" +
-        """"table":"no_such_table","columnnames":["z"],""" +
-        """"columntypes":["text"],"columnvalues":["v"]}}""")
+      """0,CDC,{"xid": 7, "change": {"kind": "update", "schema": "public",""" +
+        """ "table": "no_such_table", "columnnames": ["z", "n"],""" +
+        """ "columntypes": ["text", "int4"],""" +
+        """ "columnvalues": ["v", 42], "oldkeys":""" +
+        """ {"keynames": ["n"], "keytypes": ["int4"], "keyvalues": [41]}}}""")
   }
 
   test("operation gate nulls non-matching rows, case-insensitively") {

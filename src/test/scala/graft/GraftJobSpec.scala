@@ -75,11 +75,12 @@ class GraftJobSpec extends SparkSpec {
     run(GraftConfig(src.toString, s"$dir/sink", s"$dir/ckpt",
       fullChange = true, sendWindowSecs = 0))
     val recs = records(s"$dir/sink")
-    // unknown table passes through untouched: no validation in this mode
+    // unknown table passes through untouched: no validation in this
+    // mode; serialization matches json.dumps byte-for-byte
     assert(recs == Seq(
-      """0,CDC,{"xid":9,"change":{"kind":"insert","schema":"public",""" +
-        """"table":"unknown_table","columnnames":["a"],""" +
-        """"columntypes":["text"],"columnvalues":["x"]}}"""))
+      """0,CDC,{"xid": 9, "change": {"kind": "insert", "schema": "public",""" +
+        """ "table": "unknown_table", "columnnames": ["a"],""" +
+        """ "columntypes": ["text"], "columnvalues": ["x"]}}"""))
   }
 
   test("full-change requires wal2json + CSVPayload, like the reference") {

@@ -166,6 +166,22 @@ class NativeExprSpec extends SparkSpec {
     assert(viaSql.toSeq == (0 until 8).map(_.toDouble))
   }
 
+  test("py_json renders CPython json.dumps conventions") {
+    import graft.expressions.PyJson.render
+    // separators, order preservation, nesting, all value kinds
+    assert(render("""{"b":1,"a":[true,null,"x"],"c":{"k":2}}""") ==
+      "{\"b\": 1, \"a\": [true, null, \"x\"], \"c\": {\"k\": 2}}")
+    // ensure_ascii escaping + control chars
+    assert(render("{\"s\":\"é\\n\\\"q\\\"\"}") ==
+      "{\"s\": \"\\u00e9\\n\\\"q\\\"\"}")
+    // number tokens verbatim (documented deviation: no float roundtrip)
+    assert(render("""[0, -7, 1.50, 2e3]""") == "[0, -7, 1.50, 2e3]")
+    // malformed input -> null through the expression
+    Graft.register(spark)
+    val r = spark.sql("SELECT py_json('{nope')").head
+    assert(r.isNullAt(0))
+  }
+
   test("native expressions: interpreted eval matches codegen") {
     val df = spark.read.parquet(s"$sf/documents.parquet").limit(40)
     def run(): Seq[(Int, Seq[Long])] = df.select(
