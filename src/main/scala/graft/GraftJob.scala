@@ -13,6 +13,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   --slot-name      → slotName        --table-pat  → tablePat
   *   --plugin         → plugin          --operations → operations
   *   --message-formatter → formatter    --full-change → fullChange
+  *   --create-slot    → createSlot      --recreate-slot → recreateSlot
   *   --stream-name    → sinkDir (put client)  send window (13 s) → trigger
   *
   * `operations = Seq("all")` expands to the reference's four-DML
@@ -28,7 +29,10 @@ case class GraftConfig(
     formatter: String = "CSVPayload",
     fullChange: Boolean = false,
     sendWindowSecs: Int = 13,
-    maxRecordsPerTrigger: Long = Long.MaxValue) {
+    maxRecordsPerTrigger: Long = Long.MaxValue,
+    slotName: String = "graft",
+    createSlot: Boolean = false,
+    recreateSlot: Boolean = false) {
   def expandedOps: Seq[String] =
     if (operations.map(_.toLowerCase) == Seq("all"))
       Seq("insert", "update", "delete", "truncate")
@@ -91,10 +95,24 @@ object GraftJob {
         sum(length(col("fmt_msg"))).as("msg_bytes"))
   }
 
+  /** Slot DDL dispatch at job start (reference __main__.py:56-60):
+    * --recreate-slot wins (drop-if-exists then create), elif
+    * --create-slot creates idempotently; no flag, no DDL. The admin is
+    * injected (a JDBC-statement executor in production, a fake in
+    * specs) — same seam as SlotAdmin itself. */
+  def prepareSlot(cfg: GraftConfig,
+      slotAdmin: graft.sources.SlotAdmin): Unit =
+    if (slotAdmin != null) {
+      if (cfg.recreateSlot) slotAdmin.recreateSlot(cfg.slotName, cfg.plugin)
+      else if (cfg.createSlot) slotAdmin.createSlot(cfg.slotName, cfg.plugin)
+    }
+
   /** Start the full job (ordered KPL-format sink, LSN feedback via the
     * source's commit). */
   def start(spark: SparkSession, cfg: GraftConfig, pkCatalog: DataFrame,
-      putClient: PutClient = null): StreamingQuery = {
+      putClient: PutClient = null,
+      slotAdmin: graft.sources.SlotAdmin = null): StreamingQuery = {
+    prepareSlot(cfg, slotAdmin)
     val client = if (putClient != null) putClient
       else new graft.streaming.LocalFilePutClient(cfg.sinkDir)
     val writer = new OrderedAggregatingWriter(client)

@@ -83,6 +83,39 @@ class GraftJobSpec extends SparkSpec {
         """ "columntypes": ["text"], "columnvalues": ["x"]}}"""))
   }
 
+  test("slot options dispatch through config like the reference CLI") {
+    // reference __main__.py:56-60: recreate wins (drop then create),
+    // elif create; no flag, no DDL. Statements recorded via the
+    // injected executor; idempotency SQLSTATE handling is SlotAdmin's
+    // own spec.
+    val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val admin = new graft.sources.SlotAdmin(sql => stmts += sql)
+    val base = GraftConfig("/s", "/k", "/c", slotName = "myslot")
+
+    GraftJob.prepareSlot(base, admin)
+    assert(stmts.isEmpty, "no flags must issue no DDL")
+
+    GraftJob.prepareSlot(base.copy(createSlot = true), admin)
+    assert(stmts.toSeq == Seq(
+      "SELECT pg_create_logical_replication_slot('myslot', 'wal2json')"))
+
+    stmts.clear()
+    GraftJob.prepareSlot(
+      base.copy(recreateSlot = true, plugin = "test_decoding"), admin)
+    assert(stmts.toSeq == Seq(
+      "SELECT pg_drop_replication_slot('myslot')",
+      "SELECT pg_create_logical_replication_slot('myslot', 'test_decoding')"))
+
+    stmts.clear()
+    GraftJob.prepareSlot(
+      base.copy(createSlot = true, recreateSlot = true), admin)
+    assert(stmts.size == 2 && stmts.head.contains("drop"),
+      "recreate must win when both flags are set (reference elif)")
+
+    // null admin (no replication connection, e.g. file source): no-op
+    GraftJob.prepareSlot(base.copy(recreateSlot = true), null)
+  }
+
   test("full-change requires wal2json + CSVPayload, like the reference") {
     intercept[IllegalArgumentException] {
       GraftJob.transform(spark, GraftConfig("/nope", "/nope", "/nope",
