@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.sources.{PgReplicationSource, ReplicationStream, WalRecord}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+/** THE source contract, proven identically for every CDC transport:
+  * LSN-range offsets (k-th message has lsn k, head = message count),
+  * at-least-once with exactly-once across a checkpoint resume,
+  * maxRecordsPerTrigger admission, and commit(end) → transport ack
+  * (feedback may trail by one epoch — engine behavior). The file
+  * source and the walsender-backed pg source run the SAME suite, so a
+  * job composed on one transport behaves identically on the other.
+  */
+trait CdcSourceFixture {
+  def name: String
+  /** Extend the WAL with payload messages (lsn = arrival index). */
+  def append(payloads: Seq[String]): Unit
+  /** Fresh readStream DataFrame over this transport. */
+  def stream(maxPerTrigger: Long = Long.MaxValue): DataFrame
+  /** LSNs the transport has been told are flushed (K2 acks). */
+  def acked: Seq[Long]
+}
+
+abstract class CdcSourceContractSpec extends SparkSpec {
+  def mkFixture(): CdcSourceFixture
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-contract").toString
+
+  /** Run to quiescence through foreachBatch, collecting (lsn, payload,
+    * data_size) into `sink`; returns query progress row counts. */
+  private def drain(df: DataFrame, ckpt: String,
+      sink: scala.collection.mutable.Buffer[(Long, String, Long)])
+      : Seq[Long] = {
+    val counts = scala.collection.mutable.Buffer.empty[Long]
+    val q = df.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val rows = batch.collect()
+          sink.synchronized {
+            sink ++= rows.map(r => (r.getLong(1), r.getString(0), r.getLong(2)))
+          }
+          ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.recentProgress.foreach(p => if (p.numInputRows > 0)
+      counts += p.numInputRows)
+    q.stop()
+    counts.toSeq
+  }
+
+  test("contract: messages arrive exactly once, in LSN order, sized") {
+    val f = mkFixture()
+    val msgs = (0 until 25).map(i => s"""{"m": $i}""")
+    f.append(msgs)
+    val sink = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+    drain(f.stream(), tmpDir() + "/ckpt", sink)
+    val got = sink.sortBy(_._1)
+    assert(got.map(_._1) == (0L until 25L))
+    assert(got.map(_._2) == msgs)
+    assert(got.forall { case (_, p, sz) =>
+      sz == p.getBytes(StandardCharsets.UTF_8).length.toLong })
+  }
+
+  test("contract: maxRecordsPerTrigger bounds every micro-batch") {
+    val f = mkFixture()
+    f.append((0 until 20).map(i => s"m$i"))
+    val sink = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+    val counts = drain(f.stream(maxPerTrigger = 7), tmpDir() + "/ckpt", sink)
+    assert(sink.size == 20)
+    assert(counts.forall(_ <= 7), s"a batch exceeded the cap: $counts")
+    assert(counts.size >= 3, s"expected >= ceil(20/7) batches: $counts")
+  }
+
+  test("contract: checkpoint resume processes appended messages exactly once") {
+    val f = mkFixture()
+    val ckpt = tmpDir() + "/ckpt"
+    val sink = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+    f.append((0 until 10).map(i => s"a$i"))
+    drain(f.stream(), ckpt, sink)
+    assert(sink.size == 10)
+    f.append((0 until 10).map(i => s"b$i"))
+    drain(f.stream(), ckpt, sink)
+    val got = sink.sortBy(_._1)
+    assert(got.size == 20, "resume must neither replay nor drop")
+    assert(got.map(_._1) == (0L until 20L))
+    assert(got.map(_._2) ==
+      (0 until 10).map(i => s"a$i") ++ (0 until 10).map(i => s"b$i"))
+  }
+
+  test("contract: commits ack flushed LSNs to the transport, monotonically") {
+    val f = mkFixture()
+    val ckpt = tmpDir() + "/ckpt"
+    val sink = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+    f.append((0 until 6).map(i => s"x$i"))
+    drain(f.stream(), ckpt, sink)
+    // feedback trails by one epoch: run a second round so the first
+    // round's epochs are certainly acked
+    f.append((0 until 6).map(i => s"y$i"))
+    drain(f.stream(), ckpt, sink)
+    val acks = f.acked
+    assert(acks.nonEmpty, "no feedback reached the transport")
+    assert(acks == acks.sorted, s"feedback regressed: $acks")
+    assert(acks.last >= 6L, s"first round never acked: $acks")
+    assert(acks.last <= 12L, s"acked beyond delivered WAL: $acks")
+  }
+}
+
+/** File-backed transport (the tailed-file walsender stand-in). */
+class CdcFileSourceContractSpec extends CdcSourceContractSpec {
+  override def mkFixture(): CdcSourceFixture = new CdcSourceFixture {
+    private val dir = Files.createTempDirectory("graft-file-src")
+    private val path = dir.resolve("wal.jsonl")
+    override def name: String = "cdc-file"
+    override def append(payloads: Seq[String]): Unit =
+      Files.write(path, payloads.mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    override def stream(maxPerTrigger: Long): DataFrame =
+      spark.readStream
+        .format(classOf[graft.sources.CdcFileSourceProvider].getName)
+        .option("path", path.toString)
+        .option("maxRecordsPerTrigger", maxPerTrigger.toString)
+        .load()
+    override def acked: Seq[Long] = {
+      val fb = Paths.get(path.toString + ".feedback")
+      if (!Files.exists(fb)) Seq.empty
+      else new String(Files.readAllBytes(fb), StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
+    }
+  }
+}
+
+/** Walsender-backed transport over a faked replication connection:
+  * proves PgReplicationSource honors the identical contract without a
+  * Postgres (the ReplicationStream seam is what a pgjdbc
+  * PGReplicationStream adapter implements in production). */
+class PgReplicationSourceContractSpec extends CdcSourceContractSpec {
+  override def mkFixture(): CdcSourceFixture = new CdcSourceFixture {
+    private val wal =
+      new java.util.concurrent.CopyOnWriteArrayList[WalRecord]()
+    private val flushes =
+      new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
+    private val connName =
+      s"fake-${java.util.UUID.randomUUID().toString.take(8)}"
+    PgReplicationSource.registerConnection(connName, () =>
+      new ReplicationStream {
+        override def headLsn(): Long = wal.size().toLong
+        override def read(start: Long, end: Long): Iterator[WalRecord] = {
+          import scala.jdk.CollectionConverters._
+          // slot replay semantics: skip below start, stop at end
+          wal.iterator().asScala.filter(r => r.lsn >= start && r.lsn < end)
+        }
+        override def flushed(lsn: Long): Unit = flushes.add(lsn)
+      })
+    override def name: String = "cdc-pg"
+    override def append(payloads: Seq[String]): Unit =
+      payloads.foreach(p => wal.add(WalRecord(wal.size().toLong, p)))
+    override def stream(maxPerTrigger: Long): DataFrame =
+      spark.readStream
+        .format(classOf[graft.sources.PgReplicationSourceProvider].getName)
+        .option("connection", connName)
+        .option("maxRecordsPerTrigger", maxPerTrigger.toString)
+        .load()
+    override def acked: Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      flushes.iterator().asScala.map(_.toLong).toSeq
+    }
+  }
+}
