@@ -111,8 +111,15 @@ object GraftJob {
     * source's commit). */
   def start(spark: SparkSession, cfg: GraftConfig, pkCatalog: DataFrame,
       putClient: PutClient = null,
-      slotAdmin: graft.sources.SlotAdmin = null): StreamingQuery = {
+      slotAdmin: graft.sources.SlotAdmin = null,
+      streamLifecycle: graft.streaming.StreamLifecycle = null)
+      : StreamingQuery = {
     prepareSlot(cfg, slotAdmin)
+    // S4 (reference stream.py:19-30): create-tolerate-exists, then
+    // block until ACTIVE before the first put
+    if (streamLifecycle != null)
+      graft.streaming.StreamLifecycle.ensureActive(streamLifecycle,
+        cfg.sinkDir)
     val client = if (putClient != null) putClient
       else new graft.streaming.LocalFilePutClient(cfg.sinkDir)
     val writer = new OrderedAggregatingWriter(client)

@@ -37,6 +37,43 @@ trait PutClient extends Serializable {
 
 class ThrottlingException(msg: String) extends RuntimeException(msg)
 
+/** Kinesis "stream already exists" analog (boto3
+  * ResourceInUseException, reference stream.py:21-25). */
+class ResourceInUseException(msg: String) extends RuntimeException(msg)
+
+/** S4 sink DDL seam: what `boto3.client('kinesis')` provides of the
+  * stream lifecycle — create and describe. The AWS client drops in
+  * where spec fakes stand. */
+trait StreamLifecycle {
+  /** Create the stream (reference: ShardCount=1); must throw
+    * [[ResourceInUseException]] when it already exists. */
+  def createStream(name: String): Unit
+  /** Current stream status (CREATING/ACTIVE/...), None if absent. */
+  def streamStatus(name: String): Option[String]
+}
+
+object StreamLifecycle {
+  /** Reference stream.py:19-30: create the stream tolerating
+    * already-exists, then the boto3 `stream_exists` waiter — poll
+    * every 10 s for up to 18 attempts (180 s) until the stream is
+    * ACTIVE, else time out. The sleeper is injected so specs prove the
+    * waiter's schedule without real waiting. */
+  def ensureActive(lc: StreamLifecycle, name: String,
+      pollMillis: Long = 10000L, maxAttempts: Int = 18,
+      sleep: Long => Unit = Thread.sleep): Unit = {
+    try lc.createStream(name)
+    catch { case _: ResourceInUseException => () }
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      if (lc.streamStatus(name).contains("ACTIVE")) return
+      attempt += 1
+      if (attempt < maxAttempts) sleep(pollMillis)
+    }
+    throw new java.util.concurrent.TimeoutException(
+      s"stream $name not ACTIVE after ${pollMillis * (maxAttempts - 1)} ms")
+  }
+}
+
 /** Local-filesystem stand-in for the Kinesis shard: one file per
   * aggregated record, named by sequence number. failFirstAttemptEvery
   * injects a ThrottlingException on the first attempt of every Nth

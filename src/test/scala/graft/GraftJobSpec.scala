@@ -116,6 +116,45 @@ class GraftJobSpec extends SparkSpec {
     GraftJob.prepareSlot(base.copy(recreateSlot = true), null)
   }
 
+  test("stream lifecycle: create-tolerate-exists then ACTIVE waiter") {
+    import graft.streaming.{ResourceInUseException, StreamLifecycle}
+    // fresh stream: created, becomes ACTIVE after two polls
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    var polls = 0
+    var describes = 0
+    val fresh = new StreamLifecycle {
+      override def createStream(name: String): Unit = calls += s"create:$name"
+      override def streamStatus(name: String): Option[String] = {
+        describes += 1
+        Some(if (describes >= 3) "ACTIVE" else "CREATING")
+      }
+    }
+    StreamLifecycle.ensureActive(fresh, "s1", sleep = _ => polls += 1)
+    assert(calls.toSeq == Seq("create:s1"))
+    assert(describes == 3 && polls == 2, "waiter must poll until ACTIVE")
+
+    // existing stream: already-exists is tolerated (reference
+    // stream.py:21-25), waiter still runs
+    val existing = new StreamLifecycle {
+      override def createStream(name: String): Unit =
+        throw new ResourceInUseException("exists")
+      override def streamStatus(name: String): Option[String] = Some("ACTIVE")
+    }
+    StreamLifecycle.ensureActive(existing, "s2", sleep = _ => ())
+
+    // never-active: waiter gives up after maxAttempts (the 180 s bound)
+    var sleptMs = 0L
+    val stuck = new StreamLifecycle {
+      override def createStream(name: String): Unit = ()
+      override def streamStatus(name: String): Option[String] =
+        Some("CREATING")
+    }
+    intercept[java.util.concurrent.TimeoutException] {
+      StreamLifecycle.ensureActive(stuck, "s3", sleep = sleptMs += _)
+    }
+    assert(sleptMs == 10000L * 17, "boto3 waiter schedule: 18 x 10 s polls")
+  }
+
   test("full-change requires wal2json + CSVPayload, like the reference") {
     intercept[IllegalArgumentException] {
       GraftJob.transform(spark, GraftConfig("/nope", "/nope", "/nope",
