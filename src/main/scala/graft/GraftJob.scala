@@ -61,11 +61,9 @@ object GraftJob {
     val ops = cfg.expandedOps
     val out = cfg.plugin match {
       case "wal2json" =>
-        val raw = spark.readStream
-          .format(classOf[graft.sources.CdcFileSourceProvider].getName)
-          .option("path", cfg.sourcePath)
-          .option("maxRecordsPerTrigger", cfg.maxRecordsPerTrigger.toString)
-          .load()
+        // transport chosen by path ("pg:<conn>" → walsender source)
+        val raw = graft.sources.CdcSource.rawStream(spark, cfg.sourcePath,
+          cfg.maxRecordsPerTrigger)
         if (cfg.fullChange) {
           Cdc.parseWal2JsonFull(raw, "payload", cfg.tablePat)
             .withColumn("fmt_msg", Cdc.operationGate(col("operation"),

@@ -65,7 +65,11 @@ object ScaleProbe {
     }
     // steady-state warmup (codegen/JIT) on the small side
     ops.foreach(op => SparkEntry.queries(op)(spark, d).count())
+    // drop warmup state: cached data AND the session cluster memo —
+    // otherwise the 1x dedup_cluster timing measures a memo lookup
+    // (~0.1 s) against a full 10x computation and the ratio is noise
     spark.sharedState.cacheManager.clearCache()
+    graft.operators.Pipeline.resetMemo()
     val r = ops.flatMap { op =>
       val t1 = time(SparkEntry.queries(op)(spark, d).count())
       val tN = time(SparkEntry.queries(op)(spark, tmp).count())

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.functions.Cdc
-import graft.sources.CdcFileSourceProvider
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -28,11 +27,8 @@ object CdcPipeline {
   def transform(spark: SparkSession, sourcePath: String,
       pkCatalog: DataFrame, operations: Seq[String],
       maxRecordsPerTrigger: Long = Long.MaxValue): DataFrame = {
-    val raw = spark.readStream
-      .format(classOf[CdcFileSourceProvider].getName)
-      .option("path", sourcePath)
-      .option("maxRecordsPerTrigger", maxRecordsPerTrigger.toString)
-      .load()
+    val raw = graft.sources.CdcSource.rawStream(spark, sourcePath,
+      maxRecordsPerTrigger)
     val parsed = Cdc.parseWal2Json(raw, "payload", pkCatalog)
     parsed
       .withColumn("fmt_msg", Cdc.operationGate(col("operation"),
@@ -60,11 +56,8 @@ object CdcPipeline {
       : org.apache.spark.sql.Dataset[(Long, Long, String, String, String)] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val raw = spark.readStream
-      .format(classOf[CdcFileSourceProvider].getName)
-      .option("path", sourcePath)
-      .option("maxRecordsPerTrigger", maxRecordsPerTrigger.toString)
-      .load()
+    val raw = graft.sources.CdcSource.rawStream(spark, sourcePath,
+      maxRecordsPerTrigger)
       .select(col("lsn"), col("payload")).as[(Long, String)]
     val TableLine = "^table ([^:]+): (\\w+): (.*)$".r
     raw

@@ -116,6 +116,33 @@ class GraftJobSpec extends SparkSpec {
     GraftJob.prepareSlot(base.copy(recreateSlot = true), null)
   }
 
+  test("walsender transport end-to-end through the front door (pg: path)") {
+    import graft.sources.{PgReplicationSource, ReplicationStream, WalRecord}
+    val wal = new java.util.concurrent.CopyOnWriteArrayList[WalRecord]()
+    val flushes =
+      new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
+    (0 until 4).foreach(i => wal.add(WalRecord(i.toLong,
+      s"""{"xid": ${500 + i}, "change": [{"kind": "insert",""" +
+        s""" "schema": "public", "table": "species",""" +
+        s""" "columnnames": ["id"], "columntypes": ["integer"],""" +
+        s""" "columnvalues": [$i]}]}""")))
+    val connName = s"job-fake-${java.util.UUID.randomUUID().toString.take(8)}"
+    PgReplicationSource.registerConnection(connName, () =>
+      new ReplicationStream {
+        override def headLsn(): Long = wal.size().toLong
+        override def read(start: Long, end: Long): Iterator[WalRecord] = {
+          import scala.jdk.CollectionConverters._
+          wal.iterator().asScala.filter(r => r.lsn >= start && r.lsn < end)
+        }
+        override def flushed(lsn: Long): Unit = flushes.add(lsn)
+      })
+    val dir = tmp()
+    run(GraftConfig(s"pg:$connName", s"$dir/sink", s"$dir/ckpt",
+      formatter = "CSV", sendWindowSecs = 0))
+    assert(records(s"$dir/sink") == (0 until 4).map(i =>
+      s"0,CDC,${500 + i},public.species,insert,$i"))
+  }
+
   test("stream lifecycle: create-tolerate-exists then ACTIVE waiter") {
     import graft.streaming.{ResourceInUseException, StreamLifecycle}
     // fresh stream: created, becomes ACTIVE after two polls
