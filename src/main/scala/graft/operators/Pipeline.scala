@@ -229,6 +229,40 @@ object Pipeline extends QueryModule {
         .orderBy(col("shard"))
     }),
 
+    // Sequence packing: greedy fixed-token-budget packing per shard in
+    // doc_id order — the final assembly step before training
+    // (contiguous documents concatenate into fixed-length sequences; a
+    // doc over budget takes a pack alone, truncation is the
+    // tokenizer's concern downstream). Greedy-with-reset is inherently
+    // sequential PER SHARD, so the shard is the parallel unit —
+    // exactly how packing runs at 100 TB: thousands of shards packed
+    // concurrently, one linear scan each, no cross-shard coordination.
+    // Output is the pack PLAN (doc -> pack id + running token count),
+    // the thing a writer partitions on.
+    "pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      val budget = 512L
+      documents(s, d).select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat('sh', cast(doc_id as string)))," +
+          " 1, 8), 16, 10) as bigint) % 8").as("shard"),
+        expr("size(filter(split(text, '\\\\s+'), t -> t != ''))")
+          .cast("long").as("tokens"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._2)
+        .flatMapGroups { (shard, it) =>
+          val sorted = it.toArray.sortBy(_._1)
+          var pack = 0L
+          var acc = 0L
+          sorted.iterator.map { case (docId, _, tk) =>
+            if (acc > 0 && acc + tk > budget) { pack += 1; acc = tk }
+            else acc += tk
+            (shard, docId, tk, pack)
+          }
+        }
+        .toDF("shard", "doc_id", "tokens", "pack_id")
+        .orderBy(col("shard"), col("doc_id"))
+    }),
+
     // Survivor selection: drop every near-dup cluster member except
     // the min-id representative — the decision a dedup pipeline
     // actually ships. Anti-join of the corpus against the non-survivor
@@ -320,6 +354,34 @@ object Pipeline extends QueryModule {
         |FROM c JOIN b ON c.s = b.s
         |GROUP BY 1, 2 HAVING COUNT(*) >= 8
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // The greedy reset is sequential per shard; the oracle walks it
+    // with a recursive CTE joined on per-shard row number (iteration
+    // depth = max docs per shard).
+    "pack_sequences" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 8 AS shard,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY
+        |      ('0x' || substr(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, rn, doc_id, tokens, tokens AS acc,
+        |    CAST(0 AS BIGINT) AS pack_id
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.rn, t.doc_id, t.tokens,
+        |    CASE WHEN p.acc + t.tokens > 512 THEN t.tokens
+        |      ELSE p.acc + t.tokens END,
+        |    CASE WHEN p.acc + t.tokens > 512 THEN p.pack_id + 1
+        |      ELSE p.pack_id END
+        |  FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT shard, doc_id, tokens, pack_id FROM p
+        |ORDER BY shard, doc_id""".stripMargin,
 
     "shard_assign" ->
       """SELECT ('0x' || substr(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS shard,

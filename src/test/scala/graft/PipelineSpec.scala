@@ -158,4 +158,34 @@ class PipelineSpec extends SparkSpec {
       assert(vmin <= mean && mean <= vmax)
     }
   }
+
+  test("sequence packing: every doc planned once, packs respect the budget") {
+    val budget = 512L
+    val rows = SparkEntry.queries("pack_sequences")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong == nDocs, "every document must be planned")
+    rows.groupBy(_._1).foreach { case (shard, docs) =>
+      // pack ids advance monotonically in doc order, starting at 0
+      val inOrder = docs.sortBy(_._2)
+      assert(inOrder.head._4 == 0L)
+      inOrder.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 == a._4 || b._4 == a._4 + 1,
+          s"shard $shard: pack ids must advance by 0 or 1")
+      }
+      // a pack only exceeds the budget when it is a single oversized doc
+      inOrder.groupBy(_._4).foreach { case (pack, members) =>
+        val total = members.map(_._3).sum
+        assert(total <= budget || members.length == 1,
+          s"shard $shard pack $pack: $total tokens in ${members.length} docs")
+      }
+      // greedy tightness: a pack's first doc never fits the prior pack
+      inOrder.groupBy(_._4).toSeq.sortBy(_._1).sliding(2).foreach {
+        case Seq((_, prev), (_, cur)) =>
+          assert(prev.map(_._3).sum + cur.minBy(_._2)._3 > budget,
+            s"shard $shard: pack split although the next doc fit")
+        case _ => ()
+      }
+    }
+  }
 }
