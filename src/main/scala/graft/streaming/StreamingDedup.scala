@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.expressions.{MinHashSig, ShingleHashes}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingest-time deduplication with CROSS-BATCH state — the
+  * gate a training-data pipeline puts in front of its corpus store so
+  * a document crawled today is recognized against everything ingested
+  * before it (a within-batch dedup, or `dropDuplicates` with a
+  * watermark, forgets; this state deliberately does not).
+  *
+  * Two tiers, both keyed-state ops that scale horizontally with the
+  * state key, not the corpus:
+  *
+  *  - [[exactGate]]: keyed by content md5. State per distinct content
+  *    is ONE long (the first doc id) — the minimum possible for exact
+  *    first-wins semantics. All duplicates of a content hash route to
+  *    one task; distinct contents spread across the cluster.
+  *  - [[nearDupCandidates]]: keyed by MinHash band bucket (the
+  *    streaming face of the batch LSH in operators/Dedup — same
+  *    ShingleHashes/MinHashSig expressions, same banding math). State
+  *    per bucket is one long. Emits (doc_id, first_id) for every
+  *    band collision with an EARLIER doc — a candidate stream for
+  *    downstream exact verification, exactly like the batch pipeline's
+  *    candidates; a pair may surface from several bands, so consumers
+  *    dedup/verify (the batch verify kernel applies unchanged).
+  *
+  * At-least-once note: state updates commit with the checkpoint, so a
+  * replayed batch re-emits the same decisions (first-wins is
+  * idempotent — the min doc id is stable under replay).
+  */
+object StreamingDedup {
+  case class Doc(doc_id: Long, text: String)
+  case class GateResult(doc_id: Long, first_id: Long, is_first: Boolean)
+  case class Candidate(doc_id: Long, first_id: Long)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Exact-content first-wins gate. Within a batch the min doc_id is
+    * the first (arrival order inside one micro-batch is not
+    * meaningful); across batches the stored first wins. */
+  def exactGate(docs: Dataset[Doc]): Dataset[GateResult] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => md5Hex(d.text))
+      .flatMapGroupsWithState[Long, GateResult](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_, it, state: GroupState[Long]) => {
+          val batch = it.toVector.sortBy(_.doc_id)
+          var first = state.getOption.getOrElse(Long.MaxValue)
+          val out = batch.map { d =>
+            if (d.doc_id < first) first = d.doc_id
+            GateResult(d.doc_id, first, d.doc_id == first)
+          }
+          state.update(first)
+          out.iterator
+        })
+  }
+
+  /** MinHash band-bucket candidate stream (16×3 banding by default —
+    * the same miss probability as the batch LSH: ~1e-5 per true pair
+    * at j=0.8). */
+  def nearDupCandidates(docs: DataFrame, bands: Int = 16,
+      rowsPerBand: Int = 3): Dataset[Candidate] = {
+    import docs.sparkSession.implicits._
+    val numPerm = bands * rowsPerBand
+    val bandStructs = (0 until bands).map { bi =>
+      val slice = (0 until rowsPerBand).map(ri =>
+        element_at(col("sig"), bi * rowsPerBand + ri + 1))
+      struct(lit(bi).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    docs
+      .select(col("doc_id"),
+        MinHashSig.minhash_sig(
+          ShingleHashes.shingle_hashes(col("text"), 8), numPerm).as("sig"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, Candidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_, it, state: GroupState[Long]) => {
+          val batch = it.toVector.sortBy(_._1)
+          var first = state.getOption.getOrElse(Long.MaxValue)
+          val out = batch.flatMap { case (id, _, _) =>
+            val hit = if (first < id) Some(Candidate(id, first)) else None
+            if (id < first) first = id
+            hit
+          }
+          state.update(first)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.StreamingDedup
+import graft.streaming.StreamingDedup.{Candidate, Doc, GateResult}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Cross-batch streaming dedup: the keyed state must recognize content
+  * ingested in EARLIER micro-batches — the property neither a
+  * within-batch dedup nor a watermarked dropDuplicates provides. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen " +
+      "auditors examine wire formats and replication slots before " +
+      "breakfast because deterministic pipelines demand evidence " +
+      "of every byte moved across the network in commit order"
+
+  test("exact gate: first wins across micro-batch boundaries") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamingDedup.exactGate(in.toDS())
+      .writeStream.format("memory").queryName("exact_gate")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: three distinct docs
+    in.addData(Doc(1, base), Doc(2, base + " two"), Doc(3, base + " three"))
+    q.processAllAvailable()
+    // batch 2: doc 11 duplicates doc 1's content, doc 13 is fresh
+    in.addData(Doc(11, base), Doc(13, base + " thirteen"))
+    q.processAllAvailable()
+    val got = spark.table("exact_gate").as[GateResult].collect()
+      .map(r => r.doc_id -> ((r.first_id, r.is_first))).toMap
+    q.stop()
+    assert(got(1L) == ((1L, true)) && got(2L) == ((2L, true)) &&
+      got(3L) == ((3L, true)))
+    assert(got(11L) == ((1L, false)),
+      "a later batch's duplicate must resolve to the original")
+    assert(got(13L) == ((13L, true)))
+  }
+
+  test("near-dup candidates: band state flags edited re-ingests") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamingDedup.nearDupCandidates(in.toDF())
+      .writeStream.format("memory").queryName("near_gate")
+      .outputMode(OutputMode.Append).start()
+    in.addData(Doc(1, base), Doc(2, "entirely different text about " +
+      "orbital mechanics and the restricted three body problem with " +
+      "lagrange points libration and halo orbits near translunar space"))
+    q.processAllAvailable()
+    // doc 21: doc 1's text with one word edited (high jaccard) --
+    // must collide with doc 1 in at least one band; doc 22: unrelated
+    in.addData(Doc(21, base.replace("auditors", "referees")),
+      Doc(22, "completely unrelated content on fermentation chemistry " +
+        "yeast metabolism lactic acid bacteria and the maillard " +
+        "reaction in long fermented sourdough baking processes"))
+    q.processAllAvailable()
+    val pairs = spark.table("near_gate").as[Candidate].collect()
+      .map(c => (c.doc_id, c.first_id)).distinct.toSet
+    q.stop()
+    assert(pairs.contains((21L, 1L)),
+      s"edited re-ingest not flagged against the original: $pairs")
+    assert(!pairs.exists(_._1 == 22L),
+      s"unrelated doc falsely flagged: $pairs")
+    assert(!pairs.exists(_._1 == 2L), s"batch-1 distinct docs collided: $pairs")
+  }
+}
