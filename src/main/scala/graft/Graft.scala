@@ -31,6 +31,8 @@ object Graft {
         intLit(exprs(2), "lsh_codes bitsPerTable")), "scala_udf")
     reg.createOrReplaceTempFunction("py_json",
       exprs => expressions.PyJson(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("full_change_rows",
+      exprs => expressions.FullChangeRows(exprs.head), "scala_udf")
     // aggregate: the analyzer wraps a bare AggregateFunction builder
     reg.createOrReplaceTempFunction("kmv_smallest",
       exprs => expressions.KmvSmallest(exprs.head,

@@ -70,7 +70,8 @@ object PyJson {
     } finally p.close()
   }
 
-  private def writeValue(p: JsonParser, sb: java.lang.StringBuilder): Unit =
+  private[expressions] def writeValue(
+      p: JsonParser, sb: java.lang.StringBuilder): Unit =
     p.currentToken() match {
       case JsonToken.START_OBJECT =>
         sb.append('{')
@@ -103,7 +104,8 @@ object PyJson {
     }
 
   /** CPython json (ensure_ascii=True) string escaping. */
-  private def writeString(s: String, sb: java.lang.StringBuilder): Unit = {
+  private[expressions] def writeString(
+      s: String, sb: java.lang.StringBuilder): Unit = {
     sb.append('"')
     var i = 0
     while (i < s.length) {

@@ -97,36 +97,32 @@ object Cdc {
       df: DataFrame, payloadCol: String,
       tablePat: String = defaultTablePat): DataFrame = {
     val keep = df.columns.filter(_ != payloadCol).map(col).toSeq
-    df.withColumn("xid",
-        get_json_object(col(payloadCol), "$.xid").cast("long"))
-      // 1→N raw-element explode (P4): element i extracted as raw text;
-      // empty/missing change arrays yield a null sequence, which
-      // explode drops
-      .withColumn("_n", expr(
-        s"json_array_length(get_json_object(`$payloadCol`, '$$.change'))"))
-      .withColumn("_i",
-        explode(when(col("_n") > 0, sequence(lit(0), col("_n") - 1))))
-      .withColumn("change_json", expr(
-        s"get_json_object(`$payloadCol`, concat('$$.change[', _i, ']'))"))
+    // single-parse extraction (FullChangeRows): one Jackson walk per
+    // message yields every change element's routing fields AND its
+    // dumps-rendered raw text; explode is the 1→N flat-map (P4 —
+    // empty/missing change arrays produce no rows)
+    df.withColumn("_c", explode(
+        graft.expressions.FullChangeRows.full_change_rows(col(payloadCol))))
       .withColumn("table_name",
-        concat(get_json_object(col("change_json"), "$.schema"), lit("."),
-          get_json_object(col("change_json"), "$.table")))
+        concat(col("_c.schema"), lit("."), col("_c.table")))
       .filter(col("table_name").rlike(tablePat))
-      .select((keep :+ col("xid") :+ col("table_name") :+
-        get_json_object(col("change_json"), "$.kind").as("operation") :+
-        col("change_json")): _*)
+      .select((keep :+ col("_c.xid").as("xid") :+ col("table_name") :+
+        col("_c.kind").as("operation") :+
+        col("_c.change_py").as("change_json")): _*)
   }
 
   /** X2 in full-change mode: `0,CDC,{json of {xid, change}}` — the
     * FullChange serialization, byte-identical to the reference
     * (formatter.py:158-163: `json.dumps(FullChange._asdict())` with
     * default `', '`/`': '` separators and ensure_ascii; README.rst:
-    * 107-117). The raw element re-serializes through [[graft.expressions.PyJson]],
-    * so field order, `oldkeys`, and numeric value tokens all survive. */
+    * 107-117). `changeJson` must already be dumps-rendered, as
+    * [[parseWal2JsonFull]] emits (via FullChangeRows/PyJson — field
+    * order, `oldkeys`, and numeric value tokens all survive); apply
+    * [[graft.expressions.PyJson.py_json]] first for JSON from any
+    * other source. */
   def csvPayloadFull(xid: Column, changeJson: Column): Column =
     concat(lit("0,CDC,{\"xid\": "), xid.cast("string"),
-      lit(", \"change\": "),
-      graft.expressions.PyJson.py_json(changeJson), lit("}"))
+      lit(", \"change\": "), changeJson, lit("}"))
 
   // -------------------------------------------------------------------
   // P1/P3/F1/F3/J1: test_decoding text → Change rows with xact carry.
