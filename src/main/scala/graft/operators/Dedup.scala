@@ -103,7 +103,10 @@ object Dedup extends QueryModule {
       // the trade to make.
       val K = 16
       val sets = shingleSets(documents(s, d))
-      val prefixes = prefixTable(sets, K)
+      // cached: both sides of the candidate self-join consume it, and
+      // AQE does not reuse the exchange across self-join aliases here —
+      // without the cache the df-agg + join + window pipeline runs twice
+      val prefixes = prefixTable(sets, K).cache()
       // length filter inside the candidate join: J >= 0.8 forces
       // 4*max(n) <= 5*min(n), killing size-mismatched pairs before
       // the expensive set intersection. Candidates then need >= K
