@@ -356,6 +356,39 @@ object Relational extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    // RANGE-frame window (value-based frame, not row-based): for each
+    // order, how many of the same customer's orders fall within
+    // [price - 1000, price], and their decimal-exact sum. Distinct
+    // semantics from ROWS frames: peers enter by VALUE distance, so
+    // ties and gaps behave differently.
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, 0L)
+      orders(s, d)
+        .withColumn("n_near", count(lit(1)).over(w))
+        .withColumn("sum_near",
+          sum(dsumExpr(col("o_totalprice"))).over(w).cast("double") / 1e8)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("n_near"), col("sum_near"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Distribution window functions: percent_rank / cume_dist over
+    // order price within market segment (exact rational arithmetic in
+    // both engines, so doubles match bit-for-bit).
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice"))
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          col("o_totalprice"), col("pr"), col("cd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Session windows (5-minute gap) in batch: Spark's session_window
     // vs the oracle's gaps-and-islands formulation — same boundaries,
     // same aggregates. The streaming form of this operator is covered
@@ -699,6 +732,24 @@ object Relational extends QueryModule {
         |FROM events WHERE event_type = 'purchase'
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  COUNT(*) OVER w AS n_near,
+        |  CAST(SUM(CAST(round(o_totalprice * 1e8) AS HUGEINT)) OVER w
+        |    AS DOUBLE) / 1e8 AS sum_near
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderkey, c_mktsegment, o_totalprice,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_session_windows" ->
       s"""WITH e AS (
