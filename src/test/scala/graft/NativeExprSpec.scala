@@ -182,6 +182,35 @@ class NativeExprSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("full_change_rows: one-parse extraction handles field order and edges") {
+    import graft.expressions.FullChangeRows.full_change_rows
+    def rows(payload: String) =
+      Seq(payload).toDF("p").select(explode(full_change_rows(col("p"))).as("c"))
+        .select("c.xid", "c.schema", "c.table", "c.kind", "c.change_py")
+        .collect()
+    // multi-element array; xid AFTER change (field order must not matter)
+    val out = rows(
+      """{"change": [{"kind": "insert", "schema": "s", "table": "t1",
+        | "columnvalues": [1, "a"]},
+        |{"kind": "delete", "schema": "s", "table": "t2",
+        | "oldkeys": {"keyvalues": [2]}}], "xid": 42}""".stripMargin)
+    assert(out.length == 2)
+    assert(out.forall(_.getLong(0) == 42L))
+    assert(out(0).getString(3) == "insert" && out(1).getString(3) == "delete")
+    assert(out(0).getString(4) ==
+      """{"kind": "insert", "schema": "s", "table": "t1",""" +
+        """ "columnvalues": [1, "a"]}""")
+    assert(out(1).getString(4).contains(""""oldkeys": {"keyvalues": [2]}"""))
+    // element missing routing fields -> null fields, row still emitted
+    val sparse = rows("""{"xid": 7, "change": [{"columnvalues": [9]}]}""")
+    assert(sparse.length == 1 && sparse(0).isNullAt(2) &&
+      sparse(0).getString(4) == """{"columnvalues": [9]}""")
+    // empty array / malformed payload -> zero rows (explode drops null)
+    assert(rows("""{"xid": 7, "change": []}""").isEmpty)
+    assert(rows("""{"xid": 7, "change": "nope"}""").isEmpty)
+    assert(rows("{broken").isEmpty)
+  }
+
   test("native expressions: interpreted eval matches codegen") {
     val df = spark.read.parquet(s"$sf/documents.parquet").limit(40)
     def run(): Seq[(Int, Seq[Long])] = df.select(
