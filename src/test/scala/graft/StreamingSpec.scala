@@ -137,6 +137,28 @@ class StreamingSpec extends SparkSpec {
     assert(sinkRecords(s"$dir/sink").size == 6)
   }
 
+  test("throttling: backoff exhaustion hard-fails like the reference") {
+    // reference stream.py:73-74: when the backoff budget is spent the
+    // exception propagates and the job halts — delivery must never
+    // silently drop a record
+    import graft.streaming.{OrderedAggregatingWriter, PutClient, ThrottlingException}
+    import spark.implicits._
+    val alwaysThrottled = new PutClient {
+      override def put(seq: Long, data: Array[Byte]): Unit =
+        throw new ThrottlingException("permanent throttle")
+      override def deliveredCount(): Long = 0L
+    }
+    val writer = new OrderedAggregatingWriter(alwaysThrottled,
+      backoffBaseMs = 1, backoffLimitMs = 5)
+    val batch = Seq((0L, "0,CDC,1,public.t,insert,1", 1L))
+      .toDF("lsn", "fmt_msg", "xid")
+    val e = intercept[Exception] { writer.writeBatch(batch, 0L) }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[ThrottlingException]),
+      s"expected ThrottlingException in cause chain, got $e")
+  }
+
   test("test_decoding xid carry survives a micro-batch boundary") {
     val dir = tmp()
     val src = writeSource(dir, Seq(
