@@ -56,11 +56,26 @@ object CdcFileSource {
     StructField("lsn", LongType, nullable = false),
     StructField("data_size", LongType, nullable = false)))
 
-  def readLines(path: String): Vector[String] = {
+  /** Line count without materializing contents — the admission side
+    * reads this every trigger, so it must stay O(file bytes) scanned
+    * but O(1) held (readAllLines per trigger on an ever-growing WAL
+    * file trends quadratic in total work AND holds the whole file). */
+  def lineCount(path: String): Long = {
     val p = Paths.get(path)
-    if (Files.exists(p))
-      Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toVector
-    else Vector.empty
+    if (!Files.exists(p)) return 0L
+    val s = Files.lines(p, StandardCharsets.UTF_8)
+    try s.count() finally s.close()
+  }
+
+  /** Stream lines [start, end) without materializing the prefix. */
+  def lineRange(path: String, start: Long, end: Long)
+      : (Iterator[String], AutoCloseable) = {
+    val p = Paths.get(path)
+    if (!Files.exists(p) || end <= start)
+      return (Iterator.empty, () => ())
+    val s = Files.lines(p, StandardCharsets.UTF_8)
+      .skip(start).limit(end - start)
+    (s.iterator().asScala, s)
   }
 }
 
@@ -91,7 +106,7 @@ class CdcFileMicroBatchStream(path: String, maxPerTrigger: Long)
   override def initialOffset(): Offset = LsnOffset(0L)
 
   override def latestOffset(): Offset = {
-    val total = CdcFileSource.readLines(path).size.toLong
+    val total = CdcFileSource.lineCount(path)
     val base = if (lastPlanned < 0) 0L else lastPlanned
     // saturating add: base + Long.MaxValue must not wrap negative, or
     // the offset oscillates and the engine schedules empty batches
@@ -143,17 +158,19 @@ class CdcFileReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcFilePartition]
-    val lines = CdcFileSource.readLines(p.path)
+    val (it, handle) = CdcFileSource.lineRange(p.path, p.start, p.end)
     new PartitionReader[InternalRow] {
-      private var i = p.start - 1
-      override def next(): Boolean = { i += 1; i < p.end && i < lines.size }
-      override def get(): InternalRow = {
-        val payload = lines(i.toInt)
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(payload), i,
-          payload.getBytes(StandardCharsets.UTF_8).length.toLong))
+      private var lsn = p.start - 1
+      private var payload: String = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        payload = it.next(); lsn += 1; true
       }
-      override def close(): Unit = ()
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(payload), lsn,
+          payload.getBytes(StandardCharsets.UTF_8).length.toLong))
+      override def close(): Unit = handle.close()
     }
   }
 }
