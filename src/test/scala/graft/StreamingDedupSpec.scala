@@ -39,6 +39,43 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got(13L) == ((13L, true)))
   }
 
+  test("exact gate state survives a query restart (checkpoint recovery)") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-dedup-ckpt").toString
+    val results =
+      new java.util.concurrent.CopyOnWriteArrayList[GateResult]()
+    def run(in: MemoryStream[Doc])(feed: => Unit): Unit = {
+      val q = StreamingDedup.exactGate(in.toDS())
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[GateResult], _: Long) =>
+            b.collect().foreach(results.add)
+            ()
+        }
+        .start()
+      feed
+      q.processAllAvailable()
+      q.stop()
+    }
+    // same source instance, but a NEW query execution per run against
+    // the same checkpoint: batch 2 runs under a restarted query whose
+    // keyed state must come back from the state store (committed
+    // offsets mean batch 1 is NOT replayed — dedup of doc 31 can only
+    // succeed via recovered state)
+    val in = MemoryStream[Doc]
+    run(in) { in.addData(Doc(1, base), Doc(2, base + " two")) }
+    run(in) { in.addData(Doc(31, base), Doc(32, base + " fresh")) }
+    import scala.jdk.CollectionConverters._
+    val got = results.iterator().asScala
+      .map(r => r.doc_id -> ((r.first_id, r.is_first))).toMap
+    assert(got(31L) == ((1L, false)),
+      s"restarted query forgot pre-restart content: $got")
+    assert(got(32L) == ((32L, true)))
+  }
+
   test("near-dup candidates: band state flags edited re-ingests") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[Doc]
