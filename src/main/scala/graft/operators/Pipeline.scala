@@ -304,6 +304,34 @@ object Pipeline extends QueryModule {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // Int8 symmetric per-vector quantization audit — the storage/
+    // serving transform for embeddings at scale (4x smaller than
+    // float32, distance-preserving to ~scale/2 per dim). Pure per-row
+    // map, no shuffle: scale = max|v|/127, q_i = round(v_i/scale); the
+    // query reports the exact integer checksum of the codes (proves
+    // the codes themselves match across engines, not just summaries),
+    // the max reconstruction error, and a sequential-fold MSE — every
+    // arithmetic step is a single IEEE double op or an integer, so the
+    // DuckDB oracle reproduces it bit-for-bit.
+    "emb_quantize" -> ((s, d) => {
+      embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("scale", expr(
+          "array_max(transform(v, x -> abs(x))) / 127.0D"))
+        .withColumn("q", expr(
+          "CASE WHEN scale = 0.0D THEN transform(v, x -> 0L)" +
+            " ELSE transform(v, x -> cast(round(x / scale) as bigint)) END"))
+        .withColumn("err", expr(
+          "CASE WHEN scale = 0.0D THEN transform(v, x -> 0.0D)" +
+            " ELSE zip_with(v, q, (x, c) -> abs(x - c * scale)) END"))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(q, 0L, (acc, c) -> acc + c)").as("q_checksum"),
+          expr("array_max(err)").as("max_err"),
+          expr("aggregate(err, 0.0D, (acc, e) -> acc + e * e)" +
+            " / size(err)").as("mse"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Per-dimension embedding statistics: one narrow explode + one
     // aggregate, the standard health check before indexing/training.
     // Mean goes through the shared decimal quantization so partial
@@ -454,6 +482,33 @@ object Pipeline extends QueryModule {
         |  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS doc_share
         |FROM documents GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH t AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM t),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    CASE WHEN scale = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+        |    END AS qc
+        |  FROM s),
+        |e AS (
+        |  SELECT vec_id, scale, qc,
+        |    CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0.0)
+        |      ELSE list_transform(generate_series(1, len(v)),
+        |        i -> abs(v[i] - qc[i] * scale)) END AS err
+        |  FROM q)
+        |SELECT vec_id, scale,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), qc),
+        |    (acc, c) -> acc + c) AS q_checksum,
+        |  list_max(err) AS max_err,
+        |  list_reduce(list_prepend(0.0, list_transform(err, x -> x * x)),
+        |    (acc, e) -> acc + e) / len(err) AS mse
+        |FROM e ORDER BY vec_id""".stripMargin,
 
     "emb_label_stats" -> {
       s"""SELECT label, i AS dim, COUNT(*) AS n,

@@ -133,6 +133,42 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Within-document repetition signals (the Gopher-style quality
+    // cuts): fraction of tokens consumed by the single most frequent
+    // token, and fraction of token 5-grams that occur more than once
+    // in the same document. Both are integer counts plus one exact
+    // division, so fully oracle-checked. The shuffles key on
+    // (doc_id, gram) — high cardinality, uniformly spread — so the
+    // shape stays balanced at corpus scale; no cross-document state.
+    "text_repetition" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("grams", expr(
+          "CASE WHEN size(toks) >= 5 THEN transform(sequence(1, size(toks) - 4)," +
+            " i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]," +
+            " toks[i + 2], toks[i + 3])) ELSE array() END"))
+      val uni = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("top_tok_n"), sum(col("n")).as("n_tokens"))
+      val dup = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("n") >= 2, col("n")).otherwise(lit(0L)))
+          .as("dup5_n"))
+      docs.select(col("doc_id"), size(col("grams")).cast("long").as("n_5grams"))
+        .join(uni, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("top_tok_n"),
+          when(col("n_tokens") > 0,
+            col("top_tok_n").cast("double") / col("n_tokens")).as("top_frac"),
+          col("n_5grams"), coalesce(col("dup5_n"), lit(0L)).as("dup5_n"),
+          when(col("n_5grams") > 0,
+            coalesce(col("dup5_n"), lit(0L)).cast("double") / col("n_5grams"))
+            .as("dup5_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Karp-Rabin content fingerprint: sequential modular fold over
     // character codes (base 257 mod 1e9+7). Order-dependent by design
     // — it IS the document identity — and exactly portable because
@@ -209,6 +245,39 @@ object TextAnalysis extends QueryModule {
          |  END AS coverage
          |FROM b LEFT JOIN nc ON b.doc_id = nc.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) >= 5 THEN
+         |      list_transform(generate_series(1, len(toks) - 4),
+         |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+         |          || ' ' || toks[i + 3] || ' ' || toks[i + 4])
+         |    ELSE [] END AS grams
+         |  FROM t),
+         |uni AS (
+         |  SELECT doc_id, MAX(n) AS top_tok_n, SUM(n) AS n_tokens FROM (
+         |    SELECT doc_id, u.t, COUNT(*) AS n FROM t, UNNEST(toks) u(t)
+         |    GROUP BY doc_id, u.t) GROUP BY doc_id),
+         |dup AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup5_n FROM (
+         |    SELECT doc_id, u.g, COUNT(*) AS n FROM g, UNNEST(grams) u(g)
+         |    GROUP BY doc_id, u.g) GROUP BY doc_id)
+         |SELECT g.doc_id, CAST(uni.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(uni.top_tok_n AS BIGINT) AS top_tok_n,
+         |  CASE WHEN uni.n_tokens > 0 THEN
+         |    CAST(uni.top_tok_n AS DOUBLE) / uni.n_tokens END AS top_frac,
+         |  CAST(len(g.grams) AS BIGINT) AS n_5grams,
+         |  CAST(COALESCE(dup.dup5_n, 0) AS BIGINT) AS dup5_n,
+         |  CASE WHEN len(g.grams) > 0 THEN
+         |    CAST(COALESCE(dup.dup5_n, 0) AS DOUBLE) / len(g.grams)
+         |  END AS dup5_frac
+         |FROM g LEFT JOIN uni ON g.doc_id = uni.doc_id
+         |LEFT JOIN dup ON g.doc_id = dup.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -159,6 +159,48 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: codes within [-127,127], error bounded by scale/2") {
+    val rows = SparkEntry.queries("emb_quantize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    assert(rows.length == vecs.size)
+    rows.foreach { case (id, scale, checksum, maxErr, mse) =>
+      val v = vecs(id).map(_.toDouble)
+      val expScale = v.map(math.abs).max / 127.0
+      assert(scale == expScale, s"vec $id scale")
+      val q = v.map(x => math.round(x / scale))
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code range")
+      assert(checksum == q.sum, s"vec $id checksum")
+      // round-to-nearest reconstruction is within half a step per dim
+      assert(maxErr <= scale / 2 + 1e-12, s"vec $id maxErr $maxErr")
+      assert(mse <= maxErr * maxErr + 1e-12 && mse >= 0.0, s"vec $id mse")
+    }
+  }
+
+  test("repetition signals match a brute-force within-doc recount") {
+    val rows = SparkEntry.queries("text_repetition")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    val texts = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { case (id, nTok, topN, n5, dup5) =>
+      val toks = texts(id)
+      assert(nTok == toks.length, s"doc $id n_tokens")
+      assert(topN == toks.groupBy(identity).values.map(_.size).max,
+        s"doc $id top_tok_n")
+      val grams = toks.sliding(5).filter(_.size == 5)
+        .map(_.mkString(" ")).toSeq
+      assert(n5 == grams.length, s"doc $id n_5grams")
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      assert(dup5 == counts.values.filter(_ >= 2).sum, s"doc $id dup5_n")
+    }
+  }
+
   test("sequence packing: every doc planned once, packs respect the budget") {
     val budget = 512L
     val rows = SparkEntry.queries("pack_sequences")(spark, sf).collect()
