@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The query surface whole-stage-codegens several hundred classes per
+  // session; the JVM's default 240 MB code cache then churns (sweeping
+  // evictions + recompiles, no "cache full" warning) and an arbitrary
+  // subset of queries runs interpreted-speed for the whole session —
+  // the standard Spark codegen tuning is a larger reserved code cache.
+  "-XX:ReservedCodeCacheSize=512m",
 )
