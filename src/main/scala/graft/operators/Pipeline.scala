@@ -214,6 +214,32 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // Containment-ratio decontamination: flag corpus documents covering
+    // >= 25% of any benchmark document's distinct shingle set —
+    // containment (|C∩B| / |B|) is the asymmetric metric eval
+    // decontamination actually uses (a long corpus doc can fully
+    // contain a short benchmark item while their symmetric Jaccard
+    // stays tiny, which is exactly the case the shared-count variant
+    // text_decontaminate under-weights). Same broadcast shape: the
+    // benchmark side is tiny by definition, the corpus streams once.
+    "text_containment" -> ((s, d) => {
+      val sets = Dedup.shingleSets(documents(s, d))
+      val bench = sets.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"), col("set"),
+          col("n").as("bench_n"))
+      val bsh = bench.select(col("bench_id"), col("bench_n"),
+        explode(col("set")).as("h"))
+      sets.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(col("set")).as("h"))
+        .join(broadcast(bsh), Seq("h"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("inter"), first(col("bench_n")).as("bench_n"))
+        .filter(col("inter") * 4 >= col("bench_n"))
+        .select(col("doc_id"), col("bench_id"), col("inter"), col("bench_n"),
+          (col("inter").cast("double") / col("bench_n")).as("containment"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // Deterministic shard planning: content-hash shard assignment plus
     // per-shard row/byte accounting — the "write training shards"
     // planning aggregate. Pure map + one aggregate over 32 shard keys;
@@ -410,6 +436,23 @@ object Pipeline extends QueryModule {
         |  FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
         |SELECT shard, doc_id, tokens, pack_id FROM p
         |ORDER BY shard, doc_id""".stripMargin,
+
+    "text_containment" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
+        |bn AS (SELECT bench_id, COUNT(*) AS bench_n FROM b GROUP BY 1),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+        |inter AS (
+        |  SELECT c.doc_id, b.bench_id, COUNT(*) AS inter
+        |  FROM c JOIN b ON c.s = b.s GROUP BY 1, 2)
+        |SELECT doc_id, bench_id, inter, bench_n,
+        |  CAST(inter AS DOUBLE) / bench_n AS containment
+        |FROM inter JOIN bn USING (bench_id)
+        |WHERE inter * 4 >= bench_n
+        |ORDER BY doc_id, bench_id""".stripMargin,
 
     "shard_assign" ->
       """SELECT ('0x' || substr(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS shard,

@@ -547,6 +547,22 @@ object Relational extends QueryModule {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("hour_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // Sliding event-time windows (1 h window, 15 min slide): each event
+    // lands in exactly window/slide = 4 overlapping windows. Spark's
+    // `window()` generator expands the 4 assignments inline on the
+    // scan (no self-join), then one hash aggregate — the same cost
+    // shape as tumbling, scaled by the overlap factor. The oracle
+    // reproduces the epoch-aligned window starts by integer floor
+    // division on epoch milliseconds.
+    "q_sliding_events" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"))
     })
   )
 
@@ -864,6 +880,17 @@ object Relational extends QueryModule {
     "q_hourly_events" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
          |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_sliding_events" ->
+      s"""WITH w AS (
+         |  SELECT make_timestamp(
+         |      ((epoch_ms(CAST(ts AS TIMESTAMP)) // 900000) - s.k)
+         |        * 900000 * 1000) AS ws,
+         |    value
+         |  FROM events, UNNEST(generate_series(0, 3)) s(k))
+         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+         |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM w GROUP BY ws ORDER BY win_start""".stripMargin
   )
 }

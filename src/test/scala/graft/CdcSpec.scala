@@ -113,6 +113,30 @@ class CdcSpec extends SparkSpec {
       Seq("update", "delete"))
   }
 
+  test("wal2json: schema evolution — new columns don't break pk extraction") {
+    // Operationally: ALTER TABLE ADD COLUMN mid-stream. wal2json payloads
+    // are self-describing, and pk extraction goes through
+    // array_position(columnnames, pk) per message — so messages before
+    // and after the DDL coexist in one batch and both resolve, with no
+    // catalog refresh (the catalog pins only the pk column; the
+    // reference has the same property via columnnames.index(),
+    // formatter.py:126, and lists catalog refresh as future work,
+    // README.rst:136-138).
+    val preAlter =
+      """{"xid": 20, "change": [{"kind": "insert", "schema": "public",
+        |"table": "species", "columnnames": ["id", "name"],
+        |"columntypes": ["integer", "text"], "columnvalues": [7, "a"]}]}"""
+        .stripMargin.replace("\n", " ")
+    val postAlter =
+      """{"xid": 21, "change": [{"kind": "insert", "schema": "public",
+        |"table": "species", "columnnames": ["legs", "name", "id"],
+        |"columntypes": ["integer", "text", "integer"],
+        |"columnvalues": [4, "b", 8]}]}""".stripMargin.replace("\n", " ")
+    val out = Cdc.parseWal2Json(Seq(preAlter, postAlter).toDF("payload"),
+      "payload", cat).orderBy("xid").collect()
+    assert(out.map(_.getAs[String]("pkey")).toSeq == Seq("7", "8"))
+  }
+
   test("wal2json: unknown table raises in strict mode") {
     val bad = walPayload.replace("\"species\"", "\"nope\"")
     val e = intercept[Exception] {

@@ -159,6 +159,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("containment flags every corpus doc covering >= 25% of a bench doc") {
+    def shingleSet(text: String): Set[String] =
+      (1 to math.max(1, text.length - 7)).map(i =>
+        text.substring(i - 1, math.min(text.length, i + 7))).toSet
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    val got = SparkEntry.queries("text_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val expect = (for {
+      (c, ct) <- texts.toSeq if c >= 20
+      (b, bt) <- texts.toSeq if b < 20
+      bs = shingleSet(bt)
+      i = shingleSet(ct).intersect(bs).size
+      if i * 4 >= bs.size
+    } yield (c, b) -> ((i.toLong, bs.size.toLong))).toMap
+    assert(got == expect, "containment pair set diverges from brute force")
+    assert(got.nonEmpty)
+  }
+
   test("int8 quantization: codes within [-127,127], error bounded by scale/2") {
     val rows = SparkEntry.queries("emb_quantize")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3),

@@ -61,6 +61,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("sliding windows: every event lands in exactly window/slide buckets") {
+    import org.apache.spark.sql.functions._
+    val nEvents = Tables.events(spark, sf).count()
+    val rows = SparkEntry.queries("q_sliding_events")(spark, sf).collect()
+    // 1 h window / 15 min slide = 4 assignments per event
+    assert(rows.map(_.getLong(1)).sum == 4 * nEvents,
+      "sliding assignment multiplicity broken")
+    // window starts are on 15-minute boundaries
+    rows.foreach { r =>
+      val mmss = r.getString(0).takeRight(5)
+      assert(Set("00:00", "15:00", "30:00", "45:00")(mmss),
+        s"unaligned window start ${r.getString(0)}")
+    }
+  }
+
   test("KMV sketch estimates distinct counts within ~3/sqrt(k)") {
     // k=256 -> standard error ~1/16; 3 sigma ~ 19%
     val rows = SparkEntry.queries("q_kmv_distinct")(spark, sf).collect()
