@@ -119,6 +119,30 @@ object Pipeline extends QueryModule {
     })
   }
 
+  /** Int8 symmetric per-vector quantization audit over (vec_id,
+    * embedding): scale = max|v|/127, q_i = round(v_i/scale); emits the
+    * exact integer code checksum plus max/mean-square reconstruction
+    * error. All-zero vectors quantize to all-zero codes (scale 0 branch)
+    * rather than dividing by zero. Every arithmetic step is a single
+    * IEEE double op or an integer, so a DuckDB oracle reproduces it
+    * bit-for-bit; pure per-row map, no shuffle. */
+  def quantizeInt8(vecs: DataFrame): DataFrame =
+    vecs
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("scale", expr(
+        "array_max(transform(v, x -> abs(x))) / 127.0D"))
+      .withColumn("q", expr(
+        "CASE WHEN scale = 0.0D THEN transform(v, x -> 0L)" +
+          " ELSE transform(v, x -> cast(round(x / scale) as bigint)) END"))
+      .withColumn("err", expr(
+        "CASE WHEN scale = 0.0D THEN transform(v, x -> 0.0D)" +
+          " ELSE zip_with(v, q, (x, c) -> abs(x - c * scale)) END"))
+      .select(col("vec_id"), col("scale"),
+        expr("aggregate(q, 0L, (acc, c) -> acc + c)").as("q_checksum"),
+        expr("array_max(err)").as("max_err"),
+        expr("aggregate(err, 0.0D, (acc, e) -> acc + e * e)" +
+          " / size(err)").as("mse"))
+
   /** Deterministic PII-bearing corpus: the synthetic documents carry no
     * emails or card numbers, so the scrub operator plants them —
     * deterministically from doc_id, identically in the oracle. */
@@ -339,24 +363,8 @@ object Pipeline extends QueryModule {
     // the max reconstruction error, and a sequential-fold MSE — every
     // arithmetic step is a single IEEE double op or an integer, so the
     // DuckDB oracle reproduces it bit-for-bit.
-    "emb_quantize" -> ((s, d) => {
-      embeddings(s, d)
-        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-        .withColumn("scale", expr(
-          "array_max(transform(v, x -> abs(x))) / 127.0D"))
-        .withColumn("q", expr(
-          "CASE WHEN scale = 0.0D THEN transform(v, x -> 0L)" +
-            " ELSE transform(v, x -> cast(round(x / scale) as bigint)) END"))
-        .withColumn("err", expr(
-          "CASE WHEN scale = 0.0D THEN transform(v, x -> 0.0D)" +
-            " ELSE zip_with(v, q, (x, c) -> abs(x - c * scale)) END"))
-        .select(col("vec_id"), col("scale"),
-          expr("aggregate(q, 0L, (acc, c) -> acc + c)").as("q_checksum"),
-          expr("array_max(err)").as("max_err"),
-          expr("aggregate(err, 0.0D, (acc, e) -> acc + e * e)" +
-            " / size(err)").as("mse"))
-        .orderBy(col("vec_id"))
-    }),
+    "emb_quantize" -> ((s, d) =>
+      quantizeInt8(embeddings(s, d)).orderBy(col("vec_id"))),
 
     // Per-dimension embedding statistics: one narrow explode + one
     // aggregate, the standard health check before indexing/training.

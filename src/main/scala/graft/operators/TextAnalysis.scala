@@ -133,6 +133,30 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing fingerprints (the MOSS scheme): hash every positional
+    // 8-gram, slide a window of 8 hashes, keep each window's minimum,
+    // dedupe. Guarantee: any substring match of length >= w + k - 1 =
+    // 15 chars between two documents yields at least one SHARED
+    // fingerprint, at ~2/(w+1) the density of the full shingle set —
+    // the standard way to cut fingerprint index size ~4x while keeping
+    // detection guarantees. Pure per-row expression work (no shuffle
+    // except the final sort); hashes are md5-derived so the DuckDB
+    // oracle recomputes identical fingerprints.
+    "text_winnow" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("hs", expr(
+          "transform(sequence(1, greatest(1, length(text) - 7))," +
+            " i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 8)," +
+            " 16, 10) as bigint))"))
+        .withColumn("fps", expr(
+          "array_distinct(transform(sequence(1, greatest(1, size(hs) - 7))," +
+            " j -> array_min(slice(hs, j, 8))))"))
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+          size(col("fps")).cast("long").as("n_fp"),
+          expr("aggregate(fps, 0L, (a, x) -> a + x)").as("fp_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Within-document repetition signals (the Gopher-style quality
     // cuts): fraction of tokens consumed by the single most frequent
     // token, and fraction of token 5-grams that occur more than once
@@ -245,6 +269,23 @@ object TextAnalysis extends QueryModule {
          |  END AS coverage
          |FROM b LEFT JOIN nc ON b.doc_id = nc.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    "text_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(
+        |    generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT)
+        |    AS hs
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, hs, list_distinct(list_transform(
+        |    generate_series(1, greatest(1, len(hs) - 7)),
+        |    j -> list_min(hs[j:j+7]))) AS fps
+        |  FROM t)
+        |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+        |  CAST(len(fps) AS BIGINT) AS n_fp,
+        |  CAST(list_sum(fps) AS BIGINT) AS fp_sum
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (

@@ -201,6 +201,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quantization edge cases: zero vector, negatives, single dim") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),      // all-zero: scale 0 branch
+      (2L, Array(-2.0f, 1.0f, 0.5f)),     // negative max-abs
+      (3L, Array(3.5f)),                  // single dimension
+      (4L, Array(-1.0f, 1.0f))            // symmetric extremes
+    ).toDF("vec_id", "embedding")
+    val rows = Pipeline.quantizeInt8(df).orderBy("vec_id").collect()
+    // zero vector: zero scale, zero codes, zero error — not NaN/null
+    assert(rows(0).getDouble(1) == 0.0 && rows(0).getLong(2) == 0L)
+    assert(rows(0).getDouble(3) == 0.0 && rows(0).getDouble(4) == 0.0)
+    // negative max: scale from |−2|, codes sum = −127 + round(63.5) + round(31.75)
+    assert(rows(1).getDouble(1) == 2.0 / 127.0)
+    assert(rows(1).getLong(2) == -127L + 64L + 32L)
+    // single dim maps to exactly ±127 with zero error
+    assert(rows(2).getLong(2) == 127L && rows(2).getDouble(3) == 0.0)
+    // symmetric extremes cancel
+    assert(rows(3).getLong(2) == 0L && rows(3).getDouble(3) == 0.0)
+  }
+
+  test("winnow fingerprints match a brute-force recount and bound density") {
+    val rows = SparkEntry.queries("text_winnow")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val texts = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.length == texts.size)
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    rows.foreach { case (id, nSh, nFp, fpSum) =>
+      val t = texts(id)
+      val hs = (1 to math.max(1, t.length - 7))
+        .map(i => h(t.substring(i - 1, math.min(t.length, i + 7))))
+      val fps = (1 to math.max(1, hs.length - 7))
+        .map(j => hs.slice(j - 1, j + 7).min).distinct
+      assert(nSh == hs.length, s"doc $id n_shingles")
+      assert(nFp == fps.length && fpSum == fps.sum, s"doc $id fingerprints")
+      // winnowing keeps far fewer fingerprints than shingles
+      assert(nFp <= nSh, s"doc $id density")
+    }
+  }
+
   test("repetition signals match a brute-force within-doc recount") {
     val rows = SparkEntry.queries("text_repetition")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
