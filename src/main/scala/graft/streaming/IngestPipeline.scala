@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Composed streaming ingest-decision stage: the single pass a
+  * training-data pipeline runs on every crawled document before it
+  * touches the corpus store — quality gate, cross-batch exact-dup gate,
+  * and shard assignment, emitting one verdict row per document:
+  *
+  *   raw doc → tokenize/score → reject_quality
+  *                            | reject_duplicate (content seen before)
+  *                            | accept(shard)
+  *
+  * One keyed stateful operator does all three: the stream shuffles once
+  * on content md5 (the dedup key), quality is decided inside the group
+  * function BEFORE any state is touched — a quality-rejected doc never
+  * writes state, so the store holds one long per distinct ACCEPTED
+  * content, not per distinct document ever seen (at crawl scale most
+  * inputs are rejects; keeping them out of state is what bounds it),
+  * and the shard is a pure hash of the doc id. The
+  * verdict stream is exactly what a corpus writer partitions on
+  * (`partitionBy(shard)`, reject rows to an audit sink), and the shard
+  * expression matches the batch `shard_assign` operator, so streaming
+  * ingest and batch re-sharding agree.
+  *
+  * At-least-once: state commits with the checkpoint; first-wins keyed on
+  * the min doc id is idempotent under replay, so a replayed batch
+  * re-emits identical verdicts.
+  */
+object IngestPipeline {
+  case class RawDoc(doc_id: Long, text: String, source: String)
+  case class Verdict(doc_id: Long, source: String, verdict: String,
+      first_id: Long, n_tokens: Int, shard: Int)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Shard by content-independent doc-id hash — same expression family
+    * as the batch `shard_assign` query (md5("sh" + id) prefix mod n). */
+  def shardOf(docId: Long, nShards: Int): Int =
+    (java.lang.Long.parseLong(md5Hex("sh" + docId).take(8), 16)
+      % nShards).toInt
+
+  def decisions(docs: Dataset[RawDoc], minTokens: Int = 10,
+      nShards: Int = 32): Dataset[Verdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => md5Hex(d.text))
+      .flatMapGroupsWithState[Long, Verdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_, it, state: GroupState[Long]) => {
+          // Min doc id wins within a batch (arrival order inside one
+          // micro-batch is not meaningful); the stored first wins
+          // across batches.
+          val batch = it.toVector.sortBy(_.doc_id)
+          var first = state.getOption.getOrElse(Long.MaxValue)
+          val out = batch.map { d =>
+            val toks = d.text.split("\\s+").count(_.nonEmpty)
+            if (toks < minTokens)
+              Verdict(d.doc_id, d.source, "reject_quality",
+                -1L, toks, -1)
+            else {
+              if (d.doc_id < first) first = d.doc_id
+              if (d.doc_id == first)
+                Verdict(d.doc_id, d.source, "accept", first, toks,
+                  shardOf(d.doc_id, nShards))
+              else
+                Verdict(d.doc_id, d.source, "reject_duplicate", first,
+                  toks, -1)
+            }
+          }
+          if (first != Long.MaxValue) state.update(first)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.IngestPipeline
+import graft.streaming.IngestPipeline.{RawDoc, Verdict}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The composed streaming ingest stage: quality gate + cross-batch
+  * exact-dup gate + shard assignment in ONE keyed pass. */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val long1 =
+    "a sufficiently long document with more than ten whitespace " +
+      "separated tokens for the quality gate to accept it"
+  private val long2 =
+    "another acceptable document whose token count comfortably " +
+      "clears the minimum quality threshold of the ingest gate"
+
+  test("one pass: quality reject, cross-batch dup reject, shard accept") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[RawDoc]
+    val q = IngestPipeline.decisions(in.toDS())
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: 5 and 7 share content (5 wins by min id), 3 is too short
+    in.addData(RawDoc(5, long1, "crawl"), RawDoc(7, long1, "crawl"),
+      RawDoc(3, "too short", "crawl"))
+    q.processAllAvailable()
+    // batch 2: 9 duplicates batch-1 content (state must remember),
+    // 11 is fresh and accepted
+    in.addData(RawDoc(9, long1, "crawl"), RawDoc(11, long2, "web"))
+    q.processAllAvailable()
+    val got = spark.table("ingest").as[Verdict].collect()
+      .map(v => v.doc_id -> v).toMap
+    q.stop()
+    assert(got(5L).verdict == "accept" && got(5L).first_id == 5L)
+    assert(got(7L).verdict == "reject_duplicate" && got(7L).first_id == 5L)
+    assert(got(3L).verdict == "reject_quality" && got(3L).shard == -1)
+    assert(got(9L).verdict == "reject_duplicate" && got(9L).first_id == 5L,
+      "cross-batch duplicate must resolve to the original")
+    assert(got(11L).verdict == "accept")
+    // accepted docs get a real shard matching the batch shard expression
+    assert(got(5L).shard == IngestPipeline.shardOf(5L, 32))
+    assert(got(11L).shard >= 0 && got(11L).shard < 32)
+  }
+
+  test("quality threshold is honored and rejects carry their token count") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[RawDoc]
+    // long1 has 18 tokens: accepted at the default threshold (10),
+    // rejected at 25 — the knob must actually gate
+    val q = IngestPipeline.decisions(in.toDS(), minTokens = 25)
+      .writeStream.format("memory").queryName("ingest_q")
+      .outputMode(OutputMode.Append).start()
+    in.addData(RawDoc(1, long1, "a"))
+    q.processAllAvailable()
+    val got = spark.table("ingest_q").as[Verdict].collect()
+    q.stop()
+    assert(got.length == 1)
+    assert(got.head.verdict == "reject_quality")
+    assert(got.head.n_tokens == long1.split("\\s+").count(_.nonEmpty))
+  }
+}
