@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Effectively-once sharded corpus writer — the terminal stage of the
+  * streaming ingest pipeline (accepted docs → training-shard store).
+  *
+  * Structured Streaming's `foreachBatch` replays a batch with the SAME
+  * batchId after a failure (offsets commit after the batch function
+  * returns), so an at-least-once writer duplicates rows on recovery —
+  * the caveat the reference documents and lives with
+  * (README.rst:15-18). A store that can write per-epoch directories
+  * atomically upgrades that to effectively-once, idempotently:
+  *
+  *  - each epoch writes to `out/epoch=<batchId>` (overwrite mode: a
+  *    torn write from a crashed attempt is simply rewritten),
+  *  - the epoch is then recorded in a commit log (`_committed`,
+  *    append-only, one fsync'd line per epoch),
+  *  - a replayed batchId found in the log is SKIPPED — the write
+  *    already happened, byte-for-byte.
+  *
+  * Readers take `out/epoch=*` filtered to logged epochs (or just trust
+  * overwrite semantics: an uncommitted directory is rewritten by the
+  * replay before the log line appears). On a real cluster the same
+  * shape uses the object store's atomic rename/commit; the commit-log
+  * protocol is identical.
+  *
+  * Rows are partitioned by the shared content-hash shard expression
+  * (same as the batch `shard_assign` operator and
+  * `IngestPipeline.shardOf`), so streaming ingest, batch re-sharding
+  * and the reader's layout all agree.
+  */
+class ShardedCorpusSink(outDir: String, nShards: Int = 32)
+    extends Serializable {
+
+  private def logPath = Paths.get(outDir, "_committed")
+
+  def committedEpochs(): Set[Long] =
+    if (!Files.exists(logPath)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(logPath).asScala
+        .filter(_.nonEmpty).map(_.toLong).toSet
+    }
+
+  /** The foreachBatch function: idempotent per batchId. Returns true
+    * when the epoch was written, false when it was a replay skip. */
+  def writeEpoch(batch: DataFrame, batchId: Long): Boolean = {
+    if (committedEpochs().contains(batchId)) false
+    else if (batch.isEmpty) {
+      // an all-rejected epoch commits without a directory — an empty
+      // parquet dir would break readers' schema inference
+      Files.createDirectories(Paths.get(outDir))
+      Files.write(logPath, s"$batchId\n".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND,
+        StandardOpenOption.SYNC)
+      true
+    } else {
+      batch
+        .withColumn("shard", expr(
+          s"cast(conv(substring(md5(concat('sh', cast(doc_id as string)))," +
+            s" 1, 8), 16, 10) as bigint) % $nShards"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(s"$outDir/epoch=$batchId")
+      Files.createDirectories(Paths.get(outDir))
+      Files.write(logPath, s"$batchId\n".getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND,
+        StandardOpenOption.SYNC)
+      true
+    }
+  }
+
+  /** Read back every committed epoch as one DataFrame (empty-commit
+    * epochs have no directory and contribute nothing). */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val epochs = committedEpochs().toSeq.sorted
+      .filter(e => Files.isDirectory(Paths.get(outDir, s"epoch=$e")))
+    require(epochs.nonEmpty, s"no committed epochs under $outDir")
+    epochs.map(e => spark.read.parquet(s"$outDir/epoch=$e"))
+      .reduce(_ unionByName _)
+  }
+}
