@@ -238,6 +238,50 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // PageRank over the near-dup similarity graph (5 iterations,
+    // d=0.85): the second genuinely iterative distributed algorithm
+    // here beyond connected components — each iteration is one
+    // edge-join plus one aggregate, the textbook Pregel-on-DataFrames
+    // shape that scales with edges per shuffle. ALL arithmetic runs in
+    // integer micro-units (pr scaled by 1e8; contributions and the
+    // damping mix use floor division), so partial-aggregation order
+    // cannot perturb a single bit and the unrolled DuckDB oracle
+    // reproduces the exact integers — the same determinism discipline
+    // Num applies to float sums, extended to an iterative fixpoint.
+    "graph_pagerank" -> ((s, d) => {
+      val p = Dedup.minhashPairs(documents(s, d))
+        .select(col("a_id"), col("b_id"))
+      // Eager per-round checkpoints, like the CC loop: each iteration
+      // references pr_{i-1} twice, so an unmaterialized lineage doubles
+      // per round (the 5-round plan carried 32 copies of the whole LSH
+      // pipeline — 10 MB task binaries before this). On a cluster the
+      // same shape checkpoints to HDFS/S3. PlanAuditSpec exempts this
+      // query from the zero-jobs-at-construction audit for exactly the
+      // reason it exempts dedup_cluster.
+      val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var pr = deg.select(col("src").as("node"), col("deg"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("pr", expr("100000000L div n"))
+        .localCheckpoint()
+      for (_ <- 1 to 5) {
+        val sums = pr.join(edges, pr("node") === edges("src"))
+          .select(col("dst").as("node"),
+            expr("pr div deg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+        pr = pr.drop("pr").join(sums, Seq("node"))
+          .withColumn("pr", expr(
+            "((15L * 100000000L) div n) div 100L" +
+              " + (85L * in_sum) div 100L"))
+          .drop("in_sum")
+          .localCheckpoint()
+      }
+      pr.select(col("node").as("doc_id"), col("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Containment-ratio decontamination: flag corpus documents covering
     // >= 25% of any benchmark document's distinct shingle set —
     // containment (|C∩B| / |B|) is the asymmetric metric eval
@@ -444,6 +488,44 @@ object Pipeline extends QueryModule {
         |  FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
         |SELECT shard, doc_id, tokens, pack_id FROM p
         |ORDER BY shard, doc_id""".stripMargin,
+
+    "graph_pagerank" -> {
+      val base =
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id, u.s FROM documents,
+          |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+          |    i -> substr(text, i, 8))) u(s)),
+          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+          |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          |  GROUP BY 1, 2),
+          |np AS (
+          |  SELECT a_id, b_id FROM pairs
+          |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+          |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
+          |edges AS (
+          |  SELECT a_id AS s, b_id AS t FROM np
+          |  UNION ALL SELECT b_id, a_id FROM np),
+          |deg AS (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+          |pr0 AS (
+          |  SELECT node, deg, (SELECT COUNT(*) FROM deg) AS n,
+          |    CAST(100000000 AS BIGINT) // (SELECT COUNT(*) FROM deg) AS pr
+          |  FROM deg)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT p.node, p.deg, p.n,
+           |    ((CAST(15 AS BIGINT) * 100000000) // p.n) // 100
+           |      + (CAST(85 AS BIGINT) * s.in_sum) // 100 AS pr
+           |  FROM pr${i - 1} p JOIN (
+           |    SELECT e.t AS node, CAST(SUM(q.pr // q.deg) AS BIGINT) AS in_sum
+           |    FROM pr${i - 1} q JOIN edges e ON q.node = e.s
+           |    GROUP BY e.t) s
+           |  ON p.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      base + ",\n" + iters +
+        "\nSELECT node AS doc_id, CAST(pr AS BIGINT) AS pr FROM pr5 ORDER BY doc_id"
+    },
 
     "text_containment" ->
       """WITH sh AS (

@@ -159,6 +159,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pagerank matches an exact integer-arithmetic recompute") {
+    val pairs = operators.Dedup.minhashPairs(Tables.documents(spark, sf))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = deg.keySet.toSeq.sorted
+    val n = nodes.size
+    var pr = nodes.map(_ -> 100000000L / n).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => pr(s) / deg(s) }.sum).toMap
+      pr = nodes.map(v => v ->
+        ((15L * 100000000L / n) / 100L + 85L * in.getOrElse(v, 0L) / 100L))
+        .toMap
+    }
+    val got = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pr, "distributed pagerank diverged from exact recompute")
+    assert(got.values.forall(_ > 0L))
+  }
+
   test("containment flags every corpus doc covering >= 25% of a bench doc") {
     def shingleSet(text: String): Set[String] =
       (1 to math.max(1, text.length - 7)).map(i =>

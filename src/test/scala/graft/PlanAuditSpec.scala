@@ -49,8 +49,11 @@ class PlanAuditSpec extends SparkSpec {
     // Exempt: the cluster-memoized family, which by design computes the
     // iterative CC fixpoint eagerly exactly once per session (each
     // round is a bounded delta-count, not an input materialization).
+    // graph_pagerank: iterative loop with eager per-round checkpoints
+    // (lineage doubles per round otherwise), same reason as the CC
+    // family
     val eagerOk = Set("dedup_cluster", "dedup_survivors", "shard_assign",
-      "corpus_mix")
+      "corpus_mix", "graph_pagerank")
     val sc = spark.sparkContext
     @volatile var jobs = 0
     @volatile var lastSite = ""
