@@ -549,6 +549,22 @@ object Relational extends QueryModule {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // UNPIVOT (stack): wide measure columns to long (measure, value)
+    // rows, then one aggregate per measure — the melt step feature
+    // pipelines run before per-metric analysis. stack() expands inline
+    // on the scan (a generator, no shuffle until the aggregate); the
+    // oracle is the portable UNION ALL formulation.
+    "q_unpivot" -> ((s, d) => {
+      lineitem(s, d)
+        .select(expr(
+          "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice," +
+            " 'discount', l_discount, 'tax', l_tax) AS (measure, v)"))
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), dsum(col("v")).as("total"),
+          min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+        .orderBy(col("measure"))
+    }),
+
     // Sliding event-time windows (1 h window, 15 min slide): each event
     // lands in exactly window/slide = 4 overlapping windows. Spark's
     // `window()` generator expands the 4 assignments inline on the
@@ -881,6 +897,19 @@ object Relational extends QueryModule {
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
          |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH m AS (
+         |  SELECT 'quantity' AS measure, l_quantity AS v FROM lineitem
+         |  UNION ALL
+         |  SELECT 'extendedprice', l_extendedprice FROM lineitem
+         |  UNION ALL
+         |  SELECT 'discount', l_discount FROM lineitem
+         |  UNION ALL
+         |  SELECT 'tax', l_tax FROM lineitem)
+         |SELECT measure, COUNT(*) AS n, ${sqlSum("v")} AS total,
+         |  MIN(v) AS vmin, MAX(v) AS vmax
+         |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
 
     "q_sliding_events" ->
       s"""WITH w AS (
