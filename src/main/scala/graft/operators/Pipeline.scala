@@ -262,8 +262,14 @@ object Pipeline extends QueryModule {
         .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
         .localCheckpoint()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      // node count as a driver-side long (a distributed count returning
+      // 8 bytes — scale-safe), NOT a count over an empty global window,
+      // which would funnel every node row through one partition to
+      // stamp it; the loop is already eager, so the extra job is free
+      val nNodes = deg.count()
       var pr = deg.select(col("src").as("node"), col("deg"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("n", lit(nNodes))
         .withColumn("pr", expr("100000000L div n"))
         .localCheckpoint()
       for (_ <- 1 to 5) {

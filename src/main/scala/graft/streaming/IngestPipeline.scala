@@ -53,18 +53,21 @@ object IngestPipeline {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_, it, state: GroupState[Long]) => {
           // Min doc id wins within a batch (arrival order inside one
-          // micro-batch is not meaningful); the stored first wins
-          // across batches.
+          // micro-batch is not meaningful); across batches the STORED
+          // first wins unconditionally — the accepted doc was already
+          // written downstream, so a later batch delivering a lower
+          // doc_id must be rejected as a duplicate, never re-accepted.
           val batch = it.toVector.sortBy(_.doc_id)
-          var first = state.getOption.getOrElse(Long.MaxValue)
+          val stored = state.getOption
+          var first = stored.getOrElse(Long.MaxValue)
           val out = batch.map { d =>
             val toks = d.text.split("\\s+").count(_.nonEmpty)
             if (toks < minTokens)
               Verdict(d.doc_id, d.source, "reject_quality",
                 -1L, toks, -1)
             else {
-              if (d.doc_id < first) first = d.doc_id
-              if (d.doc_id == first)
+              if (first == Long.MaxValue) first = d.doc_id
+              if (stored.isEmpty && d.doc_id == first)
                 Verdict(d.doc_id, d.source, "accept", first, toks,
                   shardOf(d.doc_id, nShards))
               else

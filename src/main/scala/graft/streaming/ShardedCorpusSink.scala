@@ -60,10 +60,17 @@ class ShardedCorpusSink(outDir: String, nShards: Int = 32)
         StandardOpenOption.SYNC)
       true
     } else {
-      batch
-        .withColumn("shard", expr(
+      // A shard column computed upstream (IngestPipeline verdicts) is
+      // authoritative — recomputing with a different nShards here would
+      // make the physical layout disagree with the verdict metadata the
+      // pipeline already published. Only shard-less batches get the
+      // sink's own assignment (same expression as batch shard_assign).
+      val sharded =
+        if (batch.columns.contains("shard")) batch
+        else batch.withColumn("shard", expr(
           s"cast(conv(substring(md5(concat('sh', cast(doc_id as string)))," +
             s" 1, 8), 16, 10) as bigint) % $nShards"))
+      sharded
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(s"$outDir/epoch=$batchId")

@@ -43,7 +43,10 @@ object StreamingDedup {
 
   /** Exact-content first-wins gate. Within a batch the min doc_id is
     * the first (arrival order inside one micro-batch is not
-    * meaningful); across batches the stored first wins. */
+    * meaningful); across batches the stored first wins UNCONDITIONALLY
+    * — a later batch delivering a lower doc_id is still a duplicate of
+    * content already admitted (re-flagging it as first would admit the
+    * same content twice downstream). */
   def exactGate(docs: Dataset[Doc]): Dataset[GateResult] = {
     import docs.sparkSession.implicits._
     docs
@@ -52,10 +55,11 @@ object StreamingDedup {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_, it, state: GroupState[Long]) => {
           val batch = it.toVector.sortBy(_.doc_id)
-          var first = state.getOption.getOrElse(Long.MaxValue)
+          val stored = state.getOption
+          var first = stored.getOrElse(Long.MaxValue)
           val out = batch.map { d =>
-            if (d.doc_id < first) first = d.doc_id
-            GateResult(d.doc_id, first, d.doc_id == first)
+            if (first == Long.MaxValue) first = d.doc_id
+            GateResult(d.doc_id, first, stored.isEmpty && d.doc_id == first)
           }
           state.update(first)
           out.iterator
@@ -85,12 +89,16 @@ object StreamingDedup {
       .flatMapGroupsWithState[Long, Candidate](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_, it, state: GroupState[Long]) => {
+          // The bucket representative is the first-ever doc seen and is
+          // never replaced: a later doc pairs with it REGARDLESS of id
+          // order (the old `first < id` guard silently dropped the
+          // candidate when a lower id arrived in a later batch).
           val batch = it.toVector.sortBy(_._1)
           var first = state.getOption.getOrElse(Long.MaxValue)
           val out = batch.flatMap { case (id, _, _) =>
-            val hit = if (first < id) Some(Candidate(id, first)) else None
-            if (id < first) first = id
-            hit
+            if (first == Long.MaxValue) { first = id; None }
+            else if (id != first) Some(Candidate(id, first))
+            else None
           }
           state.update(first)
           out.iterator

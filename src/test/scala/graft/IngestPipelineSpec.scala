@@ -31,6 +31,10 @@ class IngestPipelineSpec extends SparkSpec {
     // 11 is fresh and accepted
     in.addData(RawDoc(9, long1, "crawl"), RawDoc(11, long2, "web"))
     q.processAllAvailable()
+    // batch 3: a LOWER id re-delivers accepted content — still a
+    // duplicate (doc 5 is already in the corpus store)
+    in.addData(RawDoc(4, long1, "crawl"))
+    q.processAllAvailable()
     val got = spark.table("ingest").as[Verdict].collect()
       .map(v => v.doc_id -> v).toMap
     q.stop()
@@ -39,6 +43,8 @@ class IngestPipelineSpec extends SparkSpec {
     assert(got(3L).verdict == "reject_quality" && got(3L).shard == -1)
     assert(got(9L).verdict == "reject_duplicate" && got(9L).first_id == 5L,
       "cross-batch duplicate must resolve to the original")
+    assert(got(4L).verdict == "reject_duplicate" && got(4L).first_id == 5L,
+      "a lower-id late duplicate must not be re-accepted")
     assert(got(11L).verdict == "accept")
     // accepted docs get a real shard matching the batch shard expression
     assert(got(5L).shard == IngestPipeline.shardOf(5L, 32))

@@ -214,7 +214,10 @@ class PipelineSpec extends SparkSpec {
       val v = vecs(id).map(_.toDouble)
       val expScale = v.map(math.abs).max / 127.0
       assert(scale == expScale, s"vec $id scale")
-      val q = v.map(x => math.round(x / scale))
+      // Spark/DuckDB round() is half-AWAY-FROM-ZERO; Scala math.round
+      // is half-toward-+inf and would diverge on exact -k.5 codes
+      val q = v.map(x => BigDecimal(x / scale)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
       assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code range")
       assert(checksum == q.sum, s"vec $id checksum")
       // round-to-nearest reconstruction is within half a step per dim

@@ -29,6 +29,11 @@ class StreamingDedupSpec extends SparkSpec {
     // batch 2: doc 11 duplicates doc 1's content, doc 13 is fresh
     in.addData(Doc(11, base), Doc(13, base + " thirteen"))
     q.processAllAvailable()
+    // batch 3: a LOWER id re-delivers admitted content — still a
+    // duplicate (the stored first wins unconditionally; re-flagging it
+    // as first would admit the same content twice downstream)
+    in.addData(Doc(0, base))
+    q.processAllAvailable()
     val got = spark.table("exact_gate").as[GateResult].collect()
       .map(r => r.doc_id -> ((r.first_id, r.is_first))).toMap
     q.stop()
@@ -37,6 +42,8 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got(11L) == ((1L, false)),
       "a later batch's duplicate must resolve to the original")
     assert(got(13L) == ((13L, true)))
+    assert(got(0L) == ((1L, false)),
+      "a lower-id late duplicate must NOT re-claim first-wins state")
   }
 
   test("exact gate state survives a query restart (checkpoint recovery)") {
@@ -93,11 +100,17 @@ class StreamingDedupSpec extends SparkSpec {
         "yeast metabolism lactic acid bacteria and the maillard " +
         "reaction in long fermented sourdough baking processes"))
     q.processAllAvailable()
+    // batch 3: a LOWER id near-duplicate of doc 1 — the old `first <
+    // id` guard silently dropped this candidate
+    in.addData(Doc(0, base.replace("breakfast", "brunch")))
+    q.processAllAvailable()
     val pairs = spark.table("near_gate").as[Candidate].collect()
       .map(c => (c.doc_id, c.first_id)).distinct.toSet
     q.stop()
     assert(pairs.contains((21L, 1L)),
       s"edited re-ingest not flagged against the original: $pairs")
+    assert(pairs.contains((0L, 1L)),
+      s"lower-id near-dup arriving later must still pair: $pairs")
     assert(!pairs.exists(_._1 == 22L),
       s"unrelated doc falsely flagged: $pairs")
     assert(!pairs.exists(_._1 == 2L), s"batch-1 distinct docs collided: $pairs")
