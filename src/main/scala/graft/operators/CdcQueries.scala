@@ -5,6 +5,7 @@ import graft.catalog.PkCatalog
 import graft.core.PrimaryKeyMapItem
 import graft.functions.Cdc
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's CDC dataflow exercised as batch queries with DuckDB
@@ -158,6 +159,50 @@ object CdcQueries extends QueryModule {
         .orderBy(col("xid"))
     }),
 
+    // CDC APPLY (merge/upsert): materialize a change stream into table
+    // state — the downstream operation every CDC consumer ultimately
+    // runs, which the reference can only feed (it ships changes to
+    // Kinesis and stops). Synthesized stream over the events base
+    // table: an update (value*2) for id%3==0, a delete for id%3==1, a
+    // fresh insert (id+1M) for id%3==2, plus a SECOND, later update
+    // (value+7) for id%9==0 — so last-change-per-key ordering by LSN is
+    // actually exercised, not just single-change keys. The apply is one
+    // window (latest change per key) + one full-outer merge: the
+    // standard scalable MERGE shape — one shuffle on the key, no
+    // row-at-a-time logic, identical whether the batch is a backfill or
+    // a micro-batch in foreachBatch.
+    "cdc_apply" -> ((s, d) => {
+      val base = events(s, d).select(col("event_id"), col("value"))
+      val changes = base
+        .filter(col("event_id") % 3 === 0)
+        .select(col("event_id"), lit("update").as("op"),
+          (col("value") * 2).as("new_value"),
+          (col("event_id") * 2).as("lsn"))
+        .unionByName(base.filter(col("event_id") % 3 === 1)
+          .select(col("event_id"), lit("delete").as("op"),
+            lit(null).cast("double").as("new_value"),
+            (col("event_id") * 2).as("lsn")))
+        .unionByName(base.filter(col("event_id") % 3 === 2)
+          .select((col("event_id") + 1000000L).as("event_id"),
+            lit("insert").as("op"), col("value").as("new_value"),
+            (col("event_id") * 2).as("lsn")))
+        .unionByName(base.filter(col("event_id") % 9 === 0)
+          .select(col("event_id"), lit("update").as("op"),
+            (col("value") + 7).as("new_value"),
+            (col("event_id") * 2 + 1).as("lsn")))
+      val w = Window.partitionBy(col("event_id")).orderBy(col("lsn").desc)
+      val latest = changes
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("op"), col("new_value"))
+      base.join(latest, Seq("event_id"), "full_outer")
+        .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+        .select(col("event_id"),
+          when(col("op").isNull, col("value"))
+            .otherwise(col("new_value")).as("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // F1: table-name regex filter over a multi-table stream.
     "cdc_table_filter" -> ((s, d) => {
       events(s, d)
@@ -232,6 +277,32 @@ object CdcQueries extends QueryModule {
         |  CASE WHEN event_id % 5 = 0 THEN 'dead_letter'
         |    ELSE 'ok' END AS status
         |FROM events ORDER BY xid""".stripMargin,
+
+    "cdc_apply" ->
+      """WITH base AS (SELECT event_id, value FROM events),
+        |changes AS (
+        |  SELECT event_id, 'update' AS op, value * 2 AS new_value,
+        |    event_id * 2 AS lsn
+        |  FROM base WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT event_id, 'delete', NULL, event_id * 2
+        |  FROM base WHERE event_id % 3 = 1
+        |  UNION ALL
+        |  SELECT event_id + 1000000, 'insert', value, event_id * 2
+        |  FROM base WHERE event_id % 3 = 2
+        |  UNION ALL
+        |  SELECT event_id, 'update', value + 7, event_id * 2 + 1
+        |  FROM base WHERE event_id % 9 = 0),
+        |latest AS (
+        |  SELECT event_id, op, new_value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+        |      ORDER BY lsn DESC) AS rn
+        |    FROM changes) t WHERE rn = 1)
+        |SELECT COALESCE(b.event_id, l.event_id) AS event_id,
+        |  CASE WHEN l.op IS NULL THEN b.value ELSE l.new_value END AS value
+        |FROM base b FULL OUTER JOIN latest l ON b.event_id = l.event_id
+        |WHERE COALESCE(l.op, 'keep') <> 'delete'
+        |ORDER BY event_id""".stripMargin,
 
     "cdc_table_filter" ->
       """SELECT 'public.t' || CAST(user_id % 5 AS VARCHAR) AS table_name,
