@@ -63,10 +63,20 @@ class ShardedCorpusSink(outDir: String, nShards: Int = 32)
       // A shard column computed upstream (IngestPipeline verdicts) is
       // authoritative — recomputing with a different nShards here would
       // make the physical layout disagree with the verdict metadata the
-      // pipeline already published. Only shard-less batches get the
-      // sink's own assignment (same expression as batch shard_assign).
+      // pipeline already published — but it must agree with THIS
+      // store's layout: out-of-range values (a mismatched nShards
+      // config, or reject rows with shard = -1 that the caller forgot
+      // to filter) fail loudly instead of silently growing stray
+      // partition directories. Shard-less batches get the sink's own
+      // assignment (same expression as batch shard_assign).
       val sharded =
-        if (batch.columns.contains("shard")) batch
+        if (batch.columns.contains("shard"))
+          batch.withColumn("shard",
+            when(col("shard") >= 0 && col("shard") < nShards,
+              col("shard").cast("long"))
+              .otherwise(raise_error(concat(
+                lit(s"shard out of range [0, $nShards): "),
+                col("shard").cast("string"))).cast("long")))
         else batch.withColumn("shard", expr(
           s"cast(conv(substring(md5(concat('sh', cast(doc_id as string)))," +
             s" 1, 8), 16, 10) as bigint) % $nShards"))

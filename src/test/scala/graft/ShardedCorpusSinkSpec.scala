@@ -34,13 +34,31 @@ class ShardedCorpusSinkSpec extends SparkSpec {
     }
   }
 
+  test("out-of-range shard values fail loudly instead of polluting layout") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-corpus-bad").toString
+    val sink = new ShardedCorpusSink(out, nShards = 8)
+    // a reject row's shard = -1 (caller forgot the accept filter), and
+    // a shard from a mismatched modulus (17 >= 8)
+    val bad = Seq((1L, -1L), (2L, 17L)).toDF("doc_id", "shard")
+    val e = intercept[Exception] { sink.writeEpoch(bad, 0L) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("shard out of range")),
+      s"unexpected error: $e")
+    assert(sink.committedEpochs().isEmpty, "failed epoch must not commit")
+  }
+
   test("end-to-end: ingest decisions stream into the sharded store once") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val out = java.nio.file.Files
       .createTempDirectory("graft-corpus-e2e").toString
     val sink = new ShardedCorpusSink(out, nShards = 8)
     val in = MemoryStream[RawDoc]
-    val q = IngestPipeline.decisions(in.toDS())
+    // pipeline and sink must agree on the shard modulus: the sink
+    // validates incoming shard values against its own layout
+    val q = IngestPipeline.decisions(in.toDS(), nShards = 8)
       .filter(_.verdict == "accept")
       .toDF()
       .writeStream
