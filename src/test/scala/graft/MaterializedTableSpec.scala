@@ -1,0 +1,72 @@
+package graft
+
+import graft.catalog.PkCatalog
+import graft.core.PrimaryKeyMapItem
+import graft.functions.Cdc
+import graft.streaming.MaterializedTable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** CDC feed → maintained table state: upsert/delete/last-wins per
+  * batch, version chain, and replay idempotence. */
+class MaterializedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def state(mt: MaterializedTable): Map[String, String] =
+    mt.current(spark).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("upserts, deletes and in-batch last-wins materialize correctly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt").toString
+    val mt = new MaterializedTable(dir)
+    // batch 0: two inserts, plus an immediate same-batch update of k1
+    // (LSN order within the batch must apply last-wins, not both)
+    assert(mt.applyBatch(Seq(
+      ("k1", "insert", "a0", 1L), ("k2", "insert", "b0", 2L),
+      ("k1", "update", "a1", 3L))
+      .toDF("pkey", "operation", "payload", "lsn"), 0L))
+    assert(state(mt) == Map("k1" -> "a1", "k2" -> "b0"))
+    // batch 1: update k2, delete k1, insert k3
+    assert(mt.applyBatch(Seq(
+      ("k2", "update", "b1", 4L), ("k1", "delete", null, 5L),
+      ("k3", "insert", "c0", 6L))
+      .toDF("pkey", "operation", "payload", "lsn"), 1L))
+    assert(state(mt) == Map("k2" -> "b1", "k3" -> "c0"))
+    // replay batch 1 (at-least-once feed): must be a no-op
+    assert(!mt.applyBatch(Seq(("k9", "insert", "x", 7L))
+      .toDF("pkey", "operation", "payload", "lsn"), 1L))
+    assert(state(mt) == Map("k2" -> "b1", "k3" -> "c0"))
+    // versions chain monotonically with one entry per applied batch
+    assert(mt.commits() == Seq((0L, 0L), (1L, 1L)))
+  }
+
+  test("end-to-end: wal2json feed parses and materializes per micro-batch") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt-e2e").toString
+    val mt = new MaterializedTable(dir)
+    val cat = PkCatalog.fromItems(spark, Seq(
+      PrimaryKeyMapItem("public.species", "id", "integer", 1)))
+    def payload(xid: Long, kind: String, id: Int): String =
+      s"""{"xid": $xid, "change": [{"kind": "$kind", "schema": "public",
+         |"table": "species", "columnnames": ["id"],
+         |"columntypes": ["integer"], "columnvalues": [$id]}]}"""
+        .stripMargin.replace("\n", " ")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("lsn", "payload")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val parsed = Cdc.parseWal2Json(b, "payload", cat)
+        mt.applyBatch(parsed.selectExpr("pkey",
+          "operation", "concat('xid=', xid) AS payload", "lsn"), id)
+        ()
+      }
+      .start()
+    in.addData((1L, payload(100, "insert", 7)), (2L, payload(101, "insert", 8)))
+    q.processAllAvailable()
+    in.addData((3L, payload(102, "update", 7)), (4L, payload(103, "delete", 8)))
+    q.processAllAvailable()
+    q.stop()
+    assert(state(mt) == Map("7" -> "xid=102"))
+  }
+}
