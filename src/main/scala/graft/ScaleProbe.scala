@@ -59,7 +59,8 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
 
     val ops = Seq("q1_pricing", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-      "dedup_cluster", "sim_ann_lsh", "text_decontaminate")
+      "dedup_cluster", "graph_pagerank", "sim_ann_lsh", "text_decontaminate",
+      "text_winnow")
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
