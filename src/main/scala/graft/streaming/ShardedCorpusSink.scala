@@ -1,7 +1,6 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -40,12 +39,7 @@ class ShardedCorpusSink(outDir: String, nShards: Int = 32)
   private def logPath = Paths.get(outDir, "_committed")
 
   def committedEpochs(): Set[Long] =
-    if (!Files.exists(logPath)) Set.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(logPath).asScala
-        .filter(_.nonEmpty).map(_.toLong).toSet
-    }
+    CommitLog.read(logPath, 1).map(_.head).toSet
 
   /** The foreachBatch function: idempotent per batchId. Returns true
     * when the epoch was written, false when it was a replay skip. */
@@ -54,10 +48,7 @@ class ShardedCorpusSink(outDir: String, nShards: Int = 32)
     else if (batch.isEmpty) {
       // an all-rejected epoch commits without a directory — an empty
       // parquet dir would break readers' schema inference
-      Files.createDirectories(Paths.get(outDir))
-      Files.write(logPath, s"$batchId\n".getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND,
-        StandardOpenOption.SYNC)
+      CommitLog.append(logPath, batchId)
       true
     } else {
       // A shard column computed upstream (IngestPipeline verdicts) is
@@ -84,10 +75,7 @@ class ShardedCorpusSink(outDir: String, nShards: Int = 32)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(s"$outDir/epoch=$batchId")
-      Files.createDirectories(Paths.get(outDir))
-      Files.write(logPath, s"$batchId\n".getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND,
-        StandardOpenOption.SYNC)
+      CommitLog.append(logPath, batchId)
       true
     }
   }

@@ -40,6 +40,63 @@ class MaterializedTableSpec extends SparkSpec {
     assert(mt.commits() == Seq((0L, 0L), (1L, 1L)))
   }
 
+  test("intra-transaction LSN ties break on the ord column, deterministically") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt-ord").toString
+    val mt = new MaterializedTable(dir)
+    // one transaction = one LSN for every exploded change; the ord
+    // column (within-message index) must decide, not shuffle order
+    assert(mt.applyBatch(Seq(
+      ("k1", "insert", "a", 1L, 0), ("k1", "update", "b", 1L, 1),
+      ("k2", "insert", "c", 1L, 2))
+      .toDF("pkey", "operation", "payload", "lsn", "ord"), 0L))
+    assert(state(mt) == Map("k1" -> "b", "k2" -> "c"))
+  }
+
+  test("uppercase DELETE drops the key (test_decoding operations)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt-del").toString
+    val mt = new MaterializedTable(dir)
+    mt.applyBatch(Seq(("k1", "INSERT", "a", 1L))
+      .toDF("pkey", "operation", "payload", "lsn"), 0L)
+    mt.applyBatch(Seq(("k1", "DELETE", null, 2L))
+      .toDF("pkey", "operation", "payload", "lsn"), 1L)
+    assert(state(mt) == Map.empty)
+  }
+
+  test("empty batch commits log-only without rewriting the table") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt-idle").toString
+    val mt = new MaterializedTable(dir)
+    mt.applyBatch(Seq(("k1", "insert", "a", 1L))
+      .toDF("pkey", "operation", "payload", "lsn"), 0L)
+    assert(mt.applyBatch(Seq.empty[(String, String, String, Long)]
+      .toDF("pkey", "operation", "payload", "lsn"), 1L))
+    assert(mt.commits() == Seq((0L, 0L), (1L, 0L)),
+      "idle trigger must reference the previous version, not rewrite")
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "v=1")))
+    assert(state(mt) == Map("k1" -> "a"))
+  }
+
+  test("a torn commit-log line is dropped and heals on the next append") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt-torn").toString
+    val mt = new MaterializedTable(dir)
+    mt.applyBatch(Seq(("k1", "insert", "a", 1L))
+      .toDF("pkey", "operation", "payload", "lsn"), 0L)
+    // simulate a crash mid-append: partial line, no trailing newline
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_commits"),
+      "7".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(mt.commits() == Seq((0L, 0L)), "partial line must be ignored")
+    // the next apply must not concatenate into a corrupt "71,1" line
+    assert(mt.applyBatch(Seq(("k2", "insert", "b", 2L))
+      .toDF("pkey", "operation", "payload", "lsn"), 1L))
+    assert(mt.commits() == Seq((0L, 0L), (1L, 1L)))
+    assert(state(mt) == Map("k1" -> "a", "k2" -> "b"))
+  }
+
   test("end-to-end: wal2json feed parses and materializes per micro-batch") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files
