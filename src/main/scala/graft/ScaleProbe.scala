@@ -40,10 +40,13 @@ object ScaleProbe {
           // manufactures 10-cliques and measures output blowup, not
           // pipeline scaling.
           case Some(c) if i > 0 =>
-            val src = "etaoinshrdlu"
-            // rotation in [1, len-1] for EVERY copy index: i % len == 0
-            // would make the mapping the identity and reintroduce the
-            // cross-copy cliques the perturbation exists to prevent
+            // full lowercase alphabet: 25 distinct non-identity
+            // rotations, so copies stay pairwise-dissimilar through
+            // scale 25; beyond that, copies sharing a rotation form
+            // TRUE cross-copy near-dup cliques and the dedup family's
+            // timings start measuring real output growth again (the
+            // duplicate-clique caveat in ARCHITECTURE.md)
+            val src = "etaoinshrdlucmfwypvbgkqjxz"
             val rot = 1 + (i - 1) % (src.length - 1)
             val dst = src.drop(rot) + src.take(rot)
             shifted.withColumn(c, translate(col(c), src, dst))

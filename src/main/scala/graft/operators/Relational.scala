@@ -549,6 +549,22 @@ object Relational extends QueryModule {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // Fixed-width histogram: integer bucketing of a value column — the
+    // portable distribution profile (approx_percentile's sketch merge
+    // is engine-specific; floor-divided integer buckets are exact under
+    // any partitioning). One scan + one small aggregate; the bucket
+    // expression folds into the scan projection.
+    "q_histogram" -> ((s, d) => {
+      orders(s, d)
+        .withColumn("bucket",
+          floor(col("o_totalprice") / 25000.0).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // UNPIVOT (stack): wide measure columns to long (measure, value)
     // rows, then one aggregate per measure — the melt step feature
     // pipelines run before per-metric analysis. stack() expands inline
@@ -897,6 +913,11 @@ object Relational extends QueryModule {
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
          |  event_type, COUNT(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_unpivot" ->
       s"""WITH m AS (
