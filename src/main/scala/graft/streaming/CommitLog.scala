@@ -8,21 +8,29 @@ import java.nio.file.{Files, Path, StandardOpenOption}
   * `fields...` CSV line per committed epoch.
   *
   * Torn-write tolerance: a process killed mid-append can leave a
-  * partial trailing line. Reads drop any line that does not parse as
-  * exactly `arity` longs, and appends heal the file first — if the last
-  * byte is not a newline, one is inserted before the new record, so a
-  * partial "5" can never concatenate with a replayed "5,3\n" into a
-  * silently-corrupt "55,3". Replay after a torn write therefore
-  * self-repairs: the partial line is ignored, the batch is re-applied,
-  * and the log ends well-formed.
+  * partial trailing line. Reads count only NEWLINE-TERMINATED lines
+  * that parse as exactly `arity` longs (the newline is the record's
+  * commit marker), and appends heal the file first — a non-terminated
+  * tail gets a poisoning ",x" suffix before the newline, so a partial
+  * "5" can neither concatenate with a replayed "5,3\n" into "55,3" nor
+  * masquerade as a shorter valid record. Replay after a torn write
+  * therefore self-repairs: the fragment is permanently unparseable, the
+  * batch is re-applied, and the log ends well-formed.
   */
 private[streaming] object CommitLog {
 
   def read(path: Path, arity: Int): Seq[Seq[Long]] =
     if (!Files.exists(path)) Seq.empty
     else {
-      import scala.jdk.CollectionConverters._
-      Files.readAllLines(path).asScala.toSeq.flatMap { l =>
+      // Only NEWLINE-TERMINATED lines count as committed: a torn tail
+      // cut mid-record ("12,3" truncated from "12,34\n") would parse as
+      // a plausible-but-wrong record if the unterminated remainder were
+      // considered — the newline is the record's commit marker.
+      val s = new String(Files.readAllBytes(path),
+        StandardCharsets.UTF_8)
+      val term = s.lastIndexOf('\n')
+      if (term < 0) Seq.empty
+      else s.substring(0, term).split("\n", -1).toSeq.flatMap { l =>
         val parts = l.split(",", -1)
         if (parts.length != arity) None
         else try Some(parts.toSeq.map(_.trim.toLong))
@@ -41,7 +49,12 @@ private[streaming] object CommitLog {
         b.get(0) != '\n'.toByte
       } finally ch.close()
     }
-    val line = (if (needsHeal) "\n" else "") + fields.mkString(",") + "\n"
+    // the heal marker POISONS the torn fragment rather than just
+    // terminating it: a fragment like "12,3" (cut from "12,34\n") would
+    // become a valid-looking line if only a newline were added; ",x"
+    // appends a non-numeric field so the fragment can never parse as a
+    // committed record at any arity
+    val line = (if (needsHeal) ",x\n" else "") + fields.mkString(",") + "\n"
     Files.write(path, line.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND,
       StandardOpenOption.SYNC)
