@@ -36,6 +36,32 @@ object TextAnalysis extends QueryModule {
 
   private def sqlToks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
 
+  /** Per-doc winnowed fingerprint set (doc_id, hs, fps) — shared by the
+    * per-doc summary and the pair generator. */
+  private def winnowFps(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .withColumn("hs", expr(
+        "transform(sequence(1, greatest(1, length(text) - 7))," +
+          " i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 8)," +
+          " 16, 10) as bigint))"))
+      .withColumn("fps", expr(
+        "array_distinct(transform(sequence(1, greatest(1, size(hs) - 7))," +
+          " j -> array_min(slice(hs, j, 8))))"))
+
+  /** The same winnowed-fingerprint set in the DuckDB dialect. */
+  private val sqlWinnow =
+    """t AS (
+      |  SELECT doc_id, list_transform(
+      |    generate_series(1, greatest(1, len(text) - 7)),
+      |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT)
+      |    AS hs
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, hs, list_distinct(list_transform(
+      |    generate_series(1, greatest(1, len(hs) - 7)),
+      |    j -> list_min(hs[j:j+7]))) AS fps
+      |  FROM t)""".stripMargin
+
   override def queries: Map[String, Q] = Map(
     // Token statistics per document + corpus rollup.
     "text_token_stats" -> ((s, d) => {
@@ -143,18 +169,29 @@ object TextAnalysis extends QueryModule {
     // except the final sort); hashes are md5-derived so the DuckDB
     // oracle recomputes identical fingerprints.
     "text_winnow" -> ((s, d) => {
-      documents(s, d)
-        .withColumn("hs", expr(
-          "transform(sequence(1, greatest(1, length(text) - 7))," +
-            " i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 8)," +
-            " 16, 10) as bigint))"))
-        .withColumn("fps", expr(
-          "array_distinct(transform(sequence(1, greatest(1, size(hs) - 7))," +
-            " j -> array_min(slice(hs, j, 8))))"))
+      winnowFps(documents(s, d))
         .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
           size(col("fps")).cast("long").as("n_fp"),
           expr("aggregate(fps, 0L, (a, x) -> a + x)").as("fp_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing as a candidate GENERATOR: pairs sharing many winnowed
+    // fingerprints, via the inverted-index self-join — the same
+    // sub-quadratic shape as the shingle-based near-dup joins but over
+    // the ~4x-smaller fingerprint index (that size cut is winnowing's
+    // entire point). The >= 24 cut tracks the true J>=0.8 near-dup
+    // pair set on this corpus; at cluster scale a df-cap on hot
+    // fingerprints bounds skew exactly as in the AllPairs path.
+    "text_winnow_pairs" -> ((s, d) => {
+      val f = winnowFps(documents(s, d))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      f.as("x").join(f.as("y"), col("x.fp") === col("y.fp") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 24)
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // Within-document repetition signals (the Gopher-style quality
@@ -271,21 +308,19 @@ object TextAnalysis extends QueryModule {
          |ORDER BY b.doc_id""".stripMargin,
 
     "text_winnow" ->
-      """WITH t AS (
-        |  SELECT doc_id, list_transform(
-        |    generate_series(1, greatest(1, len(text) - 7)),
-        |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT)
-        |    AS hs
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, hs, list_distinct(list_transform(
-        |    generate_series(1, greatest(1, len(hs) - 7)),
-        |    j -> list_min(hs[j:j+7]))) AS fps
-        |  FROM t)
-        |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
-        |  CAST(len(fps) AS BIGINT) AS n_fp,
-        |  CAST(list_sum(fps) AS BIGINT) AS fp_sum
-        |FROM w ORDER BY doc_id""".stripMargin,
+      s"""WITH $sqlWinnow
+         |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+         |  CAST(len(fps) AS BIGINT) AS n_fp,
+         |  CAST(list_sum(fps) AS BIGINT) AS fp_sum
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "text_winnow_pairs" ->
+      s"""WITH $sqlWinnow,
+         |f AS (SELECT doc_id, u.fp FROM w, UNNEST(fps) u(fp))
+         |SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_shared
+         |FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 24
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (
