@@ -36,17 +36,43 @@ object TextAnalysis extends QueryModule {
 
   private def sqlToks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
 
+  private val hsExpr =
+    "transform(sequence(1, greatest(1, length(text) - 7))," +
+      " i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 8)," +
+      " 16, 10) as bigint))"
+  private val fpsExpr =
+    "array_distinct(transform(sequence(1, greatest(1, size(hs) - 7))," +
+      " j -> array_min(slice(hs, j, 8))))"
+
   /** Per-doc winnowed fingerprint set (doc_id, hs, fps) — shared by the
-    * per-doc summary and the pair generator. */
-  private def winnowFps(docs: org.apache.spark.sql.DataFrame) =
-    docs
-      .withColumn("hs", expr(
-        "transform(sequence(1, greatest(1, length(text) - 7))," +
-          " i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 8)," +
-          " 16, 10) as bigint))"))
-      .withColumn("fps", expr(
-        "array_distinct(transform(sequence(1, greatest(1, size(hs) - 7))," +
-          " j -> array_min(slice(hs, j, 8))))"))
+    * per-doc summary and the pair generator.
+    *
+    * `materializeHs` puts an eager barrier between the shingle-hash
+    * column and its consumers. The pair generator NEEDS it: the
+    * explode downstream makes Catalyst infer a `size(fps) > 0`
+    * predicate and push it to the scan, inlining `fps` — and, inside
+    * its lambda, `hs` — into the filter. `slice(hs, j, 8)` then
+    * re-evaluates the ENTIRE md5-shingle transform once per j, turning
+    * a linear 290-md5s-per-doc column into ~84k interpreted md5s per
+    * doc per plan leg (the round-4 bench died inside exactly that
+    * predicate). Materializing (doc_id, hs) makes every downstream
+    * re-evaluation an O(window) slice over a stored array. On a real
+    * cluster the barrier is a reliable checkpoint or an intermediate
+    * table — same shape, same reason. */
+  private def winnowFps(docs: org.apache.spark.sql.DataFrame,
+      materializeHs: Boolean = false) = {
+    val base =
+      if (materializeHs) {
+        // hashing is compute-bound per row, so parallelism = cores, not
+        // input splits: a small corpus file arrives as ONE split and
+        // would serialize the whole md5 stage on one core (the shuffle
+        // moves raw text once — trivial next to ~40 md5s per character)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+          .withColumn("hs", expr(hsExpr))
+          .select(col("doc_id"), col("hs")).localCheckpoint()
+      } else docs.withColumn("hs", expr(hsExpr))
+    base.withColumn("fps", expr(fpsExpr))
+  }
 
   /** The same winnowed-fingerprint set in the DuckDB dialect. */
   private val sqlWinnow =
@@ -181,12 +207,32 @@ object TextAnalysis extends QueryModule {
     // sub-quadratic shape as the shingle-based near-dup joins but over
     // the ~4x-smaller fingerprint index (that size cut is winnowing's
     // entire point). The >= 24 cut tracks the true J>=0.8 near-dup
-    // pair set on this corpus; at cluster scale a df-cap on hot
-    // fingerprints bounds skew exactly as in the AllPairs path.
+    // pair set on this corpus.
+    //
+    // The df <= 128 cap on the inverted index is what makes the join
+    // sub-quadratic AT ANY CORPUS SIZE, not just here: a fingerprint
+    // shared by more than ~a-clique's-worth of documents is template
+    // boilerplate, not near-dup evidence, and every hot fingerprint
+    // costs df^2 join rows (this corpus at 10x data: max df 2187,
+    // 86M join rows uncapped vs 3.8M capped — and the uncapped cost
+    // grows as corpus^2 while the capped cost stays linear in the
+    // number of distinct fingerprints). Same df-cap idea as the
+    // AllPairs prefix filter's frequency ordering.
     "text_winnow_pairs" -> ((s, d) => {
-      val f = winnowFps(documents(s, d))
+      // second barrier: the exploded index feeds THREE consumers (the
+      // df keep-list and both self-join legs) — materialized once
+      // instead of three fingerprint recomputations
+      val f = winnowFps(documents(s, d), materializeHs = true)
         .select(col("doc_id"), explode(col("fps")).as("fp"))
-      f.as("x").join(f.as("y"), col("x.fp") === col("y.fp") &&
+        .localCheckpoint()
+      // keep-list join (not broadcast): the discriminative-fp table is
+      // ~all distinct fingerprints, far too large to broadcast at
+      // corpus scale; both join legs key on fp, so the shuffle
+      // partitioning carries into the pair self-join.
+      val keep = f.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 128).select(col("fp"))
+      val fk = f.join(keep, Seq("fp"))
+      fk.as("x").join(fk.as("y"), col("x.fp") === col("y.fp") &&
           col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .agg(count(lit(1)).as("n_shared"))
@@ -316,7 +362,9 @@ object TextAnalysis extends QueryModule {
 
     "text_winnow_pairs" ->
       s"""WITH $sqlWinnow,
-         |f AS (SELECT doc_id, u.fp FROM w, UNNEST(fps) u(fp))
+         |f0 AS (SELECT doc_id, u.fp FROM w, UNNEST(fps) u(fp)),
+         |keep AS (SELECT fp FROM f0 GROUP BY fp HAVING COUNT(*) <= 128),
+         |f AS (SELECT doc_id, f0.fp FROM f0 JOIN keep ON f0.fp = keep.fp)
          |SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS n_shared
          |FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 24

@@ -52,8 +52,14 @@ class PlanAuditSpec extends SparkSpec {
     // graph_pagerank: iterative loop with eager per-round checkpoints
     // (lineage doubles per round otherwise), same reason as the CC
     // family
+    // text_winnow_pairs: eager localCheckpoint barriers by design —
+    // (1) materializing hs stops predicate pushdown from inlining the
+    // md5-shingle transform into an inferred filter where the slice
+    // lambda re-evaluates it per element (quadratic interpreted md5,
+    // the round-4 bench killer), (2) the exploded index feeds three
+    // consumers. Distributed materialization, nothing on the driver.
     val eagerOk = Set("dedup_cluster", "dedup_survivors", "shard_assign",
-      "corpus_mix", "graph_pagerank")
+      "corpus_mix", "graph_pagerank", "text_winnow_pairs")
     val sc = spark.sparkContext
     @volatile var jobs = 0
     @volatile var lastSite = ""
