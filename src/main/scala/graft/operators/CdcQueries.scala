@@ -164,7 +164,11 @@ object CdcQueries extends QueryModule {
     // runs, which the reference can only feed (it ships changes to
     // Kinesis and stops). Synthesized stream over the events base
     // table: an update (value*2) for id%3==0, a delete for id%3==1, a
-    // fresh insert (id+1M) for id%3==2, plus a SECOND, later update
+    // fresh insert for id%3==2 (key -(id+1): negative, disjoint from
+    // the non-negative real id space BY CONSTRUCTION at every scale
+    // factor — an additive offset would collide once the table outgrew
+    // it and silently stop exercising the insert path), plus a SECOND,
+    // later update
     // (value+7) for id%9==0 — so last-change-per-key ordering by LSN is
     // actually exercised, not just single-change keys. The apply is one
     // window (latest change per key) + one full-outer merge: the
@@ -183,7 +187,7 @@ object CdcQueries extends QueryModule {
             lit(null).cast("double").as("new_value"),
             (col("event_id") * 2).as("lsn")))
         .unionByName(base.filter(col("event_id") % 3 === 2)
-          .select((col("event_id") + 1000000L).as("event_id"),
+          .select((-col("event_id") - 1L).as("event_id"),
             lit("insert").as("op"), col("value").as("new_value"),
             (col("event_id") * 2).as("lsn")))
         .unionByName(base.filter(col("event_id") % 9 === 0)
@@ -288,7 +292,7 @@ object CdcQueries extends QueryModule {
         |  SELECT event_id, 'delete', NULL, event_id * 2
         |  FROM base WHERE event_id % 3 = 1
         |  UNION ALL
-        |  SELECT event_id + 1000000, 'insert', value, event_id * 2
+        |  SELECT -event_id - 1, 'insert', value, event_id * 2
         |  FROM base WHERE event_id % 3 = 2
         |  UNION ALL
         |  SELECT event_id, 'update', value + 7, event_id * 2 + 1

@@ -38,6 +38,22 @@ private[streaming] object CommitLog {
       }
     }
 
+  /** Atomically replace the log with `records` (retention compaction:
+    * rewrite to the live tail). Write-temp + ATOMIC_MOVE, so a reader
+    * or a crash sees either the old or the new file, never a torn
+    * hybrid — and the torn-tail healing in [[append]]/[[read]] already
+    * tolerates a log that was rewritten out from under a replayer. */
+  def rewrite(path: Path, records: Seq[Seq[Long]]): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".compact.tmp")
+    val body = records.map(_.mkString(",")).map(_ + "\n").mkString
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE, StandardOpenOption.SYNC)
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def append(path: Path, fields: Long*): Unit = {
     Files.createDirectories(path.getParent)
     val needsHeal = Files.exists(path) && Files.size(path) > 0 && {

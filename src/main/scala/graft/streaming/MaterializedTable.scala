@@ -35,8 +35,23 @@ import org.apache.spark.sql.functions._
   * scalable MERGE shape as the batch `cdc_apply` query
   * (CdcQueries.scala); if the merge semantics change here, change them
   * there too.
+  *
+  * Retention: without pruning, a long-running stream accrues one
+  * parquet version per non-empty batch forever and every batch
+  * re-reads an ever-growing commit log (O(batches^2) cumulative log
+  * work). After each commit, once the log exceeds 4x the retention
+  * window, it is atomically rewritten to its last `retainVersions`
+  * lines ([[CommitLog.rewrite]] — the torn-write healing protocol
+  * already tolerates rewrite) and `v=<n>` directories older than the
+  * oldest retained line are deleted. `retainVersions` must exceed the
+  * replay window of the feeding stream (Structured Streaming replays
+  * at most the last batch, so even 2 is safe); keeping a few more
+  * preserves short time-travel for debugging.
   */
-class MaterializedTable(dir: String) extends Serializable {
+class MaterializedTable(dir: String, retainVersions: Int = 8)
+    extends Serializable {
+  require(retainVersions >= 2,
+    "retainVersions must cover at least the current version plus the replay window")
 
   private def logPath = Paths.get(dir, "_commits")
 
@@ -88,7 +103,43 @@ class MaterializedTable(dir: String) extends Serializable {
           .write.mode("overwrite").parquet(s"$dir/v=$next")
         CommitLog.append(logPath, batchId, next)
       }
+      compact()
       true
     }
+  }
+
+  /** Prune the commit log and dead versions once the log outgrows 4x
+    * the retention window (amortized: one rewrite per ~3x window of
+    * commits, not per batch). Versions still referenced by a retained
+    * log line are never deleted — empty-batch commits re-reference an
+    * old version, so the live set is derived from the tail's contents,
+    * not from arithmetic on the latest version number. */
+  private def compact(): Unit = {
+    val all = commits()
+    if (all.size > 4 * retainVersions) {
+      val tail = all.takeRight(retainVersions)
+      CommitLog.rewrite(logPath, tail.map(t => Seq(t._1, t._2)))
+      val minLive = tail.map(_._2).min
+      val root = Paths.get(dir)
+      val versions = java.nio.file.Files.list(root)
+      try {
+        versions.iterator().forEachRemaining { p =>
+          val nm = p.getFileName.toString
+          if (nm.startsWith("v=")) {
+            val v = try nm.drop(2).toLong
+            catch { case _: NumberFormatException => Long.MinValue }
+            if (v >= 0 && v < minLive) deleteTree(p)
+          }
+        }
+      } finally versions.close()
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(p)
+    try {
+      walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().forEachRemaining(java.nio.file.Files.deleteIfExists(_))
+    } finally walk.close()
   }
 }

@@ -81,12 +81,22 @@ class ShardedCorpusSink(outDir: String, nShards: Int = 32)
   }
 
   /** Read back every committed epoch as one DataFrame (empty-commit
-    * epochs have no directory and contribute nothing). */
-  def readCommitted(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    * epochs have no directory and contribute nothing). A stream whose
+    * every epoch committed empty (all rows rejected upstream) is a
+    * LEGITIMATE state — there is then no parquet footer anywhere to
+    * infer the corpus schema from, so the reader returns an empty
+    * frame with the caller-declared `schema` (or zero columns when the
+    * caller has no expectation to declare) instead of crashing. */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType =
+        org.apache.spark.sql.types.StructType(Nil)): DataFrame = {
     val epochs = committedEpochs().toSeq.sorted
       .filter(e => Files.isDirectory(Paths.get(outDir, s"epoch=$e")))
-    require(epochs.nonEmpty, s"no committed epochs under $outDir")
-    epochs.map(e => spark.read.parquet(s"$outDir/epoch=$e"))
-      .reduce(_ unionByName _)
+    if (epochs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      epochs.map(e => spark.read.parquet(s"$outDir/epoch=$e"))
+        .reduce(_ unionByName _)
   }
 }

@@ -97,6 +97,50 @@ class MaterializedTableSpec extends SparkSpec {
     assert(state(mt) == Map("k1" -> "a", "k2" -> "b"))
   }
 
+  test("retention compacts the commit log and prunes dead versions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt-ret").toString
+    val mt = new MaterializedTable(dir, retainVersions = 2)
+    // 9 applied batches: compaction triggers once the log exceeds
+    // 4 x retainVersions = 8 lines
+    for (b <- 0L to 8L)
+      assert(mt.applyBatch(Seq(("k" + b, "insert", "p" + b, b))
+        .toDF("pkey", "operation", "payload", "lsn"), b))
+    val after = mt.commits()
+    assert(after == Seq((7L, 7L), (8L, 8L)),
+      s"log must be rewritten to its live tail, got $after")
+    // pruned: versions below the oldest retained line; kept: the tail
+    for (v <- 0L to 6L)
+      assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, s"v=$v")), s"v=$v must be pruned")
+    for (v <- 7L to 8L)
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, s"v=$v")), s"v=$v must survive")
+    // state is intact and the retained replay window still dedupes
+    assert(state(mt) == (0L to 8L).map(b => ("k" + b) -> ("p" + b)).toMap)
+    assert(!mt.applyBatch(Seq(("k9", "insert", "x", 99L))
+      .toDF("pkey", "operation", "payload", "lsn"), 8L),
+      "latest batchId must still be recognized as a replay")
+  }
+
+  test("retention keeps a version re-referenced by an empty-batch commit") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt-ret-idle").toString
+    val mt = new MaterializedTable(dir, retainVersions = 2)
+    mt.applyBatch(Seq(("k0", "insert", "a", 1L))
+      .toDF("pkey", "operation", "payload", "lsn"), 0L)
+    // 8 idle commits all re-reference v=0; the 9th commit compacts and
+    // the tail is (7,0),(8,0) — v=0 is old numerically but still live
+    for (b <- 1L to 8L)
+      mt.applyBatch(Seq.empty[(String, String, String, Long)]
+        .toDF("pkey", "operation", "payload", "lsn"), b)
+    assert(mt.commits() == Seq((7L, 0L), (8L, 0L)))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "v=0")),
+      "a version referenced by the retained tail must not be deleted")
+    assert(state(mt) == Map("k0" -> "a"))
+  }
+
   test("end-to-end: wal2json feed parses and materializes per micro-batch") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files

@@ -34,6 +34,30 @@ class ShardedCorpusSinkSpec extends SparkSpec {
     }
   }
 
+  test("an all-rejected stream reads back as an empty corpus, not a crash") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-corpus-empty").toString
+    val sink = new ShardedCorpusSink(out, nShards = 8)
+    // every epoch commits empty (upstream rejected everything): a
+    // legitimate stream state — there is no parquet footer anywhere to
+    // infer schema from, so the reader honors the declared one
+    assert(sink.writeEpoch(Seq.empty[(Long, String)]
+      .toDF("doc_id", "text"), 0L))
+    assert(sink.writeEpoch(Seq.empty[(Long, String)]
+      .toDF("doc_id", "text"), 1L))
+    assert(sink.committedEpochs() == Set(0L, 1L))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val back = sink.readCommitted(spark, schema)
+    assert(back.count() == 0)
+    assert(back.schema == schema)
+    // and with no declared schema: empty, zero columns, still no crash
+    assert(sink.readCommitted(spark).count() == 0)
+  }
+
   test("out-of-range shard values fail loudly instead of polluting layout") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-corpus-bad").toString
