@@ -92,9 +92,9 @@ object Bench {
       System.err.println(f"bench: $name%-26s ${t}%9.3f s   [wall ${spent}%7.1f s, $attempts att]")
       name -> t
     }
-    // ms precision: full doubles made the line long enough that log
-    // capture truncated the tail entries off the per-query map
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // 10 ms per-query precision: full doubles made the line long
+    // enough that log capture truncated it
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }
       .mkString("[", ",", "]")
@@ -105,6 +105,10 @@ object Bench {
     spark.sparkContext.setLogLevel("OFF")
     // a shutdown race inside stop() must not eat the result line
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // key order is deliberate: harness log capture keeps the TAIL of
+    // output, so the headline total and failure list go LAST in the
+    // line — a front-truncated capture still shows them (rounds 3/4
+    // lost the line's head to exactly that truncation)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total}""")
   }
 }

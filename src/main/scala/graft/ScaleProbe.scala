@@ -63,7 +63,7 @@ object ScaleProbe {
 
     val ops = Seq("q1_pricing", "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_cluster", "graph_pagerank", "sim_ann_lsh", "text_decontaminate",
-      "text_winnow")
+      "text_winnow", "text_winnow_pairs")
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
