@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.Paths
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -10,24 +10,42 @@ import org.apache.spark.sql.functions._
   * the full consumer loop the reference only feeds: parse → (this)
   * merge each micro-batch of changes into queryable table state.
   *
-  * State is a chain of immutable parquet versions `v=<n>` plus an
-  * append-only commit log of `(batchId, version)` lines ([[CommitLog]]
-  * — torn-write tolerant, replay self-healing); the current state is
-  * the version of the LAST log line. Per micro-batch:
+  * State is hash-bucketed: a key lives in bucket
+  * `pmod(hash(pkey), nBuckets)`, and each version writes ONLY the
+  * buckets the batch touched (`v=<n>/bucket=<b>` parquet via
+  * partitionBy). Untouched buckets carry forward BY REFERENCE through
+  * a per-version manifest `m=<n>` of (bucket, version-that-holds-it)
+  * lines — so per-batch write cost is O(touched buckets), not
+  * O(table). A full-table rewrite per micro-batch is the design that
+  * dies first at scale: a 100 TB table fed by single-key batches
+  * would re-copy 100 TB per trigger; here it re-copies ~1/nBuckets of
+  * the table per touched bucket, and nBuckets is sized so a bucket is
+  * a comfortable rewrite unit (the same reasoning as Delta/Iceberg
+  * file-level copy-on-write, expressed at bucket granularity).
+  *
+  * The commit protocol is unchanged ([[CommitLog]] — torn-write
+  * tolerant, replay self-healing): an append-only `_commits` log of
+  * (batchId, version) lines; the current state is the manifest of the
+  * LAST log line's version. Manifests are written atomically
+  * ([[CommitLog.rewrite]]) BEFORE the commit line, so a crash between
+  * the two leaves an orphan manifest that the replay simply
+  * overwrites. Per micro-batch:
   *
   *  - reduce the batch to its latest change per key — ordered by LSN,
   *    then by the optional `ord` column (the within-message change
   *    index): every change of one wal2json transaction shares the
   *    transaction's LSN after explode, so without the ordinal the
   *    intra-transaction winner would be shuffle-order nondeterministic,
-  *  - full-outer merge against the current version: upserts replace the
-  *    payload, deletes (case-insensitive — the test_decoding parser
-  *    emits uppercase operations) drop the key, untouched keys carry
-  *    over,
-  *  - write `v=<n+1>` (overwrite — a torn write from a crashed attempt
-  *    is rewritten on replay), then append to the log. An EMPTY batch
-  *    (idle trigger) commits log-only against the previous version
-  *    instead of rewriting the whole table as a new version.
+  *  - full-outer merge against the CURRENT CONTENT OF TOUCHED BUCKETS
+  *    only: upserts replace the payload, deletes (case-insensitive —
+  *    the test_decoding parser emits uppercase operations) drop the
+  *    key, untouched keys in touched buckets carry over; untouched
+  *    buckets are not read at all,
+  *  - write `v=<n+1>/bucket=<b>` for the touched buckets (overwrite —
+  *    a torn write from a crashed attempt is rewritten on replay),
+  *    write manifest `m=<n+1>`, then append to the log. An EMPTY
+  *    batch (idle trigger) commits log-only against the previous
+  *    version instead of touching the table.
   *
   * Replayed batchIds are skipped (the merge already committed), so the
   * at-least-once feed materializes into effectively-once table state.
@@ -36,39 +54,57 @@ import org.apache.spark.sql.functions._
   * (CdcQueries.scala); if the merge semantics change here, change them
   * there too.
   *
-  * Retention: without pruning, a long-running stream accrues one
-  * parquet version per non-empty batch forever and every batch
-  * re-reads an ever-growing commit log (O(batches^2) cumulative log
-  * work). After each commit, once the log exceeds 4x the retention
-  * window, it is atomically rewritten to its last `retainVersions`
-  * lines ([[CommitLog.rewrite]] — the torn-write healing protocol
-  * already tolerates rewrite) and `v=<n>` directories older than the
-  * oldest retained line are deleted. `retainVersions` must exceed the
-  * replay window of the feeding stream (Structured Streaming replays
-  * at most the last batch, so even 2 is safe); keeping a few more
-  * preserves short time-travel for debugging.
+  * Retention: without pruning, a long-running stream accrues versions
+  * forever and every batch re-reads an ever-growing commit log
+  * (O(batches^2) cumulative log work). After each commit, once the
+  * log exceeds 4x the retention window, it is atomically rewritten to
+  * its last `retainVersions` lines and every version directory NOT
+  * referenced by a retained manifest is deleted — liveness is derived
+  * from manifest CONTENTS, never from version-number arithmetic,
+  * because an old version stays live for as long as some retained
+  * manifest still references one of its buckets. `retainVersions`
+  * must exceed the replay window of the feeding stream (Structured
+  * Streaming replays at most the last batch, so even 2 is safe);
+  * keeping a few more preserves short time-travel for debugging.
   */
-class MaterializedTable(dir: String, retainVersions: Int = 8)
-    extends Serializable {
+class MaterializedTable(dir: String, retainVersions: Int = 8,
+    nBuckets: Int = 16) extends Serializable {
   require(retainVersions >= 2,
     "retainVersions must cover at least the current version plus the replay window")
+  require(nBuckets >= 1, "nBuckets must be positive")
 
   private def logPath = Paths.get(dir, "_commits")
+  private def manifestPath(v: Long) = Paths.get(dir, s"m=$v")
 
   /** (batchId, version) pairs in commit order; version -1 = committed
     * while the table was still empty. */
   def commits(): Seq[(Long, Long)] =
     CommitLog.read(logPath, 2).map(f => (f(0), f(1)))
 
-  private def readVersion(spark: SparkSession, v: Long): DataFrame =
-    if (v < 0) {
-      import spark.implicits._
-      Seq.empty[(String, String)].toDF("pkey", "payload")
-    } else spark.read.parquet(s"$dir/v=$v")
+  /** (bucket, version-that-holds-it) for a committed version; empty
+    * for the pre-first-commit version -1. */
+  private def manifest(v: Long): Seq[(Long, Long)] =
+    if (v < 0) Seq.empty
+    else CommitLog.read(manifestPath(v), 2).map(f => (f(0), f(1)))
+
+  private def bucketDir(v: Long, b: Long) = s"$dir/v=$v/bucket=$b"
+
+  private def emptyState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String)].toDF("pkey", "payload")
+  }
+
+  private def readBuckets(spark: SparkSession,
+      entries: Seq[(Long, Long)]): DataFrame =
+    if (entries.isEmpty) emptyState(spark)
+    else spark.read
+      .parquet(entries.map { case (b, v) => bucketDir(v, b) }: _*)
+      .select(col("pkey"), col("payload"))
 
   /** Current table state (pkey, payload), empty before any commit. */
   def current(spark: SparkSession): DataFrame =
-    readVersion(spark, commits().lastOption.map(_._2).getOrElse(-1L))
+    readBuckets(spark,
+      manifest(commits().lastOption.map(_._2).getOrElse(-1L)))
 
   /** Merge one micro-batch of changes — columns (pkey STRING,
     * operation STRING, payload STRING, lsn LONG, [ord INT]); operation
@@ -82,7 +118,7 @@ class MaterializedTable(dir: String, retainVersions: Int = 8)
       val prev = done.lastOption.map(_._2).getOrElse(-1L)
       if (changes.isEmpty) {
         // idle trigger: nothing to merge — commit against the previous
-        // version instead of rewriting the table
+        // version instead of touching the table
         CommitLog.append(logPath, batchId, prev)
       } else {
         val next = prev + 1
@@ -90,17 +126,37 @@ class MaterializedTable(dir: String, retainVersions: Int = 8)
           if (changes.columns.contains("ord")) col("ord") else lit(0)
         val w = Window.partitionBy(col("pkey"))
           .orderBy(col("lsn").desc, ordCol.desc)
+        val bucketOf = pmod(hash(col("pkey")), lit(nBuckets)).cast("long")
         val latest = changes
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("pkey"), col("operation"),
             col("payload").as("new_payload"))
-        readVersion(spark, prev).join(latest, Seq("pkey"), "full_outer")
+        // the touched-bucket list is <= nBuckets small integers — a
+        // bounded driver round-trip by construction, not a data collect
+        val touched = latest.select(bucketOf.as("b"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        val prevMan = manifest(prev)
+        val cur = readBuckets(spark,
+          prevMan.filter { case (b, _) => touched(b) })
+        cur.join(latest, Seq("pkey"), "full_outer")
           .filter(lower(coalesce(col("operation"), lit("keep"))) =!= "delete")
           .select(col("pkey"),
             when(col("operation").isNull, col("payload"))
               .otherwise(col("new_payload")).as("payload"))
-          .write.mode("overwrite").parquet(s"$dir/v=$next")
+          .withColumn("bucket", bucketOf)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$dir/v=$next")
+        // new manifest: touched buckets point at v=next (when the
+        // merge left them any rows — a fully-deleted bucket drops out),
+        // untouched buckets keep their previous reference
+        val entries =
+          prevMan.filterNot { case (b, _) => touched(b) } ++
+            touched.toSeq.sorted
+              .filter(b => Files.isDirectory(Paths.get(bucketDir(next, b))))
+              .map(b => (b, next))
+        CommitLog.rewrite(manifestPath(next),
+          entries.map { case (b, v) => Seq(b, v) })
         CommitLog.append(logPath, batchId, next)
       }
       compact()
@@ -108,38 +164,47 @@ class MaterializedTable(dir: String, retainVersions: Int = 8)
     }
   }
 
-  /** Prune the commit log and dead versions once the log outgrows 4x
-    * the retention window (amortized: one rewrite per ~3x window of
-    * commits, not per batch). Versions still referenced by a retained
-    * log line are never deleted — empty-batch commits re-reference an
-    * old version, so the live set is derived from the tail's contents,
-    * not from arithmetic on the latest version number. */
+  /** Prune the commit log, manifests and unreferenced versions once
+    * the log outgrows 4x the retention window (amortized: one rewrite
+    * per ~3x window of commits, not per batch). */
   private def compact(): Unit = {
     val all = commits()
     if (all.size > 4 * retainVersions) {
       val tail = all.takeRight(retainVersions)
       CommitLog.rewrite(logPath, tail.map(t => Seq(t._1, t._2)))
-      val minLive = tail.map(_._2).min
+      val liveManifests = tail.map(_._2).filter(_ >= 0).distinct
+      val liveVersions =
+        (liveManifests ++ liveManifests.flatMap(manifest).map(_._2)).toSet
+      val maxLive = (liveVersions + Long.MinValue).max
       val root = Paths.get(dir)
-      val versions = java.nio.file.Files.list(root)
+      val listing = Files.list(root)
       try {
-        versions.iterator().forEachRemaining { p =>
+        listing.iterator().forEachRemaining { p =>
           val nm = p.getFileName.toString
-          if (nm.startsWith("v=")) {
-            val v = try nm.drop(2).toLong
+          def num(prefix: String) =
+            try nm.stripPrefix(prefix).toLong
             catch { case _: NumberFormatException => Long.MinValue }
-            if (v >= 0 && v < minLive) deleteTree(p)
+          if (nm.startsWith("v=")) {
+            val v = num("v=")
+            // only versions BELOW the newest live one are fair game: a
+            // crashed in-flight v=<next> above it must survive for its
+            // replay to overwrite
+            if (v >= 0 && v < maxLive && !liveVersions(v)) deleteTree(p)
+          } else if (nm.startsWith("m=")) {
+            val v = num("m=")
+            if (v >= 0 && v < maxLive && !liveManifests.contains(v))
+              Files.deleteIfExists(p)
           }
         }
-      } finally versions.close()
+      } finally listing.close()
     }
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(p)
+    val walk = Files.walk(p)
     try {
       walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().forEachRemaining(java.nio.file.Files.deleteIfExists(_))
+        .iterator().forEachRemaining(Files.deleteIfExists(_))
     } finally walk.close()
   }
 }

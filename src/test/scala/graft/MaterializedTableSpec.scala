@@ -101,15 +101,18 @@ class MaterializedTableSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-mt-ret").toString
     val mt = new MaterializedTable(dir, retainVersions = 2)
-    // 9 applied batches: compaction triggers once the log exceeds
-    // 4 x retainVersions = 8 lines
+    // 9 updates of the SAME key: one bucket, so each version fully
+    // supersedes the last and pruning is deterministic. Compaction
+    // triggers once the log exceeds 4 x retainVersions = 8 lines.
     for (b <- 0L to 8L)
-      assert(mt.applyBatch(Seq(("k" + b, "insert", "p" + b, b))
+      assert(mt.applyBatch(Seq(("k", "update", "p" + b, b))
         .toDF("pkey", "operation", "payload", "lsn"), b))
     val after = mt.commits()
     assert(after == Seq((7L, 7L), (8L, 8L)),
       s"log must be rewritten to its live tail, got $after")
-    // pruned: versions below the oldest retained line; kept: the tail
+    // pruned: versions referenced by no retained manifest; kept: the
+    // tail's versions (each retained manifest references only its own
+    // version here — single bucket, always touched)
     for (v <- 0L to 6L)
       assert(!java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(dir, s"v=$v")), s"v=$v must be pruned")
@@ -117,10 +120,36 @@ class MaterializedTableSpec extends SparkSpec {
       assert(java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(dir, s"v=$v")), s"v=$v must survive")
     // state is intact and the retained replay window still dedupes
-    assert(state(mt) == (0L to 8L).map(b => ("k" + b) -> ("p" + b)).toMap)
+    assert(state(mt) == Map("k" -> "p8"))
     assert(!mt.applyBatch(Seq(("k9", "insert", "x", 99L))
       .toDF("pkey", "operation", "payload", "lsn"), 8L),
       "latest batchId must still be recognized as a replay")
+  }
+
+  test("untouched buckets carry forward by reference, not by rewrite") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt-buck").toString
+    val mt = new MaterializedTable(dir)
+    // 20 keys spread across the 16 buckets, then one single-key update
+    assert(mt.applyBatch((0 until 20)
+      .map(i => (s"k$i", "insert", s"p$i", i.toLong))
+      .toDF("pkey", "operation", "payload", "lsn"), 0L))
+    assert(mt.applyBatch(Seq(("k3", "update", "p3b", 100L))
+      .toDF("pkey", "operation", "payload", "lsn"), 1L))
+    // v=1 must hold exactly ONE bucket directory — k3's — while every
+    // other bucket still lives in v=0 and is reached via the manifest
+    val v1Buckets = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "v=1")).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    v1Buckets.forEachRemaining(p => {
+      val n = p.getFileName.toString
+      if (n.startsWith("bucket=")) names += n
+    })
+    assert(names.size == 1,
+      s"single-key batch must rewrite one bucket, wrote: $names")
+    val expected = (0 until 20).map(i => s"k$i" ->
+      (if (i == 3) "p3b" else s"p$i")).toMap
+    assert(state(mt) == expected)
   }
 
   test("retention keeps a version re-referenced by an empty-batch commit") {
