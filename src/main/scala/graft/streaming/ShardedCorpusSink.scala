@@ -96,7 +96,16 @@ class ShardedCorpusSink(outDir: String, nShards: Int = 32)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      epochs.map(e => spark.read.parquet(s"$outDir/epoch=$e"))
-        .reduce(_ unionByName _)
+      // one multi-path scan, not a union per epoch: a long-running
+      // stream accrues thousands of epochs and an N-leg union plan
+      // grows (and re-analyzes) with N, while a single file-source
+      // relation lists all epoch directories into one scan. basePath
+      // anchors partition discovery at the store root (only the
+      // committed epoch paths listed here are actually read); the
+      // discovered epoch partition column is an implementation detail
+      // of the layout, so it is dropped from the reader's schema.
+      spark.read.option("basePath", outDir)
+        .parquet(epochs.map(e => s"$outDir/epoch=$e"): _*)
+        .drop("epoch")
   }
 }
