@@ -25,6 +25,7 @@ object ThroughputProbe {
     val n = sys.env.getOrElse("SPARK_GRAFT_TP_N", "200000").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.optimizer.excludedRules", Tuning.excludedRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
