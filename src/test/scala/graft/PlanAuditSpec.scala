@@ -98,6 +98,55 @@ class PlanAuditSpec extends SparkSpec {
       s"audit predicate failed to flag a cross join:\n$plan")
   }
 
+  test("no filter predicate re-evaluates an expensive array expression") {
+    // Regression lock for the round-4 bench killer: with
+    // InferFiltersFromGenerate active, every explode sprouted a
+    // size(arr)>0 predicate that pushdown inlined below the
+    // projections — and a lambda slicing ANOTHER computed array column
+    // (winnowing's slice(hs, j, 8)) then re-evaluated the md5-shingle
+    // transform once per element, interpreted, inside the filter.
+    // graft.Tuning excludes the rule session-wide; this asserts the
+    // symptom stays gone: no Filter node anywhere in the nested-array
+    // pipelines carries an md5/transform-bearing predicate.
+    for (name <- Seq("text_winnow_pairs", "text_winnow",
+        "text_repetition", "text_bigram_coverage")) {
+      assert(expensiveFilterLines(name).isEmpty,
+        s"$name pushes an expensive array expression into a filter:\n" +
+          expensiveFilterLines(name).mkString("\n"))
+    }
+  }
+
+  /** Filter NODES of the executed plan whose inline condition carries
+    * an array-building expression. Matched on the plan STRING: the
+    * executed plan is an AdaptiveSparkPlanExec whose finalized query
+    * stages are not children of the node tree (collect() sees none of
+    * them), but toString prints the full final plan, filters with
+    * conditions inline. */
+  private def expensiveFilterLines(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("\n").toSeq
+      .filter(l => l.contains("Filter "))
+      .filter(l => l.contains("md5(") || l.contains("transform(")
+        || l.contains("split("))
+  }
+
+  test("the expensive-filter audit fires with the rule re-enabled (mutation probe)") {
+    // prove the assertion above is not vacuous: putting
+    // InferFiltersFromGenerate back re-grows an inferred predicate
+    // carrying the inlined gram/token transforms into a lazy explode
+    // pipeline's plan (text_repetition — winnow_pairs itself hides its
+    // expensive stage behind the eager checkpoint, so the filter
+    // reappears in plans that have no such barrier)
+    val key = "spark.sql.optimizer.excludedRules"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "")
+      assert(expensiveFilterLines("text_repetition").nonEmpty,
+        "mutation probe: expected an inferred expensive filter with the rule active")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("every batch query keeps a whole-stage-codegen span") {
     // dedup_embedding_cosine is mapPartitions-kerneled by design (the
     // scoring loop is hand-fused Scala, not Catalyst expressions)
