@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Similarity,
     operators.TextAnalysis,
     operators.Multimodal,
-    operators.Pipeline
+    operators.Pipeline,
+    operators.Corpus
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * after the per-document scoring passes (TextAnalysis) and alongside
+  * the near-dup family (Dedup): semantic dedup over embeddings, TF-IDF
+  * term extraction, weighted priority sampling, RAG chunking, and one
+  * k-means (Lloyd) refinement step.
+  *
+  * All scoring arithmetic is either exact integer work or a single IEEE
+  * double op per step (`+ - * / sqrt` are correctly rounded and thus
+  * bit-identical across engines); transcendental functions (ln, exp,
+  * pow) are deliberately avoided because libm results differ between
+  * engines in the last ulp. That is why TF-IDF here scores tf/df (a
+  * monotone-in-df variant of tf·idf) and priority sampling uses the
+  * Duffield–Lund–Thorup u/w key rather than the exp-based A-Res key.
+  */
+object Corpus extends QueryModule {
+  import Tables._
+  import graft.expressions.FloatDot.float_dot
+
+  /** Cosine over float vectors with precomputed squared norms; the
+    * strict sequential double fold in FloatDot matches DuckDB's
+    * list_dot_product bit-for-bit (proved by the Similarity oracles). */
+  private def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
+    float_dot(a, b) / (sqrt(an) * sqrt(bn))
+
+  private val NumCentroids = 32
+
+  /** (vec_id, embedding, nrm) corpus projection. */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("embedding"),
+      float_dot(col("embedding"), col("embedding")).as("nrm"))
+
+  /** Nearest-centroid assignment (cosine, ties to the lower centroid
+    * id). Centroids are the first NumCentroids vectors — deterministic,
+    * so the whole pipeline is SQL-expressible; production swaps in
+    * kmeans|| seeds with no other change (same note as Similarity's
+    * IVF). Assignment is one linear pass over the corpus against a
+    * broadcast centroid table — the only scale-relevant cost. */
+  private def assigned(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val cent = c.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cid"))
+    c.crossJoin(broadcast(cent))
+      .withColumn("c_sim", cosine(col("embedding"), col("nrm"),
+        col("c_emb"), col("c_nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("nrm"))
+  }
+
+  /** Shared DuckDB prelude: corpus + centroids + nearest-centroid
+    * assignment, mirroring `assigned` above. */
+  private val assignedSql =
+    """c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                     CAST(embedding AS DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+      |         FROM c WHERE vec_id < 32),
+      |assigned AS (
+      |  SELECT vec_id, cid, emb, nrm FROM (
+      |    SELECT c.vec_id, cent.cid, c.emb, c.nrm,
+      |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_dot_product(c.emb, cent.c_emb)
+      |                   / (sqrt(c.nrm) * sqrt(cent.c_nrm)) DESC,
+      |          cent.cid) AS rk
+      |    FROM c CROSS JOIN cent) t WHERE rk = 1)""".stripMargin
+
+  /** Whitespace tokens, shared with TextAnalysis (the one tokenizer
+    * both engines express identically). */
+  private val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
+  private val sqlToks =
+    "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+
+  override def queries: Map[String, Q] = Map(
+    // SemDeDup-style semantic dedup: cluster by nearest centroid, then
+    // inside each cluster drop any vector that has a smaller-id
+    // neighbor with cosine >= 0.30 (one-hop domination — deterministic
+    // and order-free, unlike the paper's greedy scan ordering). The
+    // within-cluster self-join shuffles on cid only: per-task work is
+    // bounded by cluster size, the 100 TB knob is the centroid count
+    // (clusters shrink as K grows), and no corpus-sized structure ever
+    // reaches the driver. Skewed giant clusters would be re-split by
+    // raising K — same answer, smaller cells.
+    "dedup_semantic" -> ((s, d) => {
+      val a = assigned(s, d).as("a")
+      val b = assigned(s, d).as("b")
+      a.join(b, col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .filter(cosine(col("a.embedding"), col("a.nrm"),
+          col("b.embedding"), col("b.nrm")) >= 0.30)
+        .groupBy(col("a.cid").as("cid"), col("b.vec_id").as("dropped_id"))
+        .agg(min(col("a.vec_id")).as("keeper_id"))
+        .orderBy(col("dropped_id"))
+    }),
+
+    // TF-IDF top terms: per-doc term frequency joined against the
+    // corpus-wide document frequency, score = tf/df (monotone idf
+    // variant; ln is avoided for cross-engine bit determinism — see
+    // the object doc). The df table is vocabulary-sized — orders of
+    // magnitude smaller than the corpus — and is broadcast; at 100 TB
+    // it stays a hash join on tok, never a corpus shuffle. The doc_id
+    // cap bounds the *output*, not the df computation, which always
+    // scans the full corpus.
+    "text_tfidf" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = toks.distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("s").desc, col("tok"))
+      tf.join(broadcast(dfT), Seq("tok"))
+        .withColumn("s", col("tf").cast("double") / col("df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("doc_id") < 50 && col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok").as("term"),
+          expr("cast(round(1000000 * s) as bigint)").as("score_ppm"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Weighted sampling without replacement via priority sampling
+    // (Duffield–Lund–Thorup): key = u/w with u an md5-derived uniform
+    // integer and w = n_chars; the 40 smallest keys win. Heavier docs
+    // draw smaller keys more often, the sample is reproducible from
+    // content alone, and the plan is a pure map + top-k
+    // (TakeOrderedAndProject) — no full sort, no shuffle of the
+    // corpus, which is what makes it viable at 100 TB.
+    "sample_priority" -> ((s, d) => {
+      val p = documents(s, d)
+        .withColumn("h", expr("cast(conv(substring(md5(concat('pr', " +
+          "cast(doc_id as string))), 1, 8), 16, 10) as bigint)"))
+        .withColumn("pri",
+          (col("h") + 1).cast("double") * lit(1.0) / col("n_chars"))
+        .select(col("doc_id"), col("n_chars"), col("pri"))
+        .orderBy(col("pri"), col("doc_id"))
+        .limit(40)
+      // rank the 40 winners — the window runs over the collected top-k
+      // only, never the corpus
+      val w = Window.orderBy(col("pri"), col("doc_id"))
+      p.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("doc_id"), col("n_chars"), col("pri"))
+        .orderBy(col("rank"))
+    }),
+
+    // RAG chunking: overlapping token windows (width 50, stride 40)
+    // with a content signature per chunk. Pure per-row explode —
+    // embarrassingly parallel, output linear in corpus size; the
+    // signature makes downstream chunk-level dedup a groupBy away.
+    "text_chunks" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("start",
+          explode(expr("sequence(1, greatest(size(toks), 1), 40)")))
+        .withColumn("chunk", expr("slice(toks, start, 50)"))
+        .select(col("doc_id"),
+          expr("cast((start - 1) div 40 + 1 as bigint)").as("chunk_idx"),
+          col("start").cast("long").as("start_tok"),
+          expr("cast(size(chunk) as bigint)").as("tok_cnt"),
+          expr("substring(md5(array_join(chunk, ' ')), 1, 8)")
+            .as("chunk_sig"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // One Lloyd (k-means) refinement step over the embedding corpus:
+    // assign to nearest centroid, then emit each cluster's sufficient
+    // statistics — member count and per-dimension mean (first 4 dims
+    // here to keep the declared output narrow; the full 64 is the same
+    // column list). Values are micro-unit integers summed exactly, so
+    // Catalyst's map-side partial aggregation gives the same answer at
+    // any parallelism — the kmeans|| building block. The +1e9 offset
+    // keeps the floor division on positive operands, where Spark `div`
+    // and DuckDB `//` agree.
+    "emb_kmeans_step" -> ((s, d) => {
+      def q(dim: Int): Column =
+        expr(s"cast(round(1000000 * cast(element_at(embedding, $dim) " +
+          s"as double)) as bigint)").as(s"q$dim")
+      assigned(s, d)
+        .select(col("cid"), q(1), q(2), q(3), q(4))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("cnt"), sum(col("q1")).as("s1"),
+          sum(col("q2")).as("s2"), sum(col("q3")).as("s3"),
+          sum(col("q4")).as("s4"))
+        .select(col("cid"), col("cnt"),
+          expr("(s1 + 1000000000L * cnt) div cnt - 1000000000L").as("mean_q1"),
+          expr("(s2 + 1000000000L * cnt) div cnt - 1000000000L").as("mean_q2"),
+          expr("(s3 + 1000000000L * cnt) div cnt - 1000000000L").as("mean_q3"),
+          expr("(s4 + 1000000000L * cnt) div cnt - 1000000000L").as("mean_q4"))
+        .orderBy(col("cid"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "dedup_semantic" ->
+      s"""WITH $assignedSql,
+         |pairs AS (
+         |  SELECT a.cid, a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.emb, b.emb)
+         |          / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.30)
+         |SELECT cid, b_id AS dropped_id, MIN(a_id) AS keeper_id
+         |FROM pairs GROUP BY cid, b_id
+         |ORDER BY dropped_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok, CAST(tf.tf AS DOUBLE) / df.df AS s
+         |  FROM tf JOIN df USING (tok)),
+         |ranked AS (
+         |  SELECT doc_id, tok, s,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY s DESC, tok) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, tok AS term,
+         |  CAST(round(1000000 * s) AS BIGINT) AS score_ppm
+         |FROM ranked WHERE doc_id < 50 AND rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    "sample_priority" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5('pr' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |           ::BIGINT + 1 AS DOUBLE) * 1.0 / n_chars AS pri
+        |  FROM documents),
+        |top AS (SELECT * FROM p ORDER BY pri, doc_id LIMIT 40)
+        |SELECT ROW_NUMBER() OVER (ORDER BY pri, doc_id) AS rank,
+        |  doc_id, n_chars, pri
+        |FROM top ORDER BY rank""".stripMargin,
+
+    "text_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1, greatest(len(toks), 1), 40)) AS start
+         |  FROM t),
+         |c AS (SELECT doc_id, start,
+         |        list_slice(toks, start, start + 49) AS chunk FROM s)
+         |SELECT doc_id, (start - 1) // 40 + 1 AS chunk_idx,
+         |  start AS start_tok, CAST(len(chunk) AS BIGINT) AS tok_cnt,
+         |  substr(md5(array_to_string(chunk, ' ')), 1, 8) AS chunk_sig
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "emb_kmeans_step" -> {
+      // SUM(BIGINT) is HUGEINT in DuckDB (pandas would surface it as
+      // float64) — cast the final value back down to BIGINT
+      def meanQ(dim: Int) =
+        s"CAST(((SUM(CAST(round(1000000 * emb[$dim]) AS BIGINT)) " +
+          s"+ 1000000000 * COUNT(*)) // COUNT(*)) - 1000000000 " +
+          s"AS BIGINT) AS mean_q$dim"
+      s"""WITH $assignedSql
+         |SELECT cid, COUNT(*) AS cnt,
+         |  ${meanQ(1)}, ${meanQ(2)}, ${meanQ(3)}, ${meanQ(4)}
+         |FROM assigned GROUP BY cid
+         |ORDER BY cid""".stripMargin
+    }
+  )
+}

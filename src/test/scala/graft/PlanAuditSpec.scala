@@ -17,8 +17,12 @@ class PlanAuditSpec extends SparkSpec {
   //  - dedup_embedding_cosine: the B×B block-grid join (both sides have
   //    exactly numBlocks rows by construction; the data rides inside
   //    per-block arrays, not the joined rows)
+  //  - dedup_semantic / emb_kmeans_step: corpus × 32 broadcast
+  //    centroids (nearest-centroid assignment, same shape as
+  //    sim_ann_ivf's coarse quantizer)
   private val nestedLoopOk =
-    Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine")
+    Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine",
+      "dedup_semantic", "emb_kmeans_step")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
