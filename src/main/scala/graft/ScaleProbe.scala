@@ -62,9 +62,13 @@ object ScaleProbe {
     replicate(Tables.lineitem(spark, d), Seq("l_orderkey"), n)
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
 
+    // dedup_semantic / dedup_embedding_cosine are deliberately absent:
+    // embeddings replicate UNperturbed, so every copy is an exact
+    // near-dup of copy 0 and their timings would measure true output
+    // blowup (x copies^2 pairs), not pipeline scaling.
     val ops = Seq("q1_pricing", "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_cluster", "graph_pagerank", "sim_ann_lsh", "text_decontaminate",
-      "text_winnow", "text_winnow_pairs")
+      "text_winnow", "text_winnow_pairs", "text_fuzzy_decon", "text_chunks")
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

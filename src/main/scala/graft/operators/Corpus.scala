@@ -173,6 +173,52 @@ object Corpus extends QueryModule {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Fuzzy decontamination: probe an md5-sampled "benchmark" set
+    // (~10% of docs) against the corpus for 30-char prefixes within
+    // edit distance 8 — the edit-tolerant companion to
+    // text_decontaminate's exact shingle containment. Candidates come
+    // from positional 3-grams: strings within edit distance k share at
+    // least (maxlen - q + 1) - q*k grams aligned within offset k (the
+    // Gravano et al. VLDB'01 count filter; = 4 here since every prefix
+    // is a full 30 chars — CorpusSpec pins that precondition), then an
+    // exact levenshtein verify. The DELIBERATE asymmetry is the scale
+    // design: a corpus×corpus gram self-join is quadratic in hot-gram
+    // df (measured 28 s at sf0.1 — vocabulary-limited text makes every
+    // gram hot, so rarity pruning cannot help), while probe-side grams
+    // are benchmark-sized, broadcast, and bound the join by
+    // |benchmark| x df. The oracle brute-forces every (bench, doc)
+    // pair — algorithm-independent ground truth the filter must
+    // reproduce exactly.
+    "text_fuzzy_decon" -> ((s, d) => {
+      val pre = documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 30).as("pre"))
+      def grams(df: DataFrame, idCol: String, preCol: String): DataFrame =
+        df.select(col(idCol),
+            explode(expr(s"sequence(1, length($preCol) - 2)")).as("pos"),
+            col(preCol))
+          .select(col(idCol), col("pos"),
+            expr(s"substring($preCol, pos, 3)").as("gram"))
+      val bench = pre
+        .filter(expr("cast(conv(substring(md5(concat('fz', " +
+          "cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 10 = 0"))
+        .select(col("doc_id").as("bench_id"), col("pre").as("bpre"))
+      val bg = grams(bench, "bench_id", "bpre")
+        .withColumnsRenamed(Map("pos" -> "b_pos", "gram" -> "b_gram"))
+      val cg = grams(pre, "doc_id", "pre")
+      cg.join(broadcast(bg), col("gram") === col("b_gram") &&
+          col("doc_id") =!= col("bench_id") &&
+          abs(col("pos") - col("b_pos")) <= 8)
+        .groupBy(col("bench_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 4)
+        .join(broadcast(bench), Seq("bench_id"))
+        .join(pre, Seq("doc_id"))
+        .withColumn("dist", levenshtein(col("bpre"), col("pre")))
+        .filter(col("dist") <= 8)
+        .select(col("bench_id"), col("doc_id"), col("dist"))
+        .orderBy(col("bench_id"), col("doc_id"))
+    }),
+
     // One Lloyd (k-means) refinement step over the embedding corpus:
     // assign to nearest centroid, then emit each cluster's sufficient
     // statistics — member count and per-dimension mean (first 4 dims
@@ -257,6 +303,20 @@ object Corpus extends QueryModule {
          |  start AS start_tok, CAST(len(chunk) AS BIGINT) AS tok_cnt,
          |  substr(md5(array_to_string(chunk, ' ')), 1, 8) AS chunk_sig
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Brute force IS the oracle here — algorithm-independent ground
+    // truth that the candidate filter must reproduce exactly.
+    "text_fuzzy_decon" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bench_id, substr(text, 1, 30) AS bpre
+        |  FROM documents
+        |  WHERE ('0x' || substr(md5('fz' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT % 10 = 0)
+        |SELECT b.bench_id, d.doc_id,
+        |  levenshtein(b.bpre, substr(d.text, 1, 30)) AS dist
+        |FROM bench b JOIN documents d ON d.doc_id <> b.bench_id
+        |WHERE levenshtein(b.bpre, substr(d.text, 1, 30)) <= 8
+        |ORDER BY b.bench_id, d.doc_id""".stripMargin,
 
     "emb_kmeans_step" -> {
       // SUM(BIGINT) is HUGEINT in DuckDB (pandas would surface it as

@@ -454,6 +454,25 @@ object Relational extends QueryModule {
            |ORDER BY status, priority""".stripMargin)
     }),
 
+    // Ordered string aggregation (LISTAGG / string_agg): per region,
+    // the lexicographically-first 3 nation names concatenated in
+    // order. Spark has no ordered string_agg aggregate — the portable
+    // formulation is collect_list → array_sort → slice → array_join,
+    // which also states the scale contract explicitly: the list is
+    // per-group bounded (25 nations) BEFORE concatenation; an ordered
+    // LISTAGG over an unbounded group would hold the whole group in
+    // one aggregation buffer and belongs behind a top-k pre-filter.
+    "q_string_agg" -> ((s, d) => {
+      nation(s, d)
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(expr("array_join(slice(array_sort(collect_list(n_name)), 1, 3)" +
+          ", ',')").as("top_nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))
+    }),
+
     // ---- set operations -------------------------------------------------
     // Customers ordering in 1996 vs 1997: EXCEPT / INTERSECT / UNION ALL
     // with a tag column (exercises all three set ops in one plan).
@@ -851,6 +870,15 @@ object Relational extends QueryModule {
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |ORDER BY status, priority""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT r.r_name,
+        |  array_to_string(list_slice(list_sort(list(n.n_name)), 1, 3), ',')
+        |    AS top_nations,
+        |  count(*) AS n_nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |ORDER BY r.r_name""".stripMargin,
 
     "q_setops_years" ->
       """WITH y96 AS (SELECT o_custkey FROM orders

@@ -67,6 +67,31 @@ object EventAnalytics {
         col("l_value"), col("r_value"))
   }
 
+  /** Left-outer stream-stream interval join: like intervalJoin, but a
+    * click with no purchase inside the attribution window still emits
+    * (with nulled right columns) — ONLY once the watermark passes the
+    * window bound, because until then a match could still arrive. The
+    * interval condition on both event-time columns is what makes the
+    * outer side's state finite: Spark can prove when an unmatched left
+    * row is safe to emit and evict. An outer join without such a
+    * condition would hold left state forever (and never emit nulls) —
+    * the unbounded-state trap this module exists to document. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r, col("user_id") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("l_ts"), col("r_ts"),
+        col("l_value"), col("r_value"))
+  }
+
   /** Gap-based sessionization with custom state. Sessions close either
     * intra-batch (a gap observed between consecutive events) or by
     * event-time timeout once the watermark passes last + gap. */

@@ -80,6 +80,29 @@ class CorpusSpec extends SparkSpec {
       s"df join should broadcast the vocabulary-sized side:\n$plan")
   }
 
+  test("text_fuzzy_decon: count-filter precondition and verify semantics") {
+    // The q-gram bound (maxlen - q + 1) - q*k = 4 assumes full 30-char
+    // prefixes; a shorter document would weaken it below guarantee.
+    // Pin the precondition so a data change fails loudly here rather
+    // than as a silent candidate miss vs the brute-force oracle.
+    val tooShort = Tables.documents(spark, sf)
+      .filter(length(col("text")) < 30).count()
+    assert(tooShort === 0, s"$tooShort docs shorter than the 30-char prefix")
+    val rows = q("text_fuzzy_decon").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Int]("dist") <= 8))
+    assert(rows.forall(r =>
+      r.getAs[Long]("bench_id") != r.getAs[Long]("doc_id")))
+  }
+
+  test("text_fuzzy_decon plan: benchmark gram side broadcasts") {
+    val df = Corpus.queries("text_fuzzy_decon")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe side should broadcast:\n$plan")
+  }
+
   test("emb_kmeans_step: clusters partition the corpus") {
     val rows = q("emb_kmeans_step").collect()
     assert(rows.length <= 32 && rows.nonEmpty)

@@ -74,6 +74,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 10.0)), s"got ${rows.toSeq}")
   }
 
+  test("outer interval join emits unmatched rows only after watermark expiry") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = EventAnalytics.intervalJoinOuter(clicks.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName("ss_ojoin")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData(Event(1, ts(1), 1.0), Event(2, ts(1), 2.0))
+    // only user 1 converts inside the 5-min window
+    buys.addData(Event(1, ts(4), 10.0))
+    q.processAllAvailable()
+    val early = spark.table("ss_ojoin").collect()
+    // user 2's null row must NOT appear yet: its window is still open
+    assert(!early.exists(r => r.getLong(0) == 2L),
+      s"unmatched row emitted before watermark expiry: ${early.toSeq}")
+    // advance both watermarks well past click+5min+10min watermark delay
+    clicks.addData(Event(9, ts(40), 0.0))
+    buys.addData(Event(9, ts(40), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_ojoin").collect()
+      .map(r => (r.getLong(0), Option(r.get(4))))
+    assert(rows.contains((1L, Some(10.0))), s"got ${rows.toSeq}")
+    assert(rows.contains((2L, None)),
+      s"expected user 2's null-extended row after expiry: ${rows.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionization: intra-batch and timeout closes") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
