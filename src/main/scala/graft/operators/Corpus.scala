@@ -219,6 +219,35 @@ object Corpus extends QueryModule {
         .orderBy(col("bench_id"), col("doc_id"))
     }),
 
+    // Temperature-reweighted corpus mixing (T = 0.5): sources are
+    // sampled proportionally to n_docs^T, the standard flattening that
+    // keeps small sources from washing out of a training mix.
+    // T = 0.5 is deliberate — sqrt is an IEEE-correctly-rounded
+    // primitive both engines compute bit-identically, while a general
+    // pow(x, T) is libm-dependent (see the object doc). Weights are
+    // quantized to integers so the grand total is associative
+    // (map-side combinable), then shares and a per-100k-sample draw
+    // plan come from one double division each. The window total runs
+    // over the ~|sources| aggregated rows, never the corpus.
+    // The mixing key is (source, lang) — the per-source doc counts in
+    // the synthetic corpus are uniform by construction, and a
+    // temperature knob over a uniform mix is a no-op.
+    "corpus_mix_temp" -> ((s, d) => {
+      val w = Window.partitionBy()
+      documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_q", expr(
+          "cast(round(1e8 * sqrt(cast(n_docs as double))) as bigint)"))
+        .withColumn("sum_q", sum(col("w_q")).over(w))
+        .select(col("source"), col("lang"), col("n_docs"), col("w_q"),
+          (col("w_q").cast("double") / col("sum_q").cast("double"))
+            .as("share_t"),
+          expr("cast(round(100000 * (cast(w_q as double) " +
+            "/ cast(sum_q as double))) as bigint)").as("docs_per_100k"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // One Lloyd (k-means) refinement step over the embedding corpus:
     // assign to nearest centroid, then emit each cluster's sufficient
     // statistics — member count and per-dimension mean (first 4 dims
@@ -317,6 +346,19 @@ object Corpus extends QueryModule {
         |FROM bench b JOIN documents d ON d.doc_id <> b.bench_id
         |WHERE levenshtein(b.bpre, substr(d.text, 1, 30)) <= 8
         |ORDER BY b.bench_id, d.doc_id""".stripMargin,
+
+    "corpus_mix_temp" ->
+      """WITH agg AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(round(1e8 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+        |      AS w_q
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, w_q,
+        |  CAST(w_q AS DOUBLE) / CAST(SUM(w_q) OVER () AS DOUBLE) AS share_t,
+        |  CAST(round(100000 * (CAST(w_q AS DOUBLE)
+        |    / CAST(SUM(w_q) OVER () AS DOUBLE))) AS BIGINT)
+        |    AS docs_per_100k
+        |FROM agg ORDER BY source, lang""".stripMargin,
 
     "emb_kmeans_step" -> {
       // SUM(BIGINT) is HUGEINT in DuckDB (pandas would surface it as

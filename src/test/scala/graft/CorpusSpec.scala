@@ -103,6 +103,23 @@ class CorpusSpec extends SparkSpec {
       s"probe side should broadcast:\n$plan")
   }
 
+  test("corpus_mix_temp: temperature flattens the mix toward uniform") {
+    val rows = q("corpus_mix_temp").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val shareSum = rows.map(_.getAs[Double]("share_t")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    // T=0.5 must pull every subset's share toward uniform: bigger than
+    // raw share for small subsets, smaller for big ones. Guard against
+    // a degenerate all-uniform mix making this vacuous.
+    val raws = rows.map(_.getAs[Long]("n_docs") / total)
+    assert(raws.distinct.length > 1, "mix is uniform; test is vacuous")
+    rows.zip(raws).foreach { case (r, raw) =>
+      val t = r.getAs[Double]("share_t")
+      if (raw < 1.0 / rows.length) assert(t > raw)
+      else if (raw > 1.0 / rows.length) assert(t < raw)
+    }
+  }
+
   test("emb_kmeans_step: clusters partition the corpus") {
     val rows = q("emb_kmeans_step").collect()
     assert(rows.length <= 32 && rows.nonEmpty)

@@ -1,0 +1,41 @@
+package graft
+
+/** Partition-count invariance: the engine's portability story (Num
+  * quantization, integer micro-units, strict sequential folds) claims
+  * results are identical under ANY parallelism — that is what lets the
+  * same query hash-match a single-threaded DuckDB oracle from a
+  * 1000-executor cluster. This spec actually varies the parallelism:
+  * each representative query must collect the exact same rows at
+  * shuffle.partitions=3 and =13. A plain double `sum()` would fail
+  * here (merge order changes with partitioning); every declared
+  * aggregate is built not to.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  // One representative per arithmetic family: decimal-quantized sums
+  // (q1), FloatDot cosine + window rank (dedup_semantic), integer
+  // micro-unit sums + floor division (emb_kmeans_step), quantized
+  // window total (corpus_mix_temp), double division ranking
+  // (text_tfidf), md5-keyed top-k (sample_priority).
+  private val representative = Seq("q1_pricing", "dedup_semantic",
+    "emb_kmeans_step", "corpus_mix_temp", "text_tfidf", "sample_priority")
+
+  test("query results are invariant to shuffle partition count") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    def runAll(parts: String): Map[String, Seq[String]] = {
+      spark.conf.set(key, parts)
+      representative.map { name =>
+        name -> SparkEntry.queries(name)(spark, sf)
+          .collect().map(_.toString).toSeq
+      }.toMap
+    }
+    try {
+      val at3 = runAll("3")
+      val at13 = runAll("13")
+      for (name <- representative)
+        assert(at3(name) === at13(name),
+          s"$name differs between 3 and 13 shuffle partitions")
+    } finally spark.conf.set(key, saved)
+  }
+}
