@@ -82,6 +82,55 @@ object Corpus extends QueryModule {
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
 
+  /** Multi-iteration Lloyd k-means over (vec_id, embedding) — the full
+    * training loop whose single step emb_kmeans_step oracle-pins. The
+    * kmeans|| execution shape: per iteration, one broadcast of the K
+    * current centroids (K x dim doubles — tiny), one linear
+    * squared-euclidean assignment pass over the corpus, one
+    * partial-aggregated per-dimension mean. Centroids live in a K-row
+    * DataFrame end to end — the corpus never leaves the executors and
+    * nothing corpus-sized reaches the driver. localCheckpoint per
+    * round keeps the plan flat (lineage would otherwise double per
+    * iteration — same discipline as the CC/PageRank loops).
+    *
+    * Returns (assignment (vec_id, cid, d2), centroids (cid, c_vec)).
+    * An empty cluster keeps its previous centroid (no NaN means): the
+    * mean aggregate simply produces no row for it, and the next
+    * iteration's join falls back to the prior vector.
+    */
+  def kmeans(vecs: DataFrame, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
+    require(k > 0 && iters > 0)
+    val v = vecs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    var cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("emb").as("c_vec"))
+      .localCheckpoint()
+    var assigned: DataFrame = null
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cid"))
+    for (_ <- 1 to iters) {
+      assigned = v.crossJoin(broadcast(cent))
+        .withColumn("d2", expr("aggregate(zip_with(emb, c_vec, " +
+          "(x, c) -> (x - c) * (x - c)), 0D, (acc, t) -> acc + t)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid"), col("emb"), col("d2"))
+        .localCheckpoint()
+      val means = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m)))," +
+          " s -> s.m)").as("c_new"))
+      cent = cent.join(means, Seq("cid"), "left_outer")
+        .select(col("cid"),
+          coalesce(col("c_new"), col("c_vec")).as("c_vec"))
+        .localCheckpoint()
+    }
+    (assigned.select(col("vec_id"), col("cid"), col("d2")), cent)
+  }
+
   override def queries: Map[String, Q] = Map(
     // SemDeDup-style semantic dedup: cluster by nearest centroid, then
     // inside each cluster drop any vector that has a smaller-id
