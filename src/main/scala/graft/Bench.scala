@@ -59,7 +59,12 @@ object Bench {
       System.err.println(s"bench: no sf0.001 sibling of $sfDir; cold-start timings")
     val wall0 = System.nanoTime()
     def spent: Double = (System.nanoTime() - wall0) / 1e9
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local profiling aid: comma-separated query-name filter
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val results = selected.map { case (name, fn) =>
       // Protocol per remaining budget (never sheds the query itself):
       //  - inline warm keeps codegen classes + JIT profiles hot at
       //    measurement time,
@@ -100,16 +105,32 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // JSON is the LAST line of output: silence Spark's shutdown logging
-    // and stop the session BEFORE printing, so no stray WARN line (or
-    // sbt epilogue — suppressed via showSuccess := false) follows it.
+    val fullJson =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total}"""
+    // The harness keeps only the LAST 2000 chars of output, and the
+    // full per-query map alone is longer than that — rounds 4/5 both
+    // recorded "parsed": null because the line's head (with the
+    // opening brace) fell off the front of the capture. So:
+    //  (a) the full JSON goes to bench_last.json on disk (per-query
+    //      history lives in git — one commit per round),
+    //  (b) the full line prints EARLY for humans / generous captures,
+    //  (c) the LAST line is a short summary that always fits whole
+    //      inside a 2000-char tail: total, failure list, 5 slowest.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case t: Throwable =>
+      System.err.println(s"bench: could not write bench_last.json: ${t.getMessage}")
+    }
+    // silence Spark's shutdown logging and stop the session BEFORE
+    // printing, so no stray WARN line (or sbt epilogue — suppressed
+    // via showSuccess := false) interleaves with the result lines
     spark.sparkContext.setLogLevel("OFF")
-    // a shutdown race inside stop() must not eat the result line
+    // a shutdown race inside stop() must not eat the result lines
     try spark.stop() catch { case _: Throwable => () }
-    // key order is deliberate: harness log capture keeps the TAIL of
-    // output, so the headline total and failure list go LAST in the
-    // line — a front-truncated capture still shows them (rounds 3/4
-    // lost the line's head to exactly that truncation)
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total}""")
+    println(fullJson)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_last.json","failed":$failed,"value":$total}""")
   }
 }

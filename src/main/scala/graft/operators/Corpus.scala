@@ -156,11 +156,16 @@ object Corpus extends QueryModule {
     // TF-IDF top terms: per-doc term frequency joined against the
     // corpus-wide document frequency, score = tf/df (monotone idf
     // variant; ln is avoided for cross-engine bit determinism — see
-    // the object doc). The df table is vocabulary-sized — orders of
-    // magnitude smaller than the corpus — and is broadcast; at 100 TB
-    // it stays a hash join on tok, never a corpus shuffle. The doc_id
-    // cap bounds the *output*, not the df computation, which always
-    // scans the full corpus.
+    // the object doc). The tf⋈df join carries NO broadcast hint on
+    // purpose: at small scale AQE's runtime size estimate picks the
+    // broadcast anyway, but at 100 TB of web text the distinct-token
+    // table (typos, URLs, numbers) is billions of rows and a forced
+    // broadcast OOMs the driver — the hint would remove exactly the
+    // freedom AQE needs. Same contract as Dedup.prefixTable: both
+    // sides are already partitioned by tok from their aggregations,
+    // so the fallback sort-merge join reuses that partitioning. The
+    // doc_id cap bounds the *output*, not the df computation, which
+    // always scans the full corpus.
     "text_tfidf" -> ((s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
@@ -170,7 +175,7 @@ object Corpus extends QueryModule {
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("s").desc, col("tok"))
-      tf.join(broadcast(dfT), Seq("tok"))
+      tf.join(dfT, Seq("tok"))
         .withColumn("s", col("tf").cast("double") / col("df"))
         .withColumn("rank", row_number().over(w))
         .filter(col("doc_id") < 50 && col("rank") <= 3)

@@ -358,11 +358,14 @@ object Dedup extends QueryModule {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     import graft.expressions.SimHash64.simhash64
+    import graft.expressions.TokenMd5.token_md5_60
+    // token_md5_60 = native one-pass replacement for
+    //   transform(filter(split(text,'\s+'), t -> t != ''),
+    //             t -> cast(conv(substring(md5(t),1,15),16,10) as bigint))
+    // — same values (NativeExprSpec pins it), none of the four
+    // per-token string allocations of the composed form
     val sigs = docs.select(col("doc_id"),
-      simhash64(expr(
-        "transform(filter(split(text, '\\\\s+'), t -> t != '')," +
-          " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
-        .as("sig"))
+      simhash64(token_md5_60(col("text"))).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i => struct(lit(i).as("band"),
         shiftrightunsigned(col("sig"), i * 15).bitwiseAND(lit(0x7FFFL))

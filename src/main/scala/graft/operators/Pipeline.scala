@@ -143,6 +143,53 @@ object Pipeline extends QueryModule {
         expr("aggregate(err, 0.0D, (acc, e) -> acc + e * e)" +
           " / size(err)").as("mse"))
 
+  /** Sequence packing: greedy fixed-token-budget packing per shard in
+    * doc_id order — the final assembly step before training
+    * (contiguous documents concatenate into fixed-length sequences; a
+    * doc over budget takes a pack alone, truncation is the tokenizer's
+    * concern downstream). Greedy-with-reset is inherently sequential
+    * PER SHARD, so the shard is the parallel unit — exactly how
+    * packing runs at 100 TB: thousands of shards (`nShards` is the
+    * knob) packed concurrently, one linear scan each, no cross-shard
+    * coordination. Output is the pack PLAN (doc -> pack id + running
+    * token count), the thing a writer partitions on.
+    *
+    * The per-shard ordering belongs to the engine, not task memory:
+    * `repartition(shard)` co-locates each shard, `sortWithinPartitions
+    * (shard, doc_id)` makes shards contiguous and ordered (Spark's
+    * external sort spills — no whole-shard array in the task), and the
+    * scan is a streaming `mapPartitions` that resets its accumulator
+    * at shard boundaries. A partition may hold several shards (hash
+    * co-location), never a split shard. */
+  def packSequences(docs: DataFrame, nShards: Int = 8,
+      budget: Long = 512L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"),
+      expr("cast(conv(substring(md5(concat('sh', cast(doc_id as string)))," +
+        s" 1, 8), 16, 10) as bigint) % $nShards").as("shard"),
+      expr("size(filter(split(text, '\\\\s+'), t -> t != ''))")
+        .cast("long").as("tokens"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var started = false
+        var pack = 0L
+        var acc = 0L
+        it.map { case (docId, shard, tk) =>
+          if (!started || shard != curShard) {
+            started = true; curShard = shard; pack = 0L; acc = tk
+          } else if (acc > 0 && acc + tk > budget) { pack += 1; acc = tk }
+          else acc += tk
+          (shard, docId, tk, pack)
+        }
+      }
+      .toDF("shard", "doc_id", "tokens", "pack_id")
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
   /** Deterministic PII-bearing corpus: the synthetic documents carry no
     * emails or card numbers, so the scrub operator plants them —
     * deterministically from doc_id, identically in the oracle. */
@@ -329,39 +376,10 @@ object Pipeline extends QueryModule {
         .orderBy(col("shard"))
     }),
 
-    // Sequence packing: greedy fixed-token-budget packing per shard in
-    // doc_id order — the final assembly step before training
-    // (contiguous documents concatenate into fixed-length sequences; a
-    // doc over budget takes a pack alone, truncation is the
-    // tokenizer's concern downstream). Greedy-with-reset is inherently
-    // sequential PER SHARD, so the shard is the parallel unit —
-    // exactly how packing runs at 100 TB: thousands of shards packed
-    // concurrently, one linear scan each, no cross-shard coordination.
-    // Output is the pack PLAN (doc -> pack id + running token count),
-    // the thing a writer partitions on.
-    "pack_sequences" -> ((s, d) => {
-      import s.implicits._
-      val budget = 512L
-      documents(s, d).select(col("doc_id"),
-        expr("cast(conv(substring(md5(concat('sh', cast(doc_id as string)))," +
-          " 1, 8), 16, 10) as bigint) % 8").as("shard"),
-        expr("size(filter(split(text, '\\\\s+'), t -> t != ''))")
-          .cast("long").as("tokens"))
-        .as[(Long, Long, Long)]
-        .groupByKey(_._2)
-        .flatMapGroups { (shard, it) =>
-          val sorted = it.toArray.sortBy(_._1)
-          var pack = 0L
-          var acc = 0L
-          sorted.iterator.map { case (docId, _, tk) =>
-            if (acc > 0 && acc + tk > budget) { pack += 1; acc = tk }
-            else acc += tk
-            (shard, docId, tk, pack)
-          }
-        }
-        .toDF("shard", "doc_id", "tokens", "pack_id")
-        .orderBy(col("shard"), col("doc_id"))
-    }),
+    // Sequence packing (see packSequences). The declared query pins
+    // nShards=8 / budget=512 — the oracle's recursive CTE walks the
+    // same constants.
+    "pack_sequences" -> ((s, d) => packSequences(documents(s, d))),
 
     // Survivor selection: drop every near-dup cluster member except
     // the min-id representative — the decision a dedup pipeline
@@ -495,31 +513,37 @@ object Pipeline extends QueryModule {
         |SELECT shard, doc_id, tokens, pack_id FROM p
         |ORDER BY shard, doc_id""".stripMargin,
 
+    // Every CTE here is AS MATERIALIZED: each pr{i} references pr{i-1}
+    // TWICE (rank row + in_sum subjoin), and DuckDB re-inlines plain
+    // CTEs, so without materialization the quadratic `sh x JOIN sh y`
+    // expands ~2^5-fold (~470 s measured at sf0.01 vs ~1 s materialized
+    // — identical 47 rows). Spark-side the same doubling is cut with
+    // localCheckpoint; this is the oracle-side equivalent.
     "graph_pagerank" -> {
       val base =
-        """WITH sh AS (
+        """WITH sh AS MATERIALIZED (
           |  SELECT DISTINCT doc_id, u.s FROM documents,
           |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
           |    i -> substr(text, i, 8))) u(s)),
-          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-          |pairs AS (
+          |sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          |pairs AS MATERIALIZED (
           |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
           |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
           |  GROUP BY 1, 2),
-          |np AS (
+          |np AS MATERIALIZED (
           |  SELECT a_id, b_id FROM pairs
           |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
           |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
-          |edges AS (
+          |edges AS MATERIALIZED (
           |  SELECT a_id AS s, b_id AS t FROM np
           |  UNION ALL SELECT b_id, a_id FROM np),
-          |deg AS (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
-          |pr0 AS (
+          |deg AS MATERIALIZED (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+          |pr0 AS MATERIALIZED (
           |  SELECT node, deg, (SELECT COUNT(*) FROM deg) AS n,
           |    CAST(100000000 AS BIGINT) // (SELECT COUNT(*) FROM deg) AS pr
           |  FROM deg)""".stripMargin
       val iters = (1 to 5).map { i =>
-        s"""pr$i AS (
+        s"""pr$i AS MATERIALIZED (
            |  SELECT p.node, p.deg, p.n,
            |    ((CAST(15 AS BIGINT) * 100000000) // p.n) // 100
            |      + (CAST(85 AS BIGINT) * s.in_sum) // 100 AS pr

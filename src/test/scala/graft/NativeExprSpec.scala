@@ -211,13 +211,41 @@ class NativeExprSpec extends SparkSpec {
     assert(rows("{broken").isEmpty)
   }
 
+  test("token_md5_60 equals the composed split/md5/conv formulation") {
+    val edge = Seq(
+      (1L, "plain tokens here"),
+      (2L, "  leading and\ttrailing  \n"),   // empty-split artifacts drop
+      (3L, ""),                               // no tokens -> empty array
+      (4L, "repeat repeat repeat"),           // duplicates kept, in order
+      (5L, "héllo wörld £multibyte"),         // multi-byte UTF-8 tokens
+      (6L, "\t\r\n"),                         // all whitespace
+      (7L, "one")
+    ).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, docs)) {
+      val viaExpr = df.select(col("doc_id"),
+        graft.expressions.TokenMd5.token_md5_60(col("text")).as("th"))
+        .as[(Long, Array[Long])].collect().toMap
+      val viaBuiltins = df.select(col("doc_id"), expr(
+        "transform(filter(split(text, '\\\\s+'), t -> t != '')," +
+          " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))").as("th"))
+        .as[(Long, Array[Long])].collect().toMap
+      assert(viaExpr.keySet == viaBuiltins.keySet)
+      for (k <- viaExpr.keySet)
+        assert(viaExpr(k).toSeq == viaBuiltins(k).toSeq, s"doc $k")
+    }
+  }
+
   test("native expressions: interpreted eval matches codegen") {
     val df = spark.read.parquet(s"$sf/documents.parquet").limit(40)
-    def run(): Seq[(Int, Seq[Long])] = df.select(
+    def run(): Seq[(Int, Seq[Long], Seq[Long])] = df.select(
       size(ShingleHashes.shingle_hashes(col("text"), 8)).as("ns"),
       MinHashSig.minhash_sig(
-        ShingleHashes.shingle_hashes(col("text"), 8), 16).as("sig"))
-      .as[(Int, Array[Long])].collect().toSeq.map { case (n, s) => (n, s.toSeq) }
+        ShingleHashes.shingle_hashes(col("text"), 8), 16).as("sig"),
+      graft.expressions.TokenMd5.token_md5_60(col("text")).as("th"))
+      .as[(Int, Array[Long], Array[Long])].collect().toSeq
+      .map { case (n, s, t) => (n, s.toSeq, t.toSeq) }
     val viaCodegen = run()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")

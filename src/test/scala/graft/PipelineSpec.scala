@@ -321,4 +321,40 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("sequence packing: streaming scan matches the sequential " +
+      "reference at two shard counts, invariant to input partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // driver-side reference: the literal greedy algorithm, one shard
+    // at a time, computed independently of any Spark partitioning
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shardOf(id: Long, n: Int): Long = {
+      val hex = md.digest(s"sh$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % n
+    }
+    val toks = docs.selectExpr("doc_id",
+      "cast(size(filter(split(text, '\\\\s+'), t -> t != '')) as long) as tk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- Seq(8, 3)) {
+      val expected = toks.keys.toSeq.groupBy(shardOf(_, n)).flatMap {
+        case (shard, ids) =>
+          var pack = 0L; var acc = 0L
+          ids.sorted.map { id =>
+            val tk = toks(id)
+            if (acc > 0 && acc + tk > 512L) { pack += 1; acc = tk }
+            else acc += tk
+            (shard, id, tk, pack)
+          }
+      }.toSet
+      // skewed input partitioning must not change the plan output
+      for (input <- Seq(docs, docs.repartition(7), docs.coalesce(1))) {
+        val got = graft.operators.Pipeline.packSequences(input, nShards = n)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(got == expected, s"nShards=$n")
+      }
+    }
+  }
 }

@@ -8,7 +8,7 @@ as DuckDB views, runs each oracle, loads the corresponding Spark result
 parquet, sorts columns by name and rows by all columns, and compares
 values exactly (the driver hash-compares, so exact equality is the bar).
 """
-import sys, json, glob, math
+import sys, json, glob, math, time
 import duckdb
 import pandas as pd
 
@@ -53,7 +53,10 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    t_suite = time.time()
+    slow = []
     for name, sql in sorted(oracle.items()):
+        t_q = time.time()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -90,9 +93,13 @@ def main():
             print(f"FAIL {name}: row {i} col {c}: oracle={a!r} spark={b!r}")
             n_bad += 1
         else:
-            print(f"OK   {name} ({len(exp)} rows)")
+            print(f"OK   {name} ({len(exp)} rows, {time.time() - t_q:.1f}s)")
             n_ok += 1
-    print(f"== {n_ok} ok, {n_bad} fail")
+        if time.time() - t_q > 10:
+            slow.append((name, time.time() - t_q))
+    print(f"== {n_ok} ok, {n_bad} fail, {time.time() - t_suite:.0f}s total")
+    for name, dt in slow:
+        print(f"SLOW oracle {name}: {dt:.0f}s — check for re-inlined CTEs (use AS MATERIALIZED)")
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
