@@ -39,5 +39,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // evictions + recompiles, no "cache full" warning) and an arbitrary
   // subset of queries runs interpreted-speed for the whole session —
   // the standard Spark codegen tuning is a larger reserved code cache.
-  "-XX:ReservedCodeCacheSize=512m",
+  // 512m still churned on the full 89-query surface (isolated runs of
+  // the same queries were 2-5x faster than their full-surface numbers);
+  // 1g costs nothing at 128 GiB RAM.
+  "-XX:ReservedCodeCacheSize=1g",
 )

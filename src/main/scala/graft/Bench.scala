@@ -29,6 +29,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, must precede session creation: the default
+      // 100-entry generated-class cache evicts most of the ~hundreds
+      // of codegen stages this surface compiles, so the warm pass's
+      // compilation work was thrown away before the timed attempt
+      // (churn showed as 2-5x inflation of arbitrary queries vs their
+      // isolated runs)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.optimizer.excludedRules", Tuning.excludedRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
