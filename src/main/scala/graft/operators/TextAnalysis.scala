@@ -36,10 +36,14 @@ object TextAnalysis extends QueryModule {
 
   private def sqlToks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
 
-  private val hsExpr =
-    "transform(sequence(1, greatest(1, length(text) - 7))," +
-      " i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 8)," +
-      " 16, 10) as bigint))"
+  /** Positional 32-bit md5 window hashes — the native one-pass
+    * replacement for
+    * `transform(sequence(1, greatest(1, length(text) - 7)),
+    *   i -> cast(conv(substring(md5(substring(text,i,8)),1,8),16,10) as bigint))`
+    * (same values, pinned by NativeExprSpec; none of the four
+    * per-window string allocations of the composed form). */
+  private def hsCol =
+    graft.expressions.Md5Shingles.md5_shingles32(col("text"), 8)
   private val fpsExpr =
     "array_distinct(transform(sequence(1, greatest(1, size(hs) - 7))," +
       " j -> array_min(slice(hs, j, 8))))"
@@ -68,9 +72,9 @@ object TextAnalysis extends QueryModule {
         // would serialize the whole md5 stage on one core (the shuffle
         // moves raw text once — trivial next to ~40 md5s per character)
         docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-          .withColumn("hs", expr(hsExpr))
+          .withColumn("hs", hsCol)
           .select(col("doc_id"), col("hs")).localCheckpoint()
-      } else docs.withColumn("hs", expr(hsExpr))
+      } else docs.withColumn("hs", hsCol)
     base.withColumn("fps", expr(fpsExpr))
   }
 

@@ -75,6 +75,34 @@ class MaterializedTable(dir: String, retainVersions: Int = 8,
 
   private def logPath = Paths.get(dir, "_commits")
   private def manifestPath(v: Long) = Paths.get(dir, s"m=$v")
+  private def metaPath = Paths.get(dir, "_meta")
+
+  /** Layout metadata — (format version, nBuckets) — written once at
+    * first commit and validated on every open. The bucket function is
+    * baked into every on-disk manifest: reopening an existing table
+    * with a different nBuckets would route a key's next update to its
+    * NEW bucket while the stale copy in the old bucket carries forward
+    * by manifest reference — current() would then return duplicate and
+    * stale keys with no error. So a mismatch (or a committed table
+    * with no metadata at all) fails loudly instead of guessing. */
+  private def checkOrWriteMeta(write: Boolean): Unit = {
+    val meta = CommitLog.read(metaPath, 2)
+    if (meta.nonEmpty) {
+      val fmt = meta.head(0)
+      val nb = meta.head(1)
+      require(fmt == 1L, s"table at $dir has unsupported format version $fmt")
+      require(nb == nBuckets.toLong,
+        s"table at $dir was committed with nBuckets=$nb but opened with " +
+          s"nBuckets=$nBuckets — a key's bucket is part of the on-disk " +
+          "layout; reopen with the original bucket count")
+    } else if (commits().nonEmpty) {
+      throw new IllegalStateException(
+        s"table at $dir has a commit log but no _meta file — refusing to " +
+          "guess its bucket count")
+    } else if (write) {
+      CommitLog.rewrite(metaPath, Seq(Seq(1L, nBuckets.toLong)))
+    }
+  }
 
   /** (batchId, version) pairs in commit order; version -1 = committed
     * while the table was still empty. */
@@ -102,15 +130,18 @@ class MaterializedTable(dir: String, retainVersions: Int = 8,
       .select(col("pkey"), col("payload"))
 
   /** Current table state (pkey, payload), empty before any commit. */
-  def current(spark: SparkSession): DataFrame =
+  def current(spark: SparkSession): DataFrame = {
+    checkOrWriteMeta(write = false)
     readBuckets(spark,
       manifest(commits().lastOption.map(_._2).getOrElse(-1L)))
+  }
 
   /** Merge one micro-batch of changes — columns (pkey STRING,
     * operation STRING, payload STRING, lsn LONG, [ord INT]); operation
     * `delete` (any case) drops the key, anything else upserts. Returns
     * false on a replayed batchId (no-op). */
   def applyBatch(changes: DataFrame, batchId: Long): Boolean = {
+    checkOrWriteMeta(write = true)
     val done = commits()
     if (done.exists(_._1 == batchId)) false
     else {

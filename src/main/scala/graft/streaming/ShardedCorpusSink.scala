@@ -86,7 +86,15 @@ class ShardedCorpusSink(outDir: String, nShards: Int = 32)
     * LEGITIMATE state — there is then no parquet footer anywhere to
     * infer the corpus schema from, so the reader returns an empty
     * frame with the caller-declared `schema` (or zero columns when the
-    * caller has no expectation to declare) instead of crashing. */
+    * caller has no expectation to declare) instead of crashing.
+    *
+    * A declared schema is a CONTRACT, not just the empty-state
+    * fallback: the non-empty path selects (and casts to) exactly the
+    * declared columns too, so the reader's shape never depends on
+    * whether some epoch happened to carry data — and a declared column
+    * the store doesn't actually have fails loudly instead of being
+    * silently ignored. Callers that declare nothing get the inferred
+    * data columns plus the discovered `shard` partition column. */
   def readCommitted(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType =
         org.apache.spark.sql.types.StructType(Nil)): DataFrame = {
@@ -95,7 +103,7 @@ class ShardedCorpusSink(outDir: String, nShards: Int = 32)
     if (epochs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
+    else {
       // one multi-path scan, not a union per epoch: a long-running
       // stream accrues thousands of epochs and an N-leg union plan
       // grows (and re-analyzes) with N, while a single file-source
@@ -104,8 +112,18 @@ class ShardedCorpusSink(outDir: String, nShards: Int = 32)
       // committed epoch paths listed here are actually read); the
       // discovered epoch partition column is an implementation detail
       // of the layout, so it is dropped from the reader's schema.
-      spark.read.option("basePath", outDir)
+      val df = spark.read.option("basePath", outDir)
         .parquet(epochs.map(e => s"$outDir/epoch=$e"): _*)
         .drop("epoch")
+      if (schema.isEmpty) df
+      else {
+        val missing = schema.fieldNames.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"declared schema columns ${missing.mkString(", ")} not present " +
+            s"in committed corpus (has: ${df.columns.mkString(", ")})")
+        df.select(schema.fields.toSeq
+          .map(f => col(f.name).cast(f.dataType)): _*)
+      }
+    }
   }
 }

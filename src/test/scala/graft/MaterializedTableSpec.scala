@@ -170,6 +170,34 @@ class MaterializedTableSpec extends SparkSpec {
     assert(state(mt) == Map("k0" -> "a"))
   }
 
+  test("layout metadata pins nBuckets: mismatched reopen fails loudly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt-meta").toString
+    val mt = new MaterializedTable(dir, nBuckets = 16)
+    mt.applyBatch(Seq(("k1", "insert", "a", 1L))
+      .toDF("pkey", "operation", "payload", "lsn"), 0L)
+    // same params: reopen reads and writes fine
+    val same = new MaterializedTable(dir, nBuckets = 16)
+    assert(state(same) == Map("k1" -> "a"))
+    // different bucket count: both the reader and the writer refuse —
+    // a key's bucket is part of the on-disk layout
+    val other = new MaterializedTable(dir, nBuckets = 8)
+    val eR = intercept[IllegalArgumentException] { other.current(spark) }
+    assert(eR.getMessage.contains("nBuckets"))
+    val eW = intercept[IllegalArgumentException] {
+      other.applyBatch(Seq(("k2", "insert", "b", 2L))
+        .toDF("pkey", "operation", "payload", "lsn"), 1L)
+    }
+    assert(eW.getMessage.contains("nBuckets"))
+    // a committed table with no _meta (pre-metadata layout) is refused
+    // rather than guessed at
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_meta"))
+    val eM = intercept[IllegalStateException] {
+      new MaterializedTable(dir, nBuckets = 16).current(spark)
+    }
+    assert(eM.getMessage.contains("_meta"))
+  }
+
   test("end-to-end: wal2json feed parses and materializes per micro-batch") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files

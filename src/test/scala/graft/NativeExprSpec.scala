@@ -237,6 +237,30 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("md5_shingles32 equals the composed substring/md5/conv formulation") {
+    val edge = Seq(
+      (1L, "abcdefghijk"),          // 4 full windows
+      (2L, "short"),                // < k -> one whole-string hash
+      (3L, "aaaaaaaaaa"),           // duplicate windows kept, in order
+      (4L, "héllo wörld £multibyte windows")  // multi-byte chars
+    ).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, docs)) {
+      val viaExpr = df.select(col("doc_id"),
+        graft.expressions.Md5Shingles.md5_shingles32(col("text"), 8).as("hs"))
+        .as[(Long, Array[Long])].collect().toMap
+      val viaBuiltins = df.select(col("doc_id"), expr(
+        "transform(sequence(1, greatest(1, length(text) - 7))," +
+          " i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 8)," +
+          " 16, 10) as bigint))").as("hs"))
+        .as[(Long, Array[Long])].collect().toMap
+      assert(viaExpr.keySet == viaBuiltins.keySet)
+      for (k <- viaExpr.keySet)
+        assert(viaExpr(k).toSeq == viaBuiltins(k).toSeq, s"doc $k")
+    }
+  }
+
   test("native expressions: interpreted eval matches codegen") {
     val df = spark.read.parquet(s"$sf/documents.parquet").limit(40)
     def run(): Seq[(Int, Seq[Long], Seq[Long])] = df.select(

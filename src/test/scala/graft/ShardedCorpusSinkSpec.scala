@@ -58,6 +58,40 @@ class ShardedCorpusSinkSpec extends SparkSpec {
     assert(sink.readCommitted(spark).count() == 0)
   }
 
+  test("a declared schema yields the same shape whether or not epochs have data") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-corpus-shape").toString
+    val sink = new ShardedCorpusSink(out, nShards = 8)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // all-rejected state: declared shape
+    assert(sink.writeEpoch(Seq.empty[(Long, String)]
+      .toDF("doc_id", "text"), 0L))
+    val emptyShape = sink.readCommitted(spark, schema).schema
+    // then data arrives: the declared shape must NOT change (the
+    // non-empty path used to add the discovered shard column)
+    assert(sink.writeEpoch(Seq((1L, "alpha " + long1))
+      .toDF("doc_id", "text"), 1L))
+    val back = sink.readCommitted(spark, schema)
+    assert(back.schema == emptyShape,
+      s"reader shape changed with state: ${back.schema} vs $emptyShape")
+    assert(back.count() == 1)
+    // a declared column the store doesn't have fails loudly instead of
+    // being silently ignored
+    val badSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("nope",
+        org.apache.spark.sql.types.LongType)))
+    val e = intercept[IllegalArgumentException] {
+      sink.readCommitted(spark, badSchema)
+    }
+    assert(e.getMessage.contains("nope"))
+    // no declared schema: inferred columns incl. the shard layout
+    assert(sink.readCommitted(spark).columns.contains("shard"))
+  }
+
   test("out-of-range shard values fail loudly instead of polluting layout") {
     val out = java.nio.file.Files
       .createTempDirectory("graft-corpus-bad").toString
