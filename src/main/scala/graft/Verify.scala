@@ -14,7 +14,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // static conf: keep every generated class cached across the
-      // whole 89-query surface (default 100 entries evicts mid-run)
+      // whole declared-query surface (default 100 entries evicts mid-run)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.optimizer.excludedRules", Tuning.excludedRules)
       .config("spark.sql.session.timeZone", "UTC")

@@ -153,6 +153,29 @@ object Corpus extends QueryModule {
         .orderBy(col("dropped_id"))
     }),
 
+    // Embedding-space decontamination: flag corpus vectors close to a
+    // benchmark vector in cosine — the semantic complement of the
+    // text-side n-gram decontamination (paraphrased test items survive
+    // string matching but not embedding proximity). The benchmark side
+    // is broadcast BY DEFINITION (eval suites are thousands of
+    // vectors, never corpus-scale — same asymmetric-shape reasoning as
+    // text_fuzzy_decon), so the corpus streams through one linear scan
+    // with the FloatDot kernel inside codegen; at 100 TB this is
+    // scan-bound, no shuffle of the corpus at all.
+    "emb_decontaminate" -> ((s, d) => {
+      val c = corpus(s, d)
+      val bench = c.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("bench_id"),
+          col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      c.filter(col("vec_id") >= 20)
+        .crossJoin(broadcast(bench))
+        .withColumn("cosine", cosine(col("embedding"), col("nrm"),
+          col("b_emb"), col("b_nrm")))
+        .filter(col("cosine") >= 0.30)
+        .select(col("vec_id"), col("bench_id"), col("cosine"))
+        .orderBy(col("vec_id"), col("bench_id"))
+    }),
+
     // TF-IDF top terms: per-doc term frequency joined against the
     // corpus-wide document frequency, score = tf/df (monotone idf
     // variant; ln is avoided for cross-engine bit determinism — see
@@ -331,6 +354,20 @@ object Corpus extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "emb_decontaminate" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                     CAST(embedding AS DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id, b.vec_id AS bench_id,
+        |  list_dot_product(a.emb, b.emb) / (sqrt(a.nrm) * sqrt(b.nrm))
+        |    AS cosine
+        |FROM v a JOIN v b ON a.vec_id >= 20 AND b.vec_id < 20
+        |WHERE list_dot_product(a.emb, b.emb) / (sqrt(a.nrm) * sqrt(b.nrm))
+        |  >= 0.30
+        |ORDER BY a.vec_id, bench_id""".stripMargin,
+
     "dedup_semantic" ->
       s"""WITH $assignedSql,
          |pairs AS (

@@ -292,6 +292,70 @@ object TextAnalysis extends QueryModule {
             " 0L, (acc, c) -> (acc * 257 + c) % 1000000007)"))
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-document duplicated substring spans (the signal behind
+    // substring-level training-data dedup, Lee et al. 2022: repeated
+    // spans are memorization fuel even when whole documents differ).
+    // Per doc: how many of its 16-char window POSITIONS carry a gram
+    // that also appears in some other document, as count + ppm
+    // fraction (integer floor-div — portable). Shape: positional grams
+    // → distinct (doc, gram) → gram doc-frequency ≥ 2 keep-list →
+    // join back to positions → per-doc count. Both shuffles key on the
+    // gram (high cardinality, uniform); the keep-list join carries NO
+    // broadcast hint — at corpus scale the shared-gram table is huge,
+    // AQE picks the strategy (same contract as text_tfidf).
+    "text_dup_spans" -> ((s, d) => {
+      val grams = documents(s, d).select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(1, length(text) - 15))," +
+          " i -> substring(text, i, 16))")).as("g"))
+      val shared = grams.select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("docs"))
+        .filter(col("docs") >= 2).select(col("g"))
+      val dup = grams.join(shared, Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_pos"))
+      documents(s, d)
+        .select(col("doc_id"),
+          greatest(lit(1L), length(col("text")).cast("long") - 15)
+            .as("n_pos"))
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pos"),
+          coalesce(col("dup_pos"), lit(0L)).as("dup_pos"),
+          expr("coalesce(dup_pos, 0L) * 1000000L div n_pos")
+            .as("dup_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-bigram-LM fluency: score each document by the mean
+    // conditional probability of its token bigrams under the corpus's
+    // own bigram counts — P(w2|w1) = c(w1 w2) / c(w1 ·). The classic
+    // cheap LM quality cut (ln-perplexity is avoided on purpose: libm
+    // differs across engines; each p is one exact IEEE division and
+    // the mean goes through Num's decimal quantization). The prob
+    // table joins on the bigram key with no broadcast hint — bigram
+    // vocabulary at web scale is billions of rows, AQE decides (same
+    // contract as text_tfidf).
+    "text_bigram_lm" -> ((s, d) => {
+      val bg = documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        // Spark's sequence(1, 0) generates a DESCENDING [1, 0], not an
+        // empty array — docs under 2 tokens (no bigrams) are filtered,
+        // not special-cased
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> struct(toks[i - 1] as w1," +
+            " concat(toks[i - 1], ' ', toks[i]) as big))")).as("e"))
+        .select(col("doc_id"), col("e.w1").as("w1"), col("e.big").as("big"))
+      val c2 = bg.groupBy(col("big"), col("w1")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val probs = c2.join(c1, Seq("w1"))
+        .select(col("big"), (col("c2").cast("double") / col("c1")).as("p"))
+      bg.join(probs, Seq("big"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          graft.Num.davg(col("p")).as("mean_p"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -414,6 +478,40 @@ object TextAnalysis extends QueryModule {
         |      list_transform(range(1, len(text) + 1),
         |        i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
         |    (acc, c) -> (acc * 257 + c) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_dup_spans" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT doc_id, u.g FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 15)),
+        |    i -> substr(text, i, 16))) u(g)),
+        |shared AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+        |  GROUP BY g HAVING COUNT(*) >= 2),
+        |dup AS (
+        |  SELECT doc_id, COUNT(*) AS dup_pos FROM g JOIN shared USING (g)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, greatest(1, len(d.text) - 15) AS n_pos,
+        |  CAST(COALESCE(dup.dup_pos, 0) AS BIGINT) AS dup_pos,
+        |  CAST(COALESCE(dup.dup_pos, 0) * 1000000 AS BIGINT)
+        |    // greatest(1, len(d.text) - 15) AS dup_ppm
+        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "text_bigram_lm" -> {
+      s"""WITH bg AS MATERIALIZED (
+         |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS big
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |  UNNEST(generate_series(1, len(toks) - 1)) u(i)
+         |  WHERE len(toks) >= 2),
+         |c2 AS (SELECT big, w1, COUNT(*) AS c2 FROM bg GROUP BY big, w1),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+         |probs AS (
+         |  SELECT big, CAST(c2 AS DOUBLE) / c1 AS p
+         |  FROM c2 JOIN c1 USING (w1))
+         |SELECT doc_id, COUNT(*) AS n_bigrams, ${sqlAvg("p")} AS mean_p
+         |FROM bg JOIN probs USING (big)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 }

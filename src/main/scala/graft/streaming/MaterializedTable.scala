@@ -136,6 +136,21 @@ class MaterializedTable(dir: String, retainVersions: Int = 8,
       manifest(commits().lastOption.map(_._2).getOrElse(-1L)))
   }
 
+  /** Left-join a batch against the CURRENT table state — the
+    * CDC-maintained slowly-changing-dimension pattern: one stream
+    * keeps this table current via [[applyBatch]], another stream calls
+    * this from its own foreachBatch to decorate events with the
+    * dimension as-of that micro-batch. Unmatched keys keep a null
+    * `payload` (route them to a dead-letter flow or coalesce a
+    * default — dropping them silently is the classic enrichment bug).
+    * The join is left to AQE: a small dimension broadcasts, a huge one
+    * shuffle-joins — both correct, and the bucketed layout keeps the
+    * state read O(table), never O(history). */
+  def enrich(batch: DataFrame, joinCol: String): DataFrame =
+    batch.join(
+      current(batch.sparkSession).withColumnRenamed("pkey", joinCol),
+      Seq(joinCol), "left")
+
   /** Merge one micro-batch of changes — columns (pkey STRING,
     * operation STRING, payload STRING, lsn LONG, [ord INT]); operation
     * `delete` (any case) drops the key, anything else upserts. Returns

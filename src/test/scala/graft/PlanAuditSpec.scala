@@ -20,9 +20,12 @@ class PlanAuditSpec extends SparkSpec {
   //  - dedup_semantic / emb_kmeans_step: corpus × 32 broadcast
   //    centroids (nearest-centroid assignment, same shape as
   //    sim_ann_ivf's coarse quantizer)
+  //  - emb_decontaminate: corpus × broadcast benchmark vectors (the
+  //    benchmark side is bounded by definition — eval suites, not
+  //    corpus data)
   private val nestedLoopOk =
     Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine",
-      "dedup_semantic", "emb_kmeans_step")
+      "dedup_semantic", "emb_kmeans_step", "emb_decontaminate")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
