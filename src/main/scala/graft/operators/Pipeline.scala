@@ -446,6 +446,97 @@ object Pipeline extends QueryModule {
         .agg(count(lit(1)).as("n"), davg(col("v")).as("mean"),
           min(col("v")).as("vmin"), max(col("v")).as("vmax"))
         .orderBy(col("dim"))
+    }),
+
+    // Per-source near-dup accounting: how much of each source the
+    // near-dup dedup pass would drop — the report that decides which
+    // acquisition pipelines are feeding the corpus duplicates. Joins
+    // the (memoized) cluster assignment's non-survivor set against the
+    // corpus; the dropped set is tiny relative to the corpus, the
+    // rollup groups on a handful of source keys. dup_ppm is integer
+    // floor-div, exactly portable.
+    "dedup_source_stats" -> ((s, d) => {
+      val dropped = clusters(s, d)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"), lit(1L).as("is_dup"))
+      documents(s, d).join(dropped, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dropped"))
+        .withColumn("dup_ppm", expr("n_dropped * 1000000L div n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // Per-dimension whitening (standardization) audit: mean/std per
+    // dimension from ONE corpus aggregate (quantized sums — partial
+    // aggregation order can't change them), then each vector's
+    // whitened values summarized as a quantized checksum + max |z|.
+    // The per-dim stats table (64 rows) broadcasts BY CONSTRUCTION;
+    // the corpus streams through the normalize map — at 100 TB this is
+    // two linear scans and no corpus shuffle. Population variance via
+    // E[x^2] - mean^2 on quantized sums, std = sqrt (the one portable
+    // power); z-values are exact IEEE ops on deterministic inputs.
+    "emb_whiten" -> ((s, d) => {
+      val stats = embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select((col("pos") + 1).as("dim"), col("val").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(davg(col("v")).as("mean"), davg(col("v") * col("v")).as("ex2"))
+        .withColumn("std", sqrt(col("ex2") - col("mean") * col("mean")))
+        .select(col("dim"), col("mean"), col("std"))
+      embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("pos", "val")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          col("val").cast("double").as("v"))
+        .join(broadcast(stats), Seq("dim"))
+        // a constant dimension (std 0) whitens to 0, not NaN
+        .withColumn("z", when(col("std") === 0.0, lit(0.0))
+          .otherwise((col("v") - col("mean")) / col("std")))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("cast(round(z * 1e6) as bigint)")).as("z_checksum"),
+          max(abs(col("z"))).as("max_absz"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Top principal component by power iteration (3 rounds from the
+    // all-ones vector) — PCA for whitening/compression without ever
+    // forming the 64x64 covariance as driver state. Every reduction
+    // (per-row dot, per-dim accumulation, the norm) goes through the
+    // shared decimal quantization, so partial-aggregation order can't
+    // change a bit and the DuckDB oracle replays the IDENTICAL
+    // arithmetic (same discipline as PageRank's integer micro-units;
+    // the quantization is part of the operator's definition, not an
+    // approximation of it). Per iteration: one broadcast join against
+    // the 64-row direction vector, one shuffle on vec_id, one on dim —
+    // the corpus is scanned, never collected; at 100 TB you persist
+    // the centered table once and the loop stays scan-bound.
+    "emb_pca_power" -> ((s, d) => {
+      import graft.Num.{davg, dsum}
+      val e = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("pos", "val")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          col("val").cast("double").as("v"))
+      val m = e.groupBy(col("dim")).agg(davg(col("v")).as("mean"))
+      val c = e.join(broadcast(m), Seq("dim"))
+        .select(col("vec_id"), col("dim"), (col("v") - col("mean")).as("c"))
+      var vk = m.select(col("dim"), lit(1.0).as("vv"))
+      var nk: DataFrame = null
+      for (_ <- 1 to 3) {
+        val dk = c.join(broadcast(vk), Seq("dim"))
+          .groupBy(col("vec_id")).agg(dsum(col("c") * col("vv")).as("dot"))
+        val wk = c.join(dk, Seq("vec_id"))
+          .groupBy(col("dim")).agg(dsum(col("dot") * col("c")).as("w"))
+        nk = wk.agg(sqrt(dsum(col("w") * col("w"))).as("nrm"))
+        vk = wk.crossJoin(broadcast(nk))
+          .select(col("dim"), (col("w") / col("nrm")).as("vv"))
+      }
+      vk.crossJoin(broadcast(nk))
+        .select(col("dim"),
+          expr("cast(round(vv * 1000000) as bigint)").as("loading_ppm"),
+          col("nrm").as("eigenvalue"))
+        .orderBy(col("dim"))
     })
   )
 
@@ -603,6 +694,91 @@ object Pipeline extends QueryModule {
         |SELECT doc_id, lang FROM documents
         |WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_source_stats" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |np AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
+        |edges(a, b) AS (
+        |  SELECT a_id, b_id FROM np UNION SELECT b_id, a_id FROM np),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        |dropped AS (SELECT node FROM clusters WHERE node <> cluster_id)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN dr.node IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(SUM(CASE WHEN dr.node IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |    AS BIGINT) // COUNT(*) AS dup_ppm
+        |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "emb_whiten" -> {
+      import graft.Num.sqlAvg
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, u.i AS dim, emb[u.i] AS v FROM (
+         |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |    FROM embeddings) t,
+         |  UNNEST(generate_series(1, len(emb))) u(i)),
+         |stats AS MATERIALIZED (
+         |  SELECT dim, ${sqlAvg("v")} AS mean, ${sqlAvg("v * v")} AS ex2
+         |  FROM e GROUP BY dim),
+         |ws AS (
+         |  SELECT dim, mean, sqrt(ex2 - mean * mean) AS std FROM stats)
+         |SELECT vec_id,
+         |  CAST(SUM(CAST(round(
+         |    (CASE WHEN std = 0 THEN 0.0 ELSE (v - mean) / std END) * 1e6)
+         |    AS HUGEINT)) AS BIGINT) AS z_checksum,
+         |  MAX(abs(CASE WHEN std = 0 THEN 0.0 ELSE (v - mean) / std END))
+         |    AS max_absz
+         |FROM e JOIN ws USING (dim)
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+
+    // Same MATERIALIZED discipline as graph_pagerank: every iteration
+    // CTE is referenced more than once downstream.
+    "emb_pca_power" -> {
+      import graft.Num.{sqlAvg, sqlSum}
+      val base =
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id, u.i AS dim, emb[u.i] AS v FROM (
+           |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           |    FROM embeddings) t,
+           |  UNNEST(generate_series(1, len(emb))) u(i)),
+           |m AS MATERIALIZED (
+           |  SELECT dim, ${sqlAvg("v")} AS mean FROM e GROUP BY dim),
+           |c AS MATERIALIZED (
+           |  SELECT vec_id, e.dim, v - mean AS c FROM e JOIN m USING (dim)),
+           |v0 AS MATERIALIZED (SELECT dim, 1.0 AS vv FROM m)""".stripMargin
+      val iters = (1 to 3).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT vec_id, ${sqlSum("c.c * p.vv")} AS dot
+           |  FROM c JOIN v${k - 1} p USING (dim) GROUP BY vec_id),
+           |w$k AS MATERIALIZED (
+           |  SELECT c.dim, ${sqlSum("dd.dot * c.c")} AS w
+           |  FROM c JOIN d$k dd USING (vec_id) GROUP BY c.dim),
+           |n$k AS MATERIALIZED (
+           |  SELECT sqrt(${sqlSum("w * w")}) AS nrm FROM w$k),
+           |v$k AS MATERIALIZED (
+           |  SELECT dim, w / (SELECT nrm FROM n$k) AS vv FROM w$k)""".stripMargin
+      }.mkString(",\n")
+      base + ",\n" + iters +
+        "\nSELECT dim, CAST(round(vv * 1000000) AS BIGINT) AS loading_ppm," +
+        "\n  (SELECT nrm FROM n3) AS eigenvalue" +
+        "\nFROM v3 ORDER BY dim"
+    },
 
     "sample_hash" ->
       """SELECT doc_id, lang FROM documents

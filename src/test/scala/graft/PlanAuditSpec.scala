@@ -23,9 +23,12 @@ class PlanAuditSpec extends SparkSpec {
   //  - emb_decontaminate: corpus × broadcast benchmark vectors (the
   //    benchmark side is bounded by definition — eval suites, not
   //    corpus data)
+  //  - emb_pca_power: 64-row direction vector × broadcast 1-row norm
+  //    per iteration (both sides bounded by construction)
   private val nestedLoopOk =
     Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine",
-      "dedup_semantic", "emb_kmeans_step", "emb_decontaminate")
+      "dedup_semantic", "emb_kmeans_step", "emb_decontaminate",
+      "emb_pca_power")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
