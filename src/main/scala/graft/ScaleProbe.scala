@@ -68,7 +68,12 @@ object ScaleProbe {
     // blowup (x copies^2 pairs), not pipeline scaling.
     val ops = Seq("q1_pricing", "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_cluster", "graph_pagerank", "sim_ann_lsh", "text_decontaminate",
-      "text_winnow", "text_winnow_pairs", "text_fuzzy_decon", "text_chunks")
+      "text_winnow", "text_winnow_pairs", "text_fuzzy_decon", "text_chunks",
+      // perturbed text keeps cross-copy gram/bigram overlap ~zero, so
+      // these measure pipeline scaling; the embedding pair (whiten/pca)
+      // is pure aggregation — replication exercises exactly the
+      // reduction paths
+      "text_dup_spans", "text_bigram_lm", "emb_whiten", "emb_pca_power")
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

@@ -16,9 +16,14 @@ class DeterminismSpec extends SparkSpec {
   // (q1), FloatDot cosine + window rank (dedup_semantic), integer
   // micro-unit sums + floor division (emb_kmeans_step), quantized
   // window total (corpus_mix_temp), double division ranking
-  // (text_tfidf), md5-keyed top-k (sample_priority).
+  // (text_tfidf), md5-keyed top-k (sample_priority), chained quantized
+  // reductions through an iterative loop (emb_pca_power — the hardest
+  // case: three rounds of dot/accumulate/normalize, any merge-order
+  // leak compounds), corpus-count double division + quantized mean
+  // (text_bigram_lm).
   private val representative = Seq("q1_pricing", "dedup_semantic",
-    "emb_kmeans_step", "corpus_mix_temp", "text_tfidf", "sample_priority")
+    "emb_kmeans_step", "corpus_mix_temp", "text_tfidf", "sample_priority",
+    "emb_pca_power", "text_bigram_lm")
 
   test("query results are invariant to shuffle partition count") {
     val key = "spark.sql.shuffle.partitions"
