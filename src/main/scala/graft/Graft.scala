@@ -35,6 +35,9 @@ object Graft {
     "lsh_codes" -> (exprs => expressions.LshCodes(exprs.head,
       intLit(exprs(1), "lsh_codes numTables"),
       intLit(exprs(2), "lsh_codes bitsPerTable"))),
+    "token_md5_60" -> (exprs => expressions.TokenMd5(exprs.head)),
+    "md5_shingles32" -> (exprs => expressions.Md5Shingles(exprs.head,
+      intLit(exprs(1), "md5_shingles32 k"))),
     "py_json" -> (exprs => expressions.PyJson(exprs.head)),
     "full_change_rows" -> (exprs => expressions.FullChangeRows(exprs.head)),
     // aggregate: the analyzer wraps a bare AggregateFunction builder

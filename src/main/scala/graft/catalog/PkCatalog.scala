@@ -58,4 +58,34 @@ object PkCatalog {
       .select(col("table_name"), col("col_name").as("pk_name"),
         col("col_type").as("pk_type"))
   }
+
+  /** TTL-refreshing catalog provider — the scheduled-refresh feature
+    * the reference lists on its roadmap but never shipped
+    * (README.rst:136-138: "Refresh primary key cache on a schedule"):
+    * a long-running CDC stream that sees a mid-flight ADD TABLE /
+    * PK-change otherwise keeps dead-lettering (lenient) or failing
+    * (strict) forever on a catalog snapshot from stream start.
+    *
+    * Call the returned function once per micro-batch (foreachBatch or
+    * the parse stage's builder): within `ttl` it returns the cached
+    * snapshot; after that the next call re-reads — one O(#tables)
+    * catalog query per TTL window, amortized to nothing next to the
+    * batch itself. The clock and the reader are injected so specs
+    * drive both; production passes `() => fromJdbc(...)`.
+    * Thread-confined to the driver's micro-batch loop (Structured
+    * Streaming runs foreachBatch serially per query), so a plain var
+    * suffices — no lock on the hot path. */
+  def refreshing(read: () => DataFrame, ttlMillis: Long,
+      now: () => Long = () => System.currentTimeMillis()): () => DataFrame = {
+    var cached: DataFrame = null
+    var asOf = Long.MinValue
+    () => {
+      val t = now()
+      if (cached == null || t - asOf >= ttlMillis) {
+        cached = read()
+        asOf = t
+      }
+      cached
+    }
+  }
 }

@@ -245,4 +245,27 @@ class CdcSpec extends SparkSpec {
     assert(row.getAs[String]("pk_name") == "b")
     assert(row.getAs[String]("pk_type") == "text")
   }
+
+  test("refreshing catalog re-reads only after the TTL elapses") {
+    // the scheduled-refresh roadmap item the reference never shipped
+    // (README.rst:136-138): a mid-flight ADD TABLE must become
+    // joinable after the TTL, with at most one catalog read per window
+    var reads = 0
+    var tables = Seq(PrimaryKeyMapItem("public.events", "id", "bigint", 1))
+    var clock = 0L
+    val provider = PkCatalog.refreshing(
+      () => { reads += 1; PkCatalog.fromItems(spark, tables) },
+      ttlMillis = 1000L, now = () => clock)
+    assert(provider().count() == 1 && reads == 1)
+    // within TTL: cached, no re-read, new table NOT yet visible
+    tables = tables :+ PrimaryKeyMapItem("public.orders", "oid", "bigint", 1)
+    clock = 999L
+    assert(provider().count() == 1 && reads == 1)
+    // TTL elapsed: one re-read, the new table appears
+    clock = 1000L
+    assert(provider().count() == 2 && reads == 2)
+    // and the fresh snapshot is cached again
+    clock = 1500L
+    assert(provider().count() == 2 && reads == 2)
+  }
 }

@@ -20,7 +20,7 @@ class ExtensionsSpec extends SparkSpec {
       .registerFunctions(ext, FunctionRegistry.builtin.clone())
     val expected = Seq("simhash64", "float_dot", "sorted_intersect_count",
       "shingle_hashes", "minhash_sig", "lsh_codes", "py_json",
-      "full_change_rows", "kmv_smallest")
+      "full_change_rows", "kmv_smallest", "token_md5_60", "md5_shingles32")
     expected.foreach { name =>
       assert(reg.functionExists(FunctionIdentifier(name)),
         s"$name not registered via extensions")
