@@ -614,6 +614,56 @@ object Relational extends QueryModule {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("win_start"), col("n"), col("sum_value"))
         .orderBy(col("win_start"))
+    }),
+
+    // Multi-step event funnel (view → click → purchase): per user, the
+    // first view, then the first click strictly after it, then the
+    // first purchase strictly after that; the report is users reaching
+    // each stage. Each stage is one filter + one (user_id) aggregate
+    // joined to the previous stage's per-user timestamp — all three
+    // shuffles key on user_id, so the exchange partitioning is reused
+    // stage to stage; no windows over the whole event stream, no
+    // self-join of events against events. Timestamps compare at
+    // microsecond precision in both engines (Tables.events nano
+    // truncation = DuckDB's CAST).
+    "q_funnel_steps" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.select(lit("1_view").as("stage"), col("user_id"))
+        .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
+        .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage"))
+    }),
+
+    // Cohort retention: users bucketed by their first active day, then
+    // distinct active users per (cohort, day-offset) out to a week —
+    // the standard engagement triangle. Two aggregates and a join, all
+    // keyed on user_id (exchange reuse), then a distinct on the small
+    // (user, cohort, offset) projection; day arithmetic is exact
+    // integer date math in both engines.
+    "q_retention" -> ((s, d) => {
+      val e = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val f = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      e.join(f, Seq("user_id"))
+        .select(col("user_id"), col("cohort"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_k"))
+        .distinct()
+        .filter(col("day_k") <= 7)
+        .groupBy(col("cohort"), col("day_k"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_k"), col("n_users"))
+        .orderBy(col("cohort"), col("day_k"))
     })
   )
 
@@ -969,6 +1019,40 @@ object Relational extends QueryModule {
          |  FROM events, UNNEST(generate_series(0, 3)) s(k))
          |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
          |  COUNT(*) AS n, ${sqlSum("value")} AS sum_value
-         |FROM w GROUP BY ws ORDER BY win_start""".stripMargin
+         |FROM w GROUP BY ws ORDER BY win_start""".stripMargin,
+
+    "q_funnel_steps" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS MATERIALIZED (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2
+        |  GROUP BY 1)
+        |SELECT stage, COUNT(*) AS n_users FROM (
+        |  SELECT '1_view' AS stage, user_id FROM v
+        |  UNION ALL SELECT '2_click', user_id FROM c
+        |  UNION ALL SELECT '3_purchase', user_id FROM p)
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort,
+        |    date_diff('day', f.cohort, e.day) AS day_k
+        |  FROM e JOIN f USING (user_id))
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, day_k,
+        |  COUNT(*) AS n_users
+        |FROM a WHERE day_k <= 7
+        |GROUP BY cohort, day_k ORDER BY cohort, day_k""".stripMargin
   )
 }
