@@ -121,4 +121,49 @@ class PropertySpec extends SparkSpec {
       got == want
     })
   }
+
+  // ---- md5 hash kernels -------------------------------------------------
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map(b => f"$b%02x").mkString
+
+  test("token_md5_60: byte-scan tokenization equals Java regex split on any string") {
+    // generator mixes every Java \s class member, ASCII, multi-byte BMP
+    // chars AND supplementary (surrogate-pair) chars — the byte scan
+    // must agree with String.split("\\s+") on all of them
+    val genChar = Gen.oneOf(
+      Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
+      Gen.alphaNumChar,
+      Gen.oneOf('é', 'ß', '£', '中', '文'),
+      Gen.const("😀")) // 😀 as a surrogate pair
+    val genString = Gen.listOf(genChar).map(_.map(_.toString).mkString)
+    check(Prop.forAll(genString) { s =>
+      val got = graft.expressions.TokenMd5.hashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toLongArray().toSeq
+      val want = s.split("\\s+").filter(_.nonEmpty).toSeq.map { t =>
+        java.lang.Long.parseLong(md5hex(t.getBytes("UTF-8")).take(15), 16)
+      }
+      got == want && got.forall(v => v >= 0 && v < (1L << 60))
+    })
+  }
+
+  test("md5_shingles32: byte-walk windows equal code-point substrings on any BMP string") {
+    // BMP-only on purpose: the contract is Spark's substring (code
+    // points), which equals Java String windows only below U+10000
+    val genChar = Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf(' ', 'é', 'ß', '£', '中', '文'))
+    val genString = Gen.listOf(genChar).map(_.mkString)
+    check(Prop.forAll(genString) { s =>
+      val got = graft.expressions.Md5Shingles.hashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 8)
+        .toLongArray().toSeq
+      val nWin = math.max(1, s.length - 7)
+      val want = (0 until nWin).toSeq.map { i =>
+        val w = s.substring(i, math.min(i + 8, s.length))
+        java.lang.Long.parseLong(md5hex(w.getBytes("UTF-8")).take(8), 16)
+      }
+      got == want && got.forall(v => v >= 0 && v < (1L << 32))
+    })
+  }
 }
