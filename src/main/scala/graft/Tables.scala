@@ -20,19 +20,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized parquet reader rejects outright. Read nanos as long
-    * (legacy conf) and floor-divide to microseconds — the same
-    * truncation DuckDB's CAST(ts AS TIMESTAMP) applies, so oracle
-    * comparisons stay aligned. Emitted as TIMESTAMP_NTZ to match the
-    * file's isAdjustedToUTC=false semantics.
+  /** `events.ts` has shipped as two different physical types across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader only accepts as raw long via the legacy conf) and plain
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false). Normalize both to
+    * TIMESTAMP_NTZ at the loader so every downstream operator and its
+    * DuckDB oracle (`CAST(ts AS TIMESTAMP)` truncates the same way)
+    * see one schema regardless of which generation is on disk.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000"))
-        .cast("timestamp_ntz"))
+    val df = t(s, d, "events")
+    val ts = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    df.withColumn("ts", ts)
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
