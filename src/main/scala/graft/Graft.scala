@@ -40,9 +40,14 @@ object Graft {
       intLit(exprs(1), "md5_shingles32 k"))),
     "py_json" -> (exprs => expressions.PyJson(exprs.head)),
     "full_change_rows" -> (exprs => expressions.FullChangeRows(exprs.head)),
-    // aggregate: the analyzer wraps a bare AggregateFunction builder
+    "bloom_might_contain" ->
+      (exprs => expressions.BloomMightContain(exprs.head, exprs(1))),
+    // aggregates: the analyzer wraps a bare AggregateFunction builder
     "kmv_smallest" -> (exprs => expressions.KmvSmallest(exprs.head,
-      intLit(exprs(1), "kmv_smallest k")))
+      intLit(exprs(1), "kmv_smallest k"))),
+    "bloom_agg" -> (exprs => expressions.BloomAgg(exprs.head,
+      intLit(exprs(1), "bloom_agg mBits"),
+      intLit(exprs(2), "bloom_agg numHash")))
   )
 
   def register(spark: SparkSession): SparkSession = {

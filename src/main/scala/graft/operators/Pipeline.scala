@@ -285,6 +285,37 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // The same decontamination THROUGH a Bloom runtime filter: the
+    // benchmark shingle set aggregates into one ~128 KB
+    // self-describing bloom_agg binary, which rides along as a scalar
+    // and kills non-benchmark shingles inside the corpus scan — before
+    // the join the exact plan would pay for every shingle. A Bloom
+    // probe has no false negatives, so prefilter + the SAME exact join
+    // is bit-identical to text_decontaminate (shared oracle proves it);
+    // false positives only cost a little extra join input. At 100 TB
+    // corpus / few-MB benchmark this is THE semi-join shape: the filter
+    // is orders of magnitude smaller than even the broadcast hash
+    // relation, and the dropped rows never leave the scan stage.
+    "text_bloom_decon" -> ((s, d) => {
+      import graft.expressions.Bloom.{bloom_agg, bloom_might_contain}
+      val sets = Dedup.shingleSets(documents(s, d))
+      def shingles(df: DataFrame) =
+        df.select(col("doc_id"), explode(col("set")).as("h"))
+      val bench = shingles(sets.filter(col("doc_id") < 20))
+        .withColumnRenamed("doc_id", "bench_id")
+      // 2^20 bits / 7 probes: ~0.1% FP at ~100k distinct benchmark
+      // shingles — sized for the benchmark side, independent of corpus
+      val bloom = bench.agg(bloom_agg(col("h"), 1 << 20, 7).as("bf"))
+      shingles(sets.filter(col("doc_id") >= 20))
+        .crossJoin(broadcast(bloom))
+        .filter(bloom_might_contain(col("bf"), col("h")))
+        .join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 8)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // PageRank over the near-dup similarity graph (5 iterations,
     // d=0.85): the second genuinely iterative distributed algorithm
     // here beyond connected components — each iteration is one
@@ -420,6 +451,39 @@ object Pipeline extends QueryModule {
         .agg(count(lit(1)).as("n"), davg(col("v")).as("mean"),
           min(col("v")).as("vmin"), max(col("v")).as("vmax"))
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // Per-class representative selection (herding-style coreset pick):
+    // the 5 vectors nearest their label's centroid — the curation op
+    // that picks canonical exemplars per class for few-shot prompts,
+    // label auditing, or coreset seeds. All arithmetic in integer
+    // micro-units (the emb_kmeans_step discipline): quantize once,
+    // centroid = floor-div mean, distance = exact integer squared
+    // error — so partial-agg order cannot perturb a bit and the oracle
+    // reproduces the exact integers. Shape at scale: explode is linear,
+    // both aggregates key on (label, dim) / (vec, label) — high
+    // cardinality, no skew — and the final top-5 window runs per label
+    // over |vectors| rows, the same rank-per-group shape as
+    // sample_stratified.
+    "emb_class_reps" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+          expr("cast(round(1000000 * cast(v as double)) as bigint)")
+            .as("q"))
+      val cent = e.groupBy(col("label"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+        .select(col("label"), col("dim"),
+          expr("(sq + 1000000000L * cnt) div cnt - 1000000000L").as("cq"))
+      e.join(cent, Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("label"))
+          .orderBy(col("d2"), col("vec_id"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("label"), col("rk"), col("vec_id"), col("d2"))
+        .orderBy(col("label"), col("rk"))
     }),
 
     // Int8 symmetric per-vector quantization audit — the storage/
@@ -565,6 +629,20 @@ object Pipeline extends QueryModule {
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "text_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20)
+        |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+        |FROM c JOIN b ON c.s = b.s
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 8
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // Bloom prefilter + exact verify ≡ the exact join (no false
+    // negatives), so the oracle is text_decontaminate's, verbatim.
+    "text_bloom_decon" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, u.s FROM documents,
         |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
@@ -865,6 +943,29 @@ object Pipeline extends QueryModule {
          |  MAX(CAST(embedding[i] AS DOUBLE)) AS vmax
          |FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
          |GROUP BY i ORDER BY dim""".stripMargin
-    }
+    },
+
+    "emb_class_reps" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, label, i AS dim,
+        |    CAST(round(1000000 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)),
+        |c AS (
+        |  SELECT label, dim,
+        |    CAST((SUM(q) + 1000000000 * COUNT(*)) // COUNT(*)
+        |      - 1000000000 AS BIGINT) AS cq
+        |  FROM e GROUP BY label, dim),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(SUM((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS d2
+        |  FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+        |  GROUP BY e.vec_id, e.label),
+        |r AS (
+        |  SELECT label, vec_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2, vec_id) AS rk
+        |  FROM d)
+        |SELECT label, rk, vec_id, d2 FROM r WHERE rk <= 5
+        |ORDER BY label, rk""".stripMargin
   )
 }

@@ -664,6 +664,29 @@ object Relational extends QueryModule {
         .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
           col("day_k"), col("n_users"))
         .orderBy(col("cohort"), col("day_k"))
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences — the "what happens after X" model behind
+    // next-action prediction and session anomaly scoring. One
+    // user-partitioned ordered window (lag) to form consecutive
+    // pairs, then a tiny (|types|²) aggregate: the shuffle is the
+    // user_id hash partition, identical at any corpus size, and the
+    // transition matrix itself never grows past event-type
+    // cardinality squared. Probabilities are one IEEE double divide
+    // of two exact integers, so both engines agree bit-for-bit;
+    // (ts, event_id) ordering makes the lag deterministic under ties.
+    "q_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+        .orderBy(col("prev_type"), col("event_type"))
     })
   )
 
@@ -1053,6 +1076,18 @@ object Relational extends QueryModule {
         |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, day_k,
         |  COUNT(*) AS n_users
         |FROM a WHERE day_k <= 7
-        |GROUP BY cohort, day_k ORDER BY cohort, day_k""".stripMargin
+        |GROUP BY cohort, day_k ORDER BY cohort, day_k""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type, LAG(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n,
+        |  CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin
   )
 }

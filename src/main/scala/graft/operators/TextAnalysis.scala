@@ -280,6 +280,43 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style boilerplate accounting: the fraction of a document's
+    // token 5-gram occurrences whose gram recurs across >= 4 DISTINCT
+    // documents — headers, navigation chrome, license blurbs and
+    // template filler score high and get cut (or downweighted) before
+    // training. Complements text_dup_spans (char-level spans, df >= 2)
+    // with token-level df-thresholded accounting. Shape: gram explode →
+    // distinct (doc, gram) → per-gram doc-frequency → join back to
+    // occurrences → per-doc rollup. Both shuffles key on the gram
+    // (high cardinality, uniform); the df table carries NO broadcast
+    // hint — at corpus scale frequent-gram tables are huge, AQE picks
+    // the join strategy (the text_tfidf contract).
+    "text_boilerplate" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("grams", expr(
+          "CASE WHEN size(toks) >= 5 THEN transform(sequence(1, size(toks) - 4)," +
+            " i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]," +
+            " toks[i + 2], toks[i + 3])) ELSE array() END"))
+      val g = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+      val gdf = g.distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val per = g.join(gdf, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 4, 1L).otherwise(0L)).as("n_boiler"))
+      documents(s, d).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+        .withColumn("boiler_frac",
+          when(col("n_grams") > 0,
+            col("n_boiler").cast("double") / col("n_grams"))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    }),
+
     // Karp-Rabin content fingerprint: sequential modular fold over
     // character codes (base 257 mod 1e9+7). Order-dependent by design
     // — it IS the document identity — and exactly portable because
@@ -497,6 +534,36 @@ object TextAnalysis extends QueryModule {
         |    // greatest(1, len(d.text) - 15) AS dup_ppm
         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_boilerplate" -> {
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |gr AS MATERIALIZED (
+         |  SELECT doc_id, u.g FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(toks) >= 5 THEN
+         |        list_transform(generate_series(1, len(toks) - 4),
+         |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+         |            || ' ' || toks[i + 3] || ' ' || toks[i + 4])
+         |      ELSE [] END AS grams
+         |    FROM t), UNNEST(grams) u(g)),
+         |f AS (
+         |  SELECT g, COUNT(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, g FROM gr) GROUP BY g),
+         |per AS (
+         |  SELECT gr.doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN f.df >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_boiler
+         |  FROM gr JOIN f USING (g) GROUP BY gr.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+         |  CASE WHEN COALESCE(per.n_grams, 0) > 0
+         |    THEN CAST(per.n_boiler AS DOUBLE) / per.n_grams
+         |    ELSE 0.0 END AS boiler_frac
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "text_bigram_lm" -> {
       s"""WITH bg AS MATERIALIZED (

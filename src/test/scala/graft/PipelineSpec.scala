@@ -226,6 +226,58 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("class reps: exactly top-5 per label, nearest-first, distance matches recompute") {
+    val rows = SparkEntry.queries("emb_class_reps")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLabel = rows.groupBy(_._1)
+    assert(byLabel.nonEmpty)
+    byLabel.foreach { case (label, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq &&
+        rs.length <= 5, s"label $label ranks ${rs.map(_._2).toSeq}")
+      // rank order == distance order (vec_id tiebreak)
+      val inRank = rs.sortBy(_._2).map(r => (r._4, r._3))
+      assert(inRank.sameElements(inRank.sorted), s"label $label not nearest-first")
+    }
+    // recompute one label's distances brute-force on the driver
+    val (label0, reps) = byLabel.head
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(col("label") === label0)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.round(1e6 * v.toDouble)).toArray)
+    val dims = vecs.head._2.length
+    val cent = Array.tabulate(dims) { i =>
+      val s = vecs.map(_._2(i)).sum
+      Math.floorDiv(s, vecs.length.toLong)
+    }
+    val d2 = vecs.map { case (id, q) =>
+      id -> q.zip(cent).map { case (a, c) => (a - c) * (a - c) }.sum
+    }.toMap
+    val expectTop = d2.toSeq.sortBy { case (id, d) => (d, id) }.take(5)
+    assert(reps.sortBy(_._2).map(r => (r._3, r._4)).toSeq ==
+      expectTop.map { case (id, d) => (id, d) })
+  }
+
+  test("boilerplate fraction: df threshold proven by a driver recount") {
+    val rows = SparkEntry.queries("text_boilerplate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "filter(split(text, '\\\\s+'), t -> t != '') as toks")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val grams = docs.map { case (id, toks) =>
+      id -> (if (toks.length >= 5) toks.sliding(5).map(_.mkString(" ")).toSeq
+             else Seq.empty[String])
+    }
+    val df = grams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    val expected = grams.map { case (id, gs) =>
+      val boiler = gs.count(g => df(g) >= 4)
+      (id, gs.length.toLong, boiler.toLong,
+        if (gs.nonEmpty) boiler.toDouble / gs.length else 0.0)
+    }.toSet
+    assert(rows.length == docs.length && rows.toSet == expected)
+  }
+
   test("quantization edge cases: zero vector, negatives, single dim") {
     val df = Seq(
       (1L, Array(0.0f, 0.0f, 0.0f)),      // all-zero: scale 0 branch

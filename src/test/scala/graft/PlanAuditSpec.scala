@@ -25,10 +25,13 @@ class PlanAuditSpec extends SparkSpec {
   //    corpus data)
   //  - emb_pca_power: 64-row direction vector × broadcast 1-row norm
   //    per iteration (both sides bounded by construction)
+  //  - text_bloom_decon: corpus shingles × the broadcast ONE-row Bloom
+  //    filter (the runtime-filter scalar riding along every row — a
+  //    1×N "join" by construction, O(m/8) bytes regardless of corpus)
   private val nestedLoopOk =
     Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine",
       "dedup_semantic", "emb_kmeans_step", "emb_decontaminate",
-      "emb_pca_power")
+      "emb_pca_power", "text_bloom_decon")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:

@@ -76,6 +76,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("event transition probabilities are a proper distribution per source state") {
+    val rows = SparkEntry.queries("q_event_transitions")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per prev_type: p sums to 1 (exact integer counts over one total)
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-9, s"$prev: p sums to $pSum")
+      val n = rs.map(_.getLong(2)).sum
+      rs.foreach { r =>
+        assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / n) < 1e-12)
+      }
+    }
+    // transition pair count never exceeds events minus distinct users
+    val ev = Tables.events(spark, sf)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+  }
+
   test("KMV sketch estimates distinct counts within ~3/sqrt(k)") {
     // k=256 -> standard error ~1/16; 3 sigma ~ 19%
     val rows = SparkEntry.queries("q_kmv_distinct")(spark, sf).collect()
