@@ -38,6 +38,9 @@ object Graft {
     "token_md5_60" -> (exprs => expressions.TokenMd5(exprs.head)),
     "md5_shingles32" -> (exprs => expressions.Md5Shingles(exprs.head,
       intLit(exprs(1), "md5_shingles32 k"))),
+    "winnow_fps32" -> (exprs => expressions.WinnowFps(exprs.head,
+      intLit(exprs(1), "winnow_fps32 k"),
+      intLit(exprs(2), "winnow_fps32 w"))),
     "py_json" -> (exprs => expressions.PyJson(exprs.head)),
     "full_change_rows" -> (exprs => expressions.FullChangeRows(exprs.head)),
     "bloom_might_contain" ->

@@ -223,11 +223,22 @@ object TextAnalysis extends QueryModule {
     // number of distinct fingerprints). Same df-cap idea as the
     // AllPairs prefix filter's frequency ordering.
     "text_winnow_pairs" -> ((s, d) => {
-      // second barrier: the exploded index feeds THREE consumers (the
-      // df keep-list and both self-join legs) — materialized once
-      // instead of three fingerprint recomputations
-      val f = winnowFps(documents(s, d), materializeHs = true)
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      // ONE barrier, ONE pass: the fused native winnow_fps32 computes
+      // hash → sliding-min → distinct per row with the positional hash
+      // array living only in task-local scratch (see WinnowFps doc for
+      // why a two-column pipeline must either checkpoint that
+      // corpus-sized intermediate or risk CollapseProject re-running
+      // the md5 stage per slice element). The checkpointed exploded
+      // index — the ~4x-winnowed small form — then feeds all THREE
+      // consumers (df keep-list + both self-join legs). repartition
+      // first: hashing is compute-bound per row, so parallelism =
+      // cores, not input splits.
+      val docs = documents(s, d)
+      val f = docs
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(graft.expressions.WinnowFps.winnow_fps32(col("text"), 8, 8))
+            .as("fp"))
         .localCheckpoint()
       // keep-list join (not broadcast): the discriminative-fp table is
       // ~all distinct fingerprints, far too large to broadcast at

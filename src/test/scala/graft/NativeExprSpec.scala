@@ -261,6 +261,33 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("winnow_fps32 equals the composed distinct-window-min formulation") {
+    val edge = Seq(
+      (1L, "abcdefghijklmnopqrs"),   // several hash windows
+      (2L, "short"),                 // < k -> one hash -> one window
+      (3L, "aaaaaaaaaaaaaaaaaaaa"),  // all hashes equal -> single fp
+      (4L, "héllo wörld £multibyte windows here"),
+      (5L, "abcdefgh")               // exactly k chars -> one hash
+    ).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, docs)) {
+      val fused = df.select(col("doc_id"),
+        graft.expressions.WinnowFps.winnow_fps32(col("text"), 8, 8).as("fps"))
+        .as[(Long, Array[Long])].collect().toMap
+      val composed = df
+        .withColumn("hs",
+          graft.expressions.Md5Shingles.md5_shingles32(col("text"), 8))
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, greatest(1, size(hs) - 7))," +
+            " j -> array_min(slice(hs, j, 8))))").as("fps"))
+        .as[(Long, Array[Long])].collect().toMap
+      assert(fused.keySet == composed.keySet)
+      for (k <- fused.keySet)
+        assert(fused(k).toSeq == composed(k).toSeq, s"doc $k")
+    }
+  }
+
   test("native expressions: interpreted eval matches codegen") {
     val df = spark.read.parquet(s"$sf/documents.parquet").limit(40)
     def run(): Seq[(Int, Seq[Long], Seq[Long])] = df.select(
