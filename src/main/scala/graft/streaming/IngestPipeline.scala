@@ -5,10 +5,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Composed streaming ingest-decision stage: the single pass a
   * training-data pipeline runs on every crawled document before it
-  * touches the corpus store — quality gate, cross-batch exact-dup gate,
-  * and shard assignment, emitting one verdict row per document:
+  * touches the corpus store — benchmark-contamination gate (Bloom,
+  * optional), quality gate, cross-batch exact-dup gate, and shard
+  * assignment, emitting one verdict row per document:
   *
-  *   raw doc → tokenize/score → reject_quality
+  *   raw doc → probe/tokenize → reject_contaminated (eval-suite overlap)
+  *                            | reject_quality
   *                            | reject_duplicate (content seen before)
   *                            | accept(shard)
   *
@@ -33,6 +35,51 @@ object IngestPipeline {
   case class Verdict(doc_id: Long, source: String, verdict: String,
       first_id: Long, n_tokens: Int, shard: Int)
 
+  /** Benchmark-contamination gate state: a serialized [[graft.expressions.Bloom]]
+    * filter over the eval suite's distinct shingle hashes plus the
+    * rejection threshold (distinct shingle hits). Built once from the
+    * benchmark corpus — a few MB by definition — and shipped to every
+    * task inside the closure, the streaming face of
+    * text_bloom_decon's broadcast scalar. The gate is deliberately
+    * conservative (a Bloom hit is "may contain"): at the sizing the
+    * builder uses, false-positive mass across >= `threshold` DISTINCT
+    * shingles of one document is negligible, and flagged docs go to a
+    * reject verdict a downstream exact job can re-examine — they are
+    * never silently dropped from an audit trail. */
+  final case class ContaminationGate(bloom: Array[Byte], threshold: Int)
+
+  object ContaminationGate {
+    /** Build from the benchmark corpus' `text` column: distinct
+      * 8-char-shingle XXH64 hashes → one 2^20-bit / 7-probe filter.
+      * One driver action at pipeline CONSTRUCTION (setup, like loading
+      * a model) — never per batch. */
+    def fromBenchmark(bench: org.apache.spark.sql.DataFrame,
+        threshold: Int): ContaminationGate = {
+      import org.apache.spark.sql.functions.{col, explode}
+      import graft.expressions.Bloom.bloom_agg
+      import graft.expressions.ShingleHashes.shingle_hashes
+      val bytes = bench
+        .select(explode(shingle_hashes(col("text"), 8)).as("h"))
+        .agg(bloom_agg(col("h"), 1 << 20, 7))
+        .head().getAs[Array[Byte]](0)
+      ContaminationGate(bytes, threshold)
+    }
+
+    /** Distinct shingle hashes of `text` probing positive. */
+    def hits(gate: ContaminationGate, text: String): Int = {
+      val hs = graft.expressions.ShingleHashes
+        .distinct(org.apache.spark.unsafe.types.UTF8String.fromString(text), 8)
+        .toLongArray()
+      var n = 0
+      var i = 0
+      while (i < hs.length) {
+        if (graft.expressions.Bloom.mightContain(gate.bloom, hs(i))) n += 1
+        i += 1
+      }
+      n
+    }
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -45,7 +92,8 @@ object IngestPipeline {
       % nShards).toInt
 
   def decisions(docs: Dataset[RawDoc], minTokens: Int = 10,
-      nShards: Int = 32): Dataset[Verdict] = {
+      nShards: Int = 32,
+      gate: Option[ContaminationGate] = None): Dataset[Verdict] = {
     import docs.sparkSession.implicits._
     docs
       .groupByKey(d => md5Hex(d.text))
@@ -62,7 +110,15 @@ object IngestPipeline {
           var first = stored.getOrElse(Long.MaxValue)
           val out = batch.map { d =>
             val toks = d.text.split("\\s+").count(_.nonEmpty)
-            if (toks < minTokens)
+            // contamination outranks quality: an eval-suite overlap is
+            // the signal the audit trail must carry even for junk docs.
+            // Rejects never touch state — like quality rejects, they
+            // must not block a clean duplicate arriving later.
+            if (gate.exists(g => ContaminationGate.hits(g, d.text)
+                >= g.threshold))
+              Verdict(d.doc_id, d.source, "reject_contaminated",
+                -1L, toks, -1)
+            else if (toks < minTokens)
               Verdict(d.doc_id, d.source, "reject_quality",
                 -1L, toks, -1)
             else {

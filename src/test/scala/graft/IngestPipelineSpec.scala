@@ -51,6 +51,42 @@ class IngestPipelineSpec extends SparkSpec {
     assert(got(11L).shard >= 0 && got(11L).shard < 32)
   }
 
+  test("contamination gate: bloom-flagged docs reject first, clean docs flow") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // benchmark = one eval doc; a contaminated crawl doc embeds a long
+    // verbatim span of it, a clean doc shares nothing
+    val benchText = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen judges of unusual quality evaluate every held out answer"
+    val contaminated = "scraped page preamble " + benchText +
+      " trailing navigation chrome and footer links"
+    val gate = IngestPipeline.ContaminationGate.fromBenchmark(
+      Seq(benchText).toDF("text"), threshold = 24)
+    // sanity on the kernel itself: the embedded span shares nearly all
+    // benchmark shingles; the clean doc a handful at most (FPs)
+    assert(IngestPipeline.ContaminationGate.hits(gate, contaminated) >= 24)
+    assert(IngestPipeline.ContaminationGate.hits(gate, long2) < 24)
+    val in = MemoryStream[RawDoc]
+    val q = IngestPipeline.decisions(in.toDS(), gate = Some(gate))
+      .writeStream.format("memory").queryName("ingest_c")
+      .outputMode(OutputMode.Append).start()
+    in.addData(RawDoc(1, contaminated, "crawl"), RawDoc(2, long2, "web"),
+      RawDoc(3, "short but also " + benchText, "crawl"))
+    q.processAllAvailable()
+    // a later CLEAN duplicate of nothing must still be accepted: the
+    // contaminated reject must not have claimed dedup state
+    in.addData(RawDoc(4, contaminated + " x", "crawl"))
+    q.processAllAvailable()
+    val got = spark.table("ingest_c").as[Verdict].collect()
+      .map(v => v.doc_id -> v).toMap
+    q.stop()
+    assert(got(1L).verdict == "reject_contaminated" && got(1L).shard == -1)
+    assert(got(2L).verdict == "accept")
+    assert(got(3L).verdict == "reject_contaminated",
+      "contamination must outrank the quality gate")
+    assert(got(4L).verdict == "reject_contaminated",
+      "near-identical contaminated content must also be flagged")
+  }
+
   test("quality threshold is honored and rejects carry their token count") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[RawDoc]
