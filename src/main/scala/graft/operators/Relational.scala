@@ -666,6 +666,27 @@ object Relational extends QueryModule {
         .orderBy(col("cohort"), col("day_k"))
     }),
 
+    // Recency-weighted engagement: per event type, the
+    // 1/(1+age_days) time-decayed sum of event values against a fixed
+    // anchor date — the freshness-weighted rollup behind trending
+    // rankings and decayed counters. The anchor is a constant (not a
+    // MAX(ts) scalar subquery) so the weight of a given event never
+    // changes as new data arrives — the property that makes the rollup
+    // incrementally maintainable — and every weight is one exact
+    // integer datediff + one IEEE divide, identical in both engines;
+    // the weighted sum goes through Num's quantized-decimal
+    // accumulation so partial-agg order cannot perturb it. Pure
+    // scan + one small-key aggregate: scan-bound at any scale.
+    "q_decay_sum" -> ((s, d) => {
+      events(s, d)
+        .withColumn("w_value", col("value") /
+          (lit(1) + datediff(lit("2024-02-01").cast("date"),
+            to_date(col("ts")))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("w_value")).as("decayed_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // First-order Markov transition matrix over per-user event
     // sequences — the "what happens after X" model behind
     // next-action prediction and session anomaly scoring. One
@@ -1077,6 +1098,13 @@ object Relational extends QueryModule {
         |  COUNT(*) AS n_users
         |FROM a WHERE day_k <= 7
         |GROUP BY cohort, day_k ORDER BY cohort, day_k""".stripMargin,
+
+    "q_decay_sum" -> {
+      val w = "value / (1 + date_diff('day', " +
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE), DATE '2024-02-01'))"
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlSum(w)} AS decayed_sum
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
 
     "q_event_transitions" ->
       """WITH t AS (
