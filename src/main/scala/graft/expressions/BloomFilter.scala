@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.nio.ByteBuffer
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -9,8 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 
 /** Bounded Bloom filter over bigint hashes — the distributed
   * runtime-filter primitive. `bloom_agg(h, mBits, k)` builds an
@@ -20,20 +19,28 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
   * zero false negatives.
   *
   * The pattern this enables at 100 TB: aggregate the SMALL side of a
-  * semi-join into one ~100 KB binary, broadcast it implicitly as a
-  * scalar, and drop the overwhelming majority of the BIG side's rows
-  * at the scan — before the shuffle or even the broadcast-hash probe
-  * the exact join would pay. Because a Bloom filter admits false
-  * positives but never false negatives, following the prefilter with
-  * the exact join keeps results bit-identical to the unfiltered plan
-  * — which is how `text_bloom_decon` stays oracle-exact while
-  * exercising the sketch path.
+  * semi-join into one ~100 KB value, broadcast it, and drop the
+  * overwhelming majority of the BIG side's rows before the shuffle or
+  * even the broadcast-hash probe the exact join would pay. Because a
+  * Bloom filter admits false positives but never false negatives,
+  * following the prefilter with the exact join keeps results
+  * bit-identical to the unfiltered plan — which is how
+  * `text_bloom_decon` stays oracle-exact while exercising the sketch
+  * path.
+  *
+  * The filter value is a self-describing `array<bigint>` —
+  * `[mBits, k, words...]` — NOT binary, for a per-row-cost reason
+  * worth recording: a probe inside a join condition or filter extracts
+  * the filter from its (broadcast) row for every stream row, and
+  * `UnsafeRow.getBinary` COPIES the payload each time (~128 KB × every
+  * corpus row — measured 30 s of pure memcpy at sf0.1), while
+  * `getArray` returns a zero-copy UnsafeArrayData view over the row
+  * buffer, making each probe O(k) word reads regardless of filter
+  * size.
   *
   * Probe positions use Kirsch–Mitzenmacher double hashing over a
   * splitmix64-finalized input: position_i = (h1 + i*h2) mod m with h2
-  * forced odd. The filter serializes as [mBits:int][k:int][words...];
-  * the probe side reads the header, so a stored filter is
-  * self-describing and needs no parameter plumbing.
+  * forced odd.
   */
 object Bloom {
   /** splitmix64 finalizer — full-avalanche mix of a 64-bit value. */
@@ -55,30 +62,40 @@ object Bloom {
     }
   }
 
-  /** Probe a serialized filter. Static and JVM-hot: the codegen path
-    * calls this directly inside whole-stage codegen. */
-  def mightContain(bytes: Array[Byte], v: Long): Boolean = {
-    val bb = ByteBuffer.wrap(bytes)
-    val mBits = bb.getInt
-    val k = bb.getInt
+  /** Probe a self-describing [m, k, words...] filter held as Spark
+    * ArrayData. Static and JVM-hot: the codegen path calls this
+    * directly inside whole-stage codegen; reads are positional
+    * getLongs on the (possibly Unsafe, zero-copy) array view. */
+  def mightContain(arr: ArrayData, v: Long): Boolean = {
+    val mBits = arr.getLong(0)
+    val k = arr.getLong(1).toInt
     val h1 = mix(v)
     val h2 = mix(v ^ 0xA5A5A5A5A5A5A5A5L) | 1L
     var i = 0
     while (i < k) {
       val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits).toInt
-      if ((bb.getLong(8 + (bit >>> 6) * 8) & (1L << (bit & 63))) == 0L)
+      if ((arr.getLong(2 + (bit >>> 6)) & (1L << (bit & 63))) == 0L)
         return false
       i += 1
     }
     true
   }
 
-  def serialize(words: Array[Long], mBits: Int, k: Int): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 + words.length * 8)
-    bb.putInt(mBits).putInt(k)
+  /** Same probe over a plain [m, k, words...] long array (the
+    * closure-shipped form the streaming contamination gate holds). */
+  def mightContainWords(filter: Array[Long], v: Long): Boolean = {
+    val mBits = filter(0)
+    val k = filter(1).toInt
+    val h1 = mix(v)
+    val h2 = mix(v ^ 0xA5A5A5A5A5A5A5A5L) | 1L
     var i = 0
-    while (i < words.length) { bb.putLong(words(i)); i += 1 }
-    bb.array()
+    while (i < k) {
+      val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits).toInt
+      if ((filter(2 + (bit >>> 6)) & (1L << (bit & 63))) == 0L)
+        return false
+      i += 1
+    }
+    true
   }
 
   def bloom_agg(c: Column, mBits: Int, k: Int): Column =
@@ -91,8 +108,10 @@ object Bloom {
 }
 
 /** Aggregate: OR-mergeable m-bit Bloom filter of the child bigint
-  * column, emitted as a self-describing binary. State is a fixed
-  * long[ceil(m/64)] regardless of input cardinality.
+  * column, emitted as the self-describing `array<bigint>`
+  * [mBits, k, words...]. State is a fixed long[2 + ceil(m/64)]
+  * regardless of input cardinality (header carried in the buffer so
+  * eval/serialize are allocation-free copies).
   */
 case class BloomAgg(
     child: Expression,
@@ -108,34 +127,48 @@ case class BloomAgg(
   require(numHash > 0 && numHash <= 16,
     s"bloom_agg needs 1..16 hash probes, got $numHash")
 
-  override def createAggregationBuffer(): Array[Long] =
-    new Array[Long](mBits / 64)
+  override def createAggregationBuffer(): Array[Long] = {
+    val buf = new Array[Long](2 + mBits / 64)
+    buf(0) = mBits.toLong
+    buf(1) = numHash.toLong
+    buf
+  }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) Bloom.set(buf, mBits, numHash, v.asInstanceOf[Long])
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val h1 = Bloom.mix(h)
+      val h2 = Bloom.mix(h ^ 0xA5A5A5A5A5A5A5A5L) | 1L
+      var i = 0
+      while (i < numHash) {
+        val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, mBits).toInt
+        buf(2 + (bit >>> 6)) |= (1L << (bit & 63))
+        i += 1
+      }
+    }
     buf
   }
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
-    var i = 0
+    var i = 2
     while (i < buf.length) { buf(i) |= other(i); i += 1 }
     buf
   }
 
   override def eval(buf: Array[Long]): Any =
-    Bloom.serialize(buf, mBits, numHash)
+    new GenericArrayData(java.util.Arrays.copyOf(buf, buf.length))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buf.length * 8)
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
     var i = 0
     while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
     var i = 0
     while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
     buf
@@ -147,7 +180,7 @@ case class BloomAgg(
       s"bloom_agg requires bigint input, got $other")
   }
 
-  override def dataType: DataType = BinaryType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "bloom_agg"
 
@@ -159,10 +192,10 @@ case class BloomAgg(
     copy(child = newChild)
 }
 
-/** Scalar probe: true iff the bigint MAY be in the serialized filter
-  * (never false for an inserted value). Codegen delegates to the
-  * static [[Bloom.mightContain]] so the probe stays inside
-  * whole-stage codegen.
+/** Scalar probe: true iff the bigint MAY be in the [m, k, words...]
+  * filter (never false for an inserted value). Codegen delegates to
+  * the static [[Bloom.mightContain]] so the probe stays inside
+  * whole-stage codegen and reads the array view without copying it.
   */
 case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -170,14 +203,14 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"bloom_might_contain requires (binary, bigint), got $other")
+        s"bloom_might_contain requires (array<bigint>, bigint), got $other")
     }
 
   override def nullSafeEval(bloom: Any, h: Any): Any =
-    Bloom.mightContain(bloom.asInstanceOf[Array[Byte]],
-      h.asInstanceOf[Long])
+    Bloom.mightContain(bloom.asInstanceOf[ArrayData], h.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =

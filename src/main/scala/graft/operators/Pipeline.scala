@@ -304,11 +304,18 @@ object Pipeline extends QueryModule {
       val bench = shingles(sets.filter(col("doc_id") < 20))
         .withColumnRenamed("doc_id", "bench_id")
       // 2^20 bits / 7 probes: ~0.1% FP at ~100k distinct benchmark
-      // shingles — sized for the benchmark side, independent of corpus
+      // shingles — sized for the benchmark side, independent of corpus.
+      // LEFT SEMI with the probe as the join condition, NOT
+      // crossJoin+filter: a semi join emits only stream-side columns,
+      // so the ~128 KB filter binary is read inside the condition but
+      // never copied into an output row. The crossJoin form joined the
+      // binary onto every corpus shingle before a project dropped it —
+      // measured 30 s of pure row-materialization memcpy at sf0.1
+      // (~1.5M rows × 128 KB) against 0.7 s for this shape.
       val bloom = bench.agg(bloom_agg(col("h"), 1 << 20, 7).as("bf"))
       shingles(sets.filter(col("doc_id") >= 20))
-        .crossJoin(broadcast(bloom))
-        .filter(bloom_might_contain(col("bf"), col("h")))
+        .join(broadcast(bloom),
+          bloom_might_contain(col("bf"), col("h")), "leftsemi")
         .join(broadcast(bench), Seq("h"))
         .groupBy(col("doc_id"), col("bench_id"))
         .agg(count(lit(1)).as("n_shared"))

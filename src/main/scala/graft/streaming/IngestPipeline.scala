@@ -46,23 +46,24 @@ object IngestPipeline {
     * shingles of one document is negligible, and flagged docs go to a
     * reject verdict a downstream exact job can re-examine — they are
     * never silently dropped from an audit trail. */
-  final case class ContaminationGate(bloom: Array[Byte], threshold: Int)
+  final case class ContaminationGate(bloom: Array[Long], threshold: Int)
 
   object ContaminationGate {
     /** Build from the benchmark corpus' `text` column: distinct
-      * 8-char-shingle XXH64 hashes → one 2^20-bit / 7-probe filter.
-      * One driver action at pipeline CONSTRUCTION (setup, like loading
-      * a model) — never per batch. */
+      * 8-char-shingle XXH64 hashes → one 2^20-bit / 7-probe filter
+      * (self-describing [m, k, words...] long array). One driver
+      * action at pipeline CONSTRUCTION (setup, like loading a model)
+      * — never per batch. */
     def fromBenchmark(bench: org.apache.spark.sql.DataFrame,
         threshold: Int): ContaminationGate = {
       import org.apache.spark.sql.functions.{col, explode}
       import graft.expressions.Bloom.bloom_agg
       import graft.expressions.ShingleHashes.shingle_hashes
-      val bytes = bench
+      val words = bench
         .select(explode(shingle_hashes(col("text"), 8)).as("h"))
         .agg(bloom_agg(col("h"), 1 << 20, 7))
-        .head().getAs[Array[Byte]](0)
-      ContaminationGate(bytes, threshold)
+        .head().getSeq[Long](0).toArray
+      ContaminationGate(words, threshold)
     }
 
     /** Distinct shingle hashes of `text` probing positive. */
@@ -73,7 +74,8 @@ object IngestPipeline {
       var n = 0
       var i = 0
       while (i < hs.length) {
-        if (graft.expressions.Bloom.mightContain(gate.bloom, hs(i))) n += 1
+        if (graft.expressions.Bloom.mightContainWords(gate.bloom, hs(i)))
+          n += 1
         i += 1
       }
       n

@@ -36,12 +36,14 @@ class BloomSpec extends SparkSpec {
 
   test("built filter is bit-identical under any partitioning") {
     val df = (0L until 2000L).map(i => i * 31L + 7L).toDF("h")
-    def bytes(parts: Int): Array[Byte] =
+    def words(parts: Int): Seq[Long] =
       df.repartition(parts).agg(bloom_agg(col("h"), M, K))
-        .head().getAs[Array[Byte]](0)
-    val one = bytes(1)
-    assert(java.util.Arrays.equals(one, bytes(4)))
-    assert(java.util.Arrays.equals(one, bytes(13)))
+        .head().getSeq[Long](0)
+    val one = words(1)
+    assert(one.take(2) == Seq(M.toLong, K.toLong),
+      "filter must carry its [m, k] header")
+    assert(one == words(4))
+    assert(one == words(13))
   }
 
   test("bloom_agg / bloom_might_contain work from SQL") {
