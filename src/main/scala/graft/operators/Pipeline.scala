@@ -201,6 +201,28 @@ object Pipeline extends QueryModule {
         .when(col("doc_id") % 4 === 1, lit(" card 4111111111111111"))
         .otherwise(lit(""))))
 
+  /** Per-vector exact squared distance to the vector's own label
+    * centroid, in integer micro-units: (vec_id, label, d2). Quantize
+    * once (round(1e6·v)), centroid = floor-div mean per (label, dim),
+    * d2 = Σ(q−cq)² — every step exact integers, so partial-agg order
+    * cannot perturb a bit and the DuckDB oracles reproduce the same
+    * values. Shared by emb_class_reps (nearest) and emb_label_outliers
+    * (farthest vs median). */
+  private def labelCentroidDist(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+        expr("cast(round(1000000 * cast(v as double)) as bigint)").as("q"))
+    val cent = e.groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("dim"),
+        expr("(sq + 1000000000L * cnt) div cnt - 1000000000L").as("cq"))
+    e.join(cent, Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+  }
+
   override def queries: Map[String, Q] = Map(
     // Near-dup clustering: exact near-dup pairs (MinHash-LSH verified)
     // → connected components → (doc, cluster) with cluster = min doc
@@ -472,24 +494,42 @@ object Pipeline extends QueryModule {
     // cardinality, no skew — and the final top-5 window runs per label
     // over |vectors| rows, the same rank-per-group shape as
     // sample_stratified.
-    "emb_class_reps" -> ((s, d) => {
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
-          expr("cast(round(1000000 * cast(v as double)) as bigint)")
-            .as("q"))
-      val cent = e.groupBy(col("label"), col("dim"))
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
-        .select(col("label"), col("dim"),
-          expr("(sq + 1000000000L * cnt) div cnt - 1000000000L").as("cq"))
-      e.join(cent, Seq("label", "dim"))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+    "emb_class_reps" -> ((s, d) =>
+      labelCentroidDist(s, d)
         .withColumn("rk", row_number().over(Window.partitionBy(col("label"))
           .orderBy(col("d2"), col("vec_id"))).cast("long"))
         .filter(col("rk") <= 5)
         .select(col("label"), col("rk"), col("vec_id"), col("d2"))
+        .orderBy(col("label"), col("rk"))),
+
+    // The inverse read of the same distances: label-outlier audit —
+    // per label, the 5 vectors FARTHEST from their own centroid, with
+    // their distance as a ratio to the label's median (the
+    // confident-learning-style review queue for mislabel/contamination
+    // suspects; rank-based rather than a fixed ratio cut so the queue
+    // is never empty regardless of how concentrated the embedding
+    // distribution is — a threshold audit is one extra filter on the
+    // ratio column). The median is rank-selected (value at ceil(n/2)
+    // under (d2, vec_id) order): an exact integer both engines agree
+    // on, no float percentile interpolation. Same two aggregates as
+    // emb_class_reps plus two per-label windows over |vectors| rows.
+    "emb_label_outliers" -> ((s, d) => {
+      val w = Window.partitionBy(col("label"))
+      val ranked = labelCentroidDist(s, d)
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("d2"), col("vec_id"))))
+        .withColumn("cnt", count(lit(1)).over(w))
+      val med = ranked
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("label"), col("d2").as("med_d2"))
+      ranked
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("d2").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .join(med, Seq("label"))
+        .select(col("label"), col("rk"), col("vec_id"), col("d2"),
+          col("med_d2"),
+          (col("d2").cast("double") / col("med_d2")).as("ratio"))
         .orderBy(col("label"), col("rk"))
     }),
 
@@ -973,6 +1013,39 @@ object Pipeline extends QueryModule {
         |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2, vec_id) AS rk
         |  FROM d)
         |SELECT label, rk, vec_id, d2 FROM r WHERE rk <= 5
-        |ORDER BY label, rk""".stripMargin
+        |ORDER BY label, rk""".stripMargin,
+
+    "emb_label_outliers" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, label, i AS dim,
+        |    CAST(round(1000000 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)),
+        |c AS (
+        |  SELECT label, dim,
+        |    CAST((SUM(q) + 1000000000 * COUNT(*)) // COUNT(*)
+        |      - 1000000000 AS BIGINT) AS cq
+        |  FROM e GROUP BY label, dim),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(SUM((e.q - c.cq) * (e.q - c.cq)) AS BIGINT) AS d2
+        |  FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+        |  GROUP BY e.vec_id, e.label),
+        |r AS (
+        |  SELECT label, vec_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2, vec_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY label) AS cnt
+        |  FROM d),
+        |m AS (SELECT label, d2 AS med_d2 FROM r WHERE rn = (cnt + 1) // 2),
+        |f AS (
+        |  SELECT label, vec_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id)
+        |      AS rk
+        |  FROM r)
+        |SELECT f.label, f.rk, f.vec_id, f.d2, m.med_d2,
+        |  CAST(f.d2 AS DOUBLE) / m.med_d2 AS ratio
+        |FROM f JOIN m USING (label)
+        |WHERE f.rk <= 5
+        |ORDER BY f.label, f.rk""".stripMargin
   )
 }

@@ -258,6 +258,30 @@ class PipelineSpec extends SparkSpec {
       expectTop.map { case (id, d) => (id, d) })
   }
 
+  test("label outliers: farthest-5 per label, disjoint from the class reps") {
+    val out = SparkEntry.queries("emb_label_outliers")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val byLabel = out.groupBy(_._1)
+    assert(byLabel.nonEmpty)
+    byLabel.foreach { case (label, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+      // rank 1 is the FARTHEST; distances nonincreasing down the queue
+      val d2s = rs.sortBy(_._2).map(_._4)
+      assert(d2s.zip(d2s.tail).forall { case (a, b) => a >= b },
+        s"label $label review queue not farthest-first")
+      rs.foreach { r =>
+        assert(r._4 >= r._5, "an outlier must be at or above the median")
+        assert(math.abs(r._6 - r._4.toDouble / r._5) < 1e-12)
+      }
+    }
+    // the review queue and the exemplar set must not overlap (reps are
+    // nearest-5, outliers farthest-5; labels here have >10 members)
+    val reps = SparkEntry.queries("emb_class_reps")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(out.forall(r => !reps.contains((r._1, r._3))))
+  }
+
   test("boilerplate fraction: df threshold proven by a driver recount") {
     val rows = SparkEntry.queries("text_boilerplate")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
