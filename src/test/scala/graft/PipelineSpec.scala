@@ -258,6 +258,42 @@ class PipelineSpec extends SparkSpec {
       expectTop.map { case (id, d) => (id, d) })
   }
 
+  test("corpus_curate: every stage proven by a driver recount") {
+    val got = SparkEntry.queries("corpus_curate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(t: String): Long = t.split("\\s+").count(_.nonEmpty).toLong
+    def shingleSet(t: String): Set[String] =
+      (if (t.length <= 8) Set(t)
+       else (0 to t.length - 8).map(i => t.substring(i, i + 8)).toSet)
+    // quality + eval-exclusion + exact dedup (first doc per content)
+    val corpus = docs.filter { case (id, t) => id >= 20 && toks(t) >= 20 }
+    val exact = corpus.groupBy(_._2).map { case (_, xs) => xs.keys.min }.toSet
+    // near-dup non-survivors from the already-proven cluster query
+    val nonSurv = SparkEntry.queries("dedup_cluster")(spark, sf).collect()
+      .filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    // contamination: >= 80 shared distinct shingles with any bench doc
+    val benchSets = docs.filter(_._1 < 20).values.map(shingleSet)
+    val contam = corpus.keySet.filter { id =>
+      val s = shingleSet(docs(id))
+      benchSets.exists(b => (s intersect b).size >= 80)
+    }
+    val kept = exact -- nonSurv -- contam
+    assert(kept.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shardOf(id: Long): Long = {
+      val hex = md.digest(s"sh$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 32
+    }
+    val expected = kept.groupBy(shardOf).map { case (sh, ids) =>
+      (sh, ids.size.toLong, ids.toSeq.map(id => toks(docs(id))).sum)
+    }.toSet
+    assert(got == expected)
+  }
+
   test("label outliers: farthest-5 per label, disjoint from the class reps") {
     val out = SparkEntry.queries("emb_label_outliers")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),

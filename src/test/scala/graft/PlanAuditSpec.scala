@@ -72,7 +72,10 @@ class PlanAuditSpec extends SparkSpec {
     // the round-4 bench killer), (2) the exploded index feeds three
     // consumers. Distributed materialization, nothing on the driver.
     val eagerOk = Set("dedup_cluster", "dedup_survivors", "shard_assign",
-      "corpus_mix", "graph_pagerank", "text_winnow_pairs")
+      "corpus_mix", "graph_pagerank", "text_winnow_pairs",
+      // rides the memoized cluster fixpoint like the rest of the
+      // cluster family
+      "corpus_curate")
     val sc = spark.sparkContext
     @volatile var jobs = 0
     @volatile var lastSite = ""
