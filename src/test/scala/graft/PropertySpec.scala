@@ -148,6 +148,70 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // ---- Bloom filter kernel ----------------------------------------------
+
+  test("bloom: zero false negatives for any value set under any split/merge") {
+    val genVals = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    val genCfg = for {
+      mWords <- Gen.choose(1, 64)
+      k <- Gen.choose(1, 16)
+    } yield (mWords * 64, k)
+    check(Prop.forAll(genVals, genCfg, Gen.choose(1, 5)) {
+      case (vals, (m, k), nParts) =>
+        // build via arbitrary partition split + OR-merge, like a
+        // distributed partial aggregation would
+        val parts = vals.grouped(math.max(1, vals.size / nParts)).toSeq
+        val bufs = parts.map { p =>
+          val w = new Array[Long](m / 64)
+          p.foreach(v => graft.expressions.Bloom.set(w, m, k, v))
+          w
+        }
+        val merged = bufs.reduce { (a, b) =>
+          a.indices.foreach(i => a(i) |= b(i)); a
+        }
+        val filter = Array(m.toLong, k.toLong) ++ merged
+        vals.forall(v =>
+          graft.expressions.Bloom.mightContainWords(filter, v))
+    })
+  }
+
+  test("bloom: split/merge build equals single-pass build exactly") {
+    val genVals = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    check(Prop.forAll(genVals, Gen.choose(1, 6)) { (vals, nParts) =>
+      val m = 1024; val k = 5
+      def build(groups: Seq[Seq[Long]]): Seq[Long] = {
+        val acc = new Array[Long](m / 64)
+        groups.foreach { g =>
+          val w = new Array[Long](m / 64)
+          g.foreach(v => graft.expressions.Bloom.set(w, m, k, v))
+          acc.indices.foreach(i => acc(i) |= w(i))
+        }
+        acc.toSeq
+      }
+      build(Seq(vals)) == build(
+        vals.grouped(math.max(1, vals.size / nParts)).toSeq)
+    })
+  }
+
+  test("winnow_fps32: deque sliding-min equals brute-force window minima on any string") {
+    val genChar = Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf(' ', 'é', 'ß', '£', '中', '文'))
+    val genString = Gen.listOf(genChar).map(_.mkString)
+    check(Prop.forAll(genString, Gen.choose(1, 12), Gen.choose(1, 12)) {
+      (s, k, w) =>
+        val got = graft.expressions.WinnowFps.fps(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+          .toLongArray().toSeq
+        val hs = graft.expressions.Md5Shingles.hashes(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+          .toLongArray().toSeq
+        val nw = math.max(1, hs.length - w + 1)
+        val want = (0 until nw).map(j =>
+          hs.slice(j, j + w).min).distinct
+        got == want
+    })
+  }
+
   test("md5_shingles32: byte-walk windows equal code-point substrings on any BMP string") {
     // BMP-only on purpose: the contract is Spark's substring (code
     // points), which equals Java String windows only below U+10000
