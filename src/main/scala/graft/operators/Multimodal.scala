@@ -99,6 +99,29 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Audio STFT framing plan: per blob, the standard 25 ms-window /
+    // 10 ms-hop frame count a feature extractor (fbank/MFCC/wav2vec
+    // tokenizer) would produce — the metadata pass that sizes feature
+    // buffers and shards GPU work BEFORE any expensive decode runs.
+    // Sample rate and sample count derive deterministically from the
+    // byte stream (same stand-in discipline as FakeDecoder: the
+    // arithmetic is the real framing math, the media constants are
+    // fake), so the oracle verifies the integer framing exactly.
+    "mm_audio_windows" -> ((s, d) => {
+      decoded(s, d)
+        .select(col("doc_id"), col("n_bytes"))
+        .withColumn("sample_rate", expr("8000 + (n_bytes % 3) * 4000"))
+        // stand-in 1:64 "decompression": 16-bit PCM samples per byte
+        .withColumn("n_samples", expr("n_bytes * 64 div 2"))
+        .withColumn("win_len", expr("sample_rate div 40"))
+        .withColumn("hop_len", expr("sample_rate div 100"))
+        .withColumn("n_windows", expr(
+          "CASE WHEN n_samples >= win_len" +
+            " THEN 1 + (n_samples - win_len) div hop_len" +
+            " ELSE CAST(0 AS BIGINT) END"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Batch assembly plan: pack the sampled-frame stream into
     // fixed-size minibatches of 32 WITHIN a shard (batching is
     // per-shard at scale — a global row_number would serialize on one
@@ -166,6 +189,20 @@ object Multimodal extends QueryModule {
         |  CASE WHEN width >= height THEN height * 224 // width
         |    ELSE CAST(224 AS BIGINT) END AS out_h
         |FROM dims ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH a AS (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
+        |    8000 + (len(text) % 3) * 4000 AS sample_rate,
+        |    CAST(len(text) AS BIGINT) * 64 // 2 AS n_samples
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, sample_rate, n_samples,
+        |  sample_rate // 40 AS win_len,
+        |  sample_rate // 100 AS hop_len,
+        |  CASE WHEN n_samples >= sample_rate // 40
+        |    THEN 1 + (n_samples - sample_rate // 40) // (sample_rate // 100)
+        |    ELSE CAST(0 AS BIGINT) END AS n_windows
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "mm_batch_plan" ->
       """WITH frames AS (
