@@ -26,6 +26,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventAnalytics {
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  case class LastEvent(event_type: String, ts_ms: Long)
+  case class Transition(user_id: Long, prev_type: String,
+      event_type: String, ts_ms: Long)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Int, sum_value: Double)
@@ -90,6 +94,44 @@ object EventAnalytics {
       "left_outer")
       .select(col("user_id"), col("l_ts"), col("r_ts"),
         col("l_value"), col("r_value"))
+  }
+
+  /** Streaming face of the batch q_event_transitions operator: emit
+    * one (prev_type → event_type) row per consecutive pair of a
+    * user's events, with keyed state carrying the LAST event across
+    * micro-batch boundaries so the chain never breaks at a batch
+    * edge. Within a batch, events order by (ts, event_type) — the
+    * same deterministic tiebreak as the batch window. An event older
+    * than the stored last is DROPPED (it would retroactively rewrite
+    * an already-emitted transition; a pipeline that must absorb such
+    * lateness re-derives the matrix in batch where full ordering is
+    * available). State is one (type, ts) pair per user — O(users),
+    * the same bound as any per-user keyed operator here. */
+  def transitions(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[TypedEvent],
+            state: GroupState[LastEvent]) => {
+          val sorted = batch.toVector
+            .sortBy(e => (e.ts.getTime, e.event_type))
+          var prev = state.getOption
+          val out = sorted.flatMap { e =>
+            val t = e.ts.getTime
+            prev match {
+              case Some(p) if t < p.ts_ms => None // late: see scaladoc
+              case p =>
+                val r = p.map(l => Transition(uid, l.event_type,
+                  e.event_type, t))
+                prev = Some(LastEvent(e.event_type, t))
+                r
+            }
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })
   }
 
   /** Gap-based sessionization with custom state. Sessions close either

@@ -128,4 +128,31 @@ class EventAnalyticsSpec extends SparkSpec {
       sessions(0).end_ms == ts(3).getTime)
     assert(sessions(1).n_events == 1 && sessions(1).sum_value == 3.0)
   }
+
+  test("streaming transitions: chain survives batch boundaries, late events drop") {
+    import graft.streaming.EventAnalytics.{Transition, TypedEvent}
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[TypedEvent]
+    val q = EventAnalytics.transitions(in.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: view -> click for user 1; lone view for user 2
+    in.addData(TypedEvent(1, ts(1), "view"), TypedEvent(1, ts(2), "click"),
+      TypedEvent(2, ts(1), "view"))
+    q.processAllAvailable()
+    // batch 2: user 1 continues FROM STATE (click -> purchase); user 2's
+    // late event (before the stored last) must not emit a transition
+    in.addData(TypedEvent(1, ts(5), "purchase"),
+      TypedEvent(2, ts(0), "click"))
+    q.processAllAvailable()
+    // batch 3: user 2 continues from the NON-rewritten last (view)
+    in.addData(TypedEvent(2, ts(7), "purchase"))
+    q.processAllAvailable()
+    val got = spark.table("trans").as[Transition].collect()
+      .map(t => (t.user_id, t.prev_type, t.event_type)).toSet
+    q.stop()
+    assert(got == Set(
+      (1L, "view", "click"), (1L, "click", "purchase"),
+      (2L, "view", "purchase")))
+  }
 }
