@@ -50,7 +50,9 @@ object Graft {
       intLit(exprs(1), "kmv_smallest k"))),
     "bloom_agg" -> (exprs => expressions.BloomAgg(exprs.head,
       intLit(exprs(1), "bloom_agg mBits"),
-      intLit(exprs(2), "bloom_agg numHash")))
+      intLit(exprs(2), "bloom_agg numHash"))),
+    "space_saving_topk" -> (exprs => expressions.SpaceSavingTopK(exprs.head,
+      intLit(exprs(1), "space_saving_topk capacity")))
   )
 
   def register(spark: SparkSession): SparkSession = {

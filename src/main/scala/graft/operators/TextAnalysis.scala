@@ -291,6 +291,29 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus heavy hitters through a BOUNDED SpaceSaving summary —
+    // the top-10 token report computed with O(capacity) aggregation
+    // state instead of a full (token, count) table. At 100 TB of web
+    // text the full groupBy's shuffle carries billions of distinct
+    // tokens to produce a 10-row answer; the sketch carries 64
+    // counters per partial. Exactness: while distinct tokens ≤
+    // capacity (true for this corpus vocabulary at every SF), no
+    // eviction happens, err = 0 and counts are exact under any merge
+    // order — the q_kmv_distinct "exact below the bound" discipline,
+    // which is what lets the DuckDB oracle compare the real groupBy.
+    "text_heavy_hitters" -> ((s, d) => {
+      import graft.expressions.SpaceSavingTopK.space_saving_topk
+      documents(s, d)
+        .select(explode(expr(toksExpr)).as("t"))
+        .agg(space_saving_topk(col("t"), 64).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "e")))
+        .filter(col("pos") < 10)
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("e.token").as("token"), col("e.cnt").as("cnt"),
+          col("e.err").as("err"))
+        .orderBy(col("rank"))
+    }),
+
     // CCNet-style boilerplate accounting: the fraction of a document's
     // token 5-gram occurrences whose gram recurs across >= 4 DISTINCT
     // documents — headers, navigation chrome, license blurbs and
@@ -545,6 +568,16 @@ object TextAnalysis extends QueryModule {
         |    // greatest(1, len(d.text) - 15) AS dup_ppm
         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_heavy_hitters" -> {
+      s"""WITH g AS (
+         |  SELECT u.t AS token, COUNT(*) AS cnt
+         |  FROM (SELECT $sqlToks AS toks FROM documents), UNNEST(toks) u(t)
+         |  GROUP BY u.t)
+         |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+         |  token, cnt, CAST(0 AS BIGINT) AS err
+         |FROM g ORDER BY cnt DESC, token LIMIT 10""".stripMargin
+    },
 
     "text_boilerplate" -> {
       s"""WITH t AS (

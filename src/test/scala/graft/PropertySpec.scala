@@ -193,6 +193,55 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // ---- SpaceSaving heavy hitters -----------------------------------------
+
+  private def ssAggregate(groups: Seq[Seq[String]],
+      cap: Int): Map[String, (Long, Long)] = {
+    val agg = graft.expressions.SpaceSavingTopK(
+      BoundReference(0, org.apache.spark.sql.types.StringType,
+        nullable = true), cap)
+    val bufs = groups.map { g =>
+      val b = agg.createAggregationBuffer()
+      g.foreach { t =>
+        agg.update(b, new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))))
+      }
+      b
+    }
+    val merged = bufs.reduce(agg.merge)
+    import scala.jdk.CollectionConverters._
+    merged.asScala.map { case (k, v) => k -> (v(0), v(1)) }.toMap
+  }
+
+  test("space_saving: exact (err 0) below capacity under any split/merge") {
+    val genTokens = Gen.nonEmptyListOf(Gen.choose(0, 30).map(i => s"tok$i"))
+    check(Prop.forAll(genTokens, Gen.choose(1, 5)) { (toks, nParts) =>
+      val got = ssAggregate(
+        toks.grouped(math.max(1, toks.size / nParts)).toSeq, cap = 64)
+      val want = toks.groupBy(identity).map { case (t, xs) =>
+        t -> (xs.size.toLong, 0L)
+      }
+      got == want
+    })
+  }
+
+  test("space_saving: past capacity, counts bound truth (true <= cnt <= true + err)") {
+    // skewed stream over MORE distinct values than capacity
+    val genTokens = Gen.nonEmptyListOf(Gen.frequency(
+      5 -> Gen.const("heavy"),
+      3 -> Gen.choose(0, 4).map(i => s"warm$i"),
+      2 -> Gen.choose(0, 200).map(i => s"cold$i")))
+    check(Prop.forAll(genTokens, Gen.choose(1, 4)) { (toks, nParts) =>
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val got = ssAggregate(
+        toks.grouped(math.max(1, toks.size / nParts)).toSeq, cap = 8)
+      got.size <= 8 && got.forall { case (t, (cnt, err)) =>
+        val tr = truth.getOrElse(t, 0L)
+        tr <= cnt && cnt <= tr + err
+      }
+    })
+  }
+
   test("winnow_fps32: deque sliding-min equals brute-force window minima on any string") {
     val genChar = Gen.oneOf(Gen.alphaNumChar,
       Gen.oneOf(' ', 'é', 'ß', '£', '中', '文'))
