@@ -65,6 +65,35 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hard-negative mining for contrastive training data: per probe
+    // vector, the top-5 most similar vectors carrying a DIFFERENT
+    // label — the pairs that actually move a contrastive loss (easy
+    // negatives are free; hard ones are what the miner exists for).
+    // Same probe-set × corpus broadcast shape as sim_topk_brute (the
+    // probe set is small by definition); at corpus scale the
+    // brute-force scoring swaps for the sign-LSH candidate path
+    // (annTopK) with the label-mismatch filter applied to candidates
+    // — identical downstream contract.
+    "sim_hard_negatives" -> ((s, d) => {
+      val c = embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"),
+        float_dot(col("embedding"), col("embedding")).as("nrm"))
+      val q = c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      c.join(broadcast(q), col("label") =!= col("q_label"))
+        .withColumn("cosine", cosine(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("negative_id"), col("label").as("neg_label"),
+          col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN via multi-table sign-LSH + exact re-scoring of candidates.
     // Hash-exact against the oracle: the ±1 hyperplanes are plan-time
     // constants, embedded verbatim as DOUBLE[] literals in the
@@ -248,6 +277,30 @@ object Similarity extends QueryModule {
         |           JOIN q ON q.query_id = cand.query_id)
         |SELECT query_id, rank, vec_id AS neighbor_id, cosine
         |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """WITH c AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                     CAST(embedding AS DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label, emb AS q_emb,
+        |        nrm AS q_nrm
+        |      FROM c WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id, c.label,
+        |    list_dot_product(q.q_emb, c.emb) / (sqrt(q.q_nrm) * sqrt(c.nrm))
+        |      AS cosine
+        |  FROM c JOIN q ON c.label <> q.q_label),
+        |ranked AS (
+        |  SELECT query_id, vec_id, label, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id AS negative_id, label AS neg_label,
+        |  cosine
+        |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     "sim_topk_brute" ->

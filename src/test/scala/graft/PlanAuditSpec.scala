@@ -28,10 +28,12 @@ class PlanAuditSpec extends SparkSpec {
   //  - text_bloom_decon: corpus shingles × the broadcast ONE-row Bloom
   //    filter (the runtime-filter scalar riding along every row — a
   //    1×N "join" by construction, O(m/8) bytes regardless of corpus)
+  //  - sim_hard_negatives: corpus × the broadcast 10-vector probe set
+  //    (label-mismatch condition; same bounded shape as sim_topk_brute)
   private val nestedLoopOk =
     Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine",
       "dedup_semantic", "emb_kmeans_step", "emb_decontaminate",
-      "emb_pca_power", "text_bloom_decon")
+      "emb_pca_power", "text_bloom_decon", "sim_hard_negatives")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:

@@ -83,4 +83,33 @@ class SimilaritySpec extends SparkSpec {
     val b = SparkEntry.queries("sim_topk_brute")(spark, sf).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("hard negatives: different label, similarity-ranked, truly the hardest") {
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("sim_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      // every negative carries a label different from the probe's
+      rs.foreach { r =>
+        assert(r.getInt(3) != labels(qid))
+        assert(r.getInt(3) == labels(r.getLong(2)))
+      }
+      // ranked by descending similarity
+      val cos = rs.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+    // cross-check against the label-free top-k: any same-rank neighbor of
+    // a DIFFERENT label in sim_topk_brute must appear here with cosine
+    // no greater than this query's rank-1 negative
+    val topk = SparkEntry.queries("sim_topk_brute")(spark, sf).collect()
+    val best = rows.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(3 + 1)).toMap
+    topk.filter(r => labels(r.getLong(2)) != labels(r.getLong(0)))
+      .foreach { r =>
+        assert(r.getDouble(3) <= best(r.getLong(0)) + 1e-12,
+          s"query ${r.getLong(0)}: top-k found a harder negative")
+      }
+  }
 }
