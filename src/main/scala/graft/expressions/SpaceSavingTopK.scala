@@ -37,25 +37,26 @@ case class SpaceSavingTopK(
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]]
+  extends TypedImperativeAggregate[SpaceSavingTopK.SsBuffer]
   with UnaryLike[Expression] {
 
   require(capacity > 0 && capacity <= 65536,
     s"space_saving_topk needs 1..65536 capacity, got $capacity")
 
-  type Buf = java.util.HashMap[String, Array[Long]]
+  type Buf = SpaceSavingTopK.SsBuffer
 
-  override def createAggregationBuffer(): Buf = new Buf()
+  override def createAggregationBuffer(): Buf =
+    new SpaceSavingTopK.SsBuffer()
 
   private def bump(buf: Buf, key: String, cnt: Long, err: Long): Unit = {
-    val cur = buf.get(key)
+    val cur = buf.map.get(key)
     if (cur != null) { cur(0) += cnt; cur(1) += err; return }
-    if (buf.size() < capacity) { buf.put(key, Array(cnt, err)); return }
+    if (buf.map.size() < capacity) { buf.map.put(key, Array(cnt, err)); return }
     // evict the min-count entry; the newcomer inherits its count as
     // overestimation error (classic SpaceSaving replacement)
     var minK: String = null
     var minC = Long.MaxValue
-    val it = buf.entrySet().iterator()
+    val it = buf.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getValue()(0) < minC ||
@@ -63,8 +64,9 @@ case class SpaceSavingTopK(
         minC = e.getValue()(0); minK = e.getKey
       }
     }
-    buf.remove(minK)
-    buf.put(key, Array(minC + cnt, minC + err))
+    buf.map.remove(minK)
+    buf.map.put(key, Array(minC + cnt, minC + err))
+    buf.evicted = true
   }
 
   override def update(buf: Buf, input: InternalRow): Buf = {
@@ -74,7 +76,33 @@ case class SpaceSavingTopK(
   }
 
   override def merge(buf: Buf, other: Buf): Buf = {
-    val it = other.entrySet().iterator()
+    // Mergeability (Agarwal et al., "Mergeable Summaries"): a key
+    // tracked only by `buf` may still have occurred in other's stream
+    // and been absorbed by an eviction there — its true count in that
+    // stream is bounded by other's min counter (the classic
+    // SpaceSaving absent-key guarantee). Charge that bound to every
+    // buf-only key, as count AND error, or the merged count loses
+    // those occurrences and `true <= cnt` breaks. The charge applies
+    // ONLY if other actually evicted (tracked explicitly, not
+    // inferred from fullness) so the exact-below-capacity contract —
+    // err stays 0 while distinct <= capacity, even at exactly
+    // capacity — survives any merge order.
+    if (other.evicted) {
+      var bound = Long.MaxValue
+      val it0 = other.map.values().iterator()
+      while (it0.hasNext) {
+        val v = it0.next()(0); if (v < bound) bound = v
+      }
+      val it1 = buf.map.entrySet().iterator()
+      while (it1.hasNext) {
+        val e = it1.next()
+        if (!other.map.containsKey(e.getKey)) {
+          e.getValue()(0) += bound; e.getValue()(1) += bound
+        }
+      }
+      buf.evicted = true
+    }
+    val it = other.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       bump(buf, e.getKey, e.getValue()(0), e.getValue()(1))
@@ -83,8 +111,8 @@ case class SpaceSavingTopK(
   }
 
   override def eval(buf: Buf): Any = {
-    val entries = new Array[(String, Long, Long)](buf.size())
-    val it = buf.entrySet().iterator()
+    val entries = new Array[(String, Long, Long)](buf.map.size())
+    val it = buf.map.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
       val e = it.next()
@@ -100,8 +128,9 @@ case class SpaceSavingTopK(
   override def serialize(buf: Buf): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.size())
-    val it = buf.entrySet().iterator()
+    out.writeBoolean(buf.evicted)
+    out.writeInt(buf.map.size())
+    val it = buf.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val b = e.getKey.getBytes(StandardCharsets.UTF_8)
@@ -114,12 +143,13 @@ case class SpaceSavingTopK(
   override def deserialize(bytes: Array[Byte]): Buf = {
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val n = in.readInt()
     val buf = createAggregationBuffer()
+    buf.evicted = in.readBoolean()
+    val n = in.readInt()
     var i = 0
     while (i < n) {
       val b = new Array[Byte](in.readInt()); in.readFully(b)
-      buf.put(new String(b, StandardCharsets.UTF_8),
+      buf.map.put(new String(b, StandardCharsets.UTF_8),
         Array(in.readLong(), in.readLong()))
       i += 1
     }
@@ -148,6 +178,15 @@ case class SpaceSavingTopK(
 }
 
 object SpaceSavingTopK {
+  /** Counter map plus whether this buffer EVER evicted: the flag (not
+    * current fullness — a buffer holding exactly `capacity` distinct
+    * keys without eviction is still exact) gates the merge-time
+    * absent-key charge, preserving err=0 while distinct ≤ capacity. */
+  final class SsBuffer {
+    val map = new java.util.HashMap[String, Array[Long]]()
+    var evicted = false
+  }
+
   /** Aggregate column: sorted (cnt DESC, token ASC) array of
     * struct(token, cnt, err); exact (err=0) while distinct ≤ capacity. */
   def space_saving_topk(c: Column, capacity: Int): Column =

@@ -210,7 +210,7 @@ class PropertySpec extends SparkSpec {
     }
     val merged = bufs.reduce(agg.merge)
     import scala.jdk.CollectionConverters._
-    merged.asScala.map { case (k, v) => k -> (v(0), v(1)) }.toMap
+    merged.map.asScala.map { case (k, v) => k -> (v(0), v(1)) }.toMap
   }
 
   test("space_saving: exact (err 0) below capacity under any split/merge") {
