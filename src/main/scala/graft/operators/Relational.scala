@@ -708,6 +708,146 @@ object Relational extends QueryModule {
         .withColumn("p", col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy(col("prev_type"))))
         .orderBy(col("prev_type"), col("event_type"))
+    }),
+
+    // Arg-max rows without a window sort: per event type, the single
+    // highest-value event (id, user, value) via max_by over a packed
+    // (value, event_id) ordinal. Neither Spark's max_by nor DuckDB's
+    // arg_max defines tie order (and both reject struct ordering
+    // keys), so the value is snapped to its cent grid and packed with
+    // the id into one bigint — both engines then maximize the SAME
+    // scalar and agree exactly. One map-side-combinable aggregate:
+    // the "best row per key" that otherwise costs a full window sort
+    // + filter over the event stream; at 100 TB the partials carry
+    // one row per (partition, type). The 1e12 pack factor leaves id
+    // headroom to a trillion rows — it is the documented knob if ids
+    // outgrow it.
+    "q_argmax_events" -> ((s, d) => {
+      events(s, d)
+        .withColumn("pk", round(col("value") * 100).cast("long") *
+          lit(1000000000000L) + col("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("max_by(event_id, pk)").as("top_event_id"),
+          expr("max_by(user_id, pk)").as("top_user_id"),
+          expr("max_by(value, pk)").as("top_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Time-spine gap fill: dense hourly report between the corpus's
+    // first and last hour — empty hours appear with n=0 and the last
+    // known hourly average carried forward (last_value IGNORE NULLS),
+    // the standard prep before charting or feeding a forecaster.
+    // The hourly aggregate is the only corpus-sized stage (one
+    // map-side-combinable groupBy); the spine is generated from a
+    // 2-value scalar aggregate and is |hours| rows, so the unkeyed
+    // carry-forward window sorts only the spine — bounded by the time
+    // domain, not the data — and the spine-side join is a broadcast.
+    "q_gapfill_hours" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      val spine = events(s, d)
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+      val w = Window.orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      broadcast(spine).join(hourly, Seq("hr"), "left")
+        .select(col("hr"), coalesce(col("n"), lit(0L)).as("n"),
+          last(col("avg_value"), ignoreNulls = true).over(w)
+            .as("filled_avg"))
+        .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("n"), col("filled_avg"))
+        .orderBy(col("hr"))
+    }),
+
+    // Exact streaming-friendly least squares: per event type, the
+    // slope and Pearson correlation of value against hour-of-day from
+    // the five classic sufficient moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    // — the textbook one-pass formulation, map-side-combinable, no
+    // second centered pass. Values quantize to an integer milli grid
+    // so every moment is EXACT decimal arithmetic under any merge
+    // order; the final slope/corr are a fixed sequence of IEEE ops
+    // (casts, sqrt, divides — all correctly rounded, no libm
+    // transcendentals), so both engines agree bit-for-bit. Decimal
+    // headroom: n·Σy² at milli scale stays under 10³⁶ out to ~10¹²
+    // rows; past that, drop the quantization another decade — the
+    // documented knob.
+    "q_stats_corr" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val e = events(s, d).select(col("event_type"),
+        hour(col("ts")).cast(dec).as("x"),
+        round(col("value") * 1000).cast(dec).as("ym"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).as("sx"), sum(col("ym")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("ym")).as("sxy"),
+          sum(col("ym") * col("ym")).as("syy"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          (cov.cast("double") / varx.cast("double") / lit(1000.0))
+            .as("slope"),
+          (cov.cast("double") /
+            (sqrt(varx.cast("double")) * sqrt(vary.cast("double"))))
+            .as("corr"))
+        .orderBy(col("event_type"))
+    }),
+
+    // 2-D skyline (Pareto frontier): parts not dominated on
+    // (maximize p_size, minimize p_retailprice). Instead of the
+    // quadratic NOT EXISTS self-join (the oracle's formulation), the
+    // plan reduces dominance to two cuts: a part survives iff it is
+    // the cheapest at its own size AND no strictly larger size has a
+    // min-price <= its price. Both cuts come from ONE per-size
+    // aggregate — a table bounded by the size domain (50 rows here,
+    // never corpus-sized), so the running-min window over sizes-desc
+    // sorts only that tiny table and the join back is a broadcast.
+    // Corpus-side cost: one map-side-combinable groupBy + one
+    // broadcast join — linear at any scale, vs the self-join's n².
+    "q_skyline" -> ((s, d) => {
+      val perSize = part(s, d).groupBy(col("p_size"))
+        .agg(min(col("p_retailprice")).as("mn_same"))
+      val wDesc = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cuts = perSize
+        .withColumn("mn_strict", min(col("mn_same")).over(wDesc))
+      part(s, d).join(broadcast(cuts), Seq("p_size"))
+        .filter(col("p_retailprice") === col("mn_same") &&
+          (col("mn_strict").isNull ||
+            col("mn_strict") > col("p_retailprice")))
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        .orderBy(col("p_size"), col("p_retailprice"), col("p_partkey"))
+    }),
+
+    // Cumulative distinct users by day — the growth curve a plain
+    // COUNT(DISTINCT) OVER cannot express in either engine. Each
+    // user's first active day (one user_id-keyed aggregate) turns
+    // the running distinct count into a running SUM of a daily
+    // new-user count; active days with no new users still appear
+    // via the distinct-day spine. Every corpus-sized stage keys on
+    // user_id or day; the running window sorts only the day spine
+    // (bounded by the calendar, not the data).
+    "q_running_distinct" -> ((s, d) => {
+      val byDay = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstDay = byDay.groupBy(col("user_id"))
+        .agg(min(col("day")).as("day"))
+      val daily = firstDay.groupBy(col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay.select(col("day")).distinct()
+        .join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("new_users"), lit(0L))
+          .as("new_users"))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("cum_users"))
+        .orderBy(col("day"))
     })
   )
 
@@ -1116,6 +1256,85 @@ object Relational extends QueryModule {
         |    / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
         |FROM t WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type
-        |ORDER BY prev_type, event_type""".stripMargin
+        |ORDER BY prev_type, event_type""".stripMargin,
+
+    "q_argmax_events" ->
+      """WITH t AS (
+        |  SELECT event_type, event_id, user_id, value,
+        |    CAST(round(value * 100) AS BIGINT) * 1000000000000
+        |      + event_id AS pk
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  arg_max(event_id, pk) AS top_event_id,
+        |  arg_max(user_id, pk) AS top_user_id,
+        |  arg_max(value, pk) AS top_value
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_gapfill_hours" ->
+      s"""WITH h AS (
+         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         |    COUNT(*) AS n, ${sqlAvg("value")} AS avg_value
+         |  FROM events GROUP BY 1),
+         |spine AS (
+         |  SELECT unnest(generate_series(
+         |    (SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP)))
+         |       FROM events),
+         |    (SELECT date_trunc('hour', MAX(CAST(ts AS TIMESTAMP)))
+         |       FROM events),
+         |    INTERVAL 1 HOUR)) AS hr)
+         |SELECT strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+         |  COALESCE(h.n, 0) AS n,
+         |  last_value(h.avg_value IGNORE NULLS) OVER (
+         |    ORDER BY s.hr
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS filled_avg
+         |FROM spine s LEFT JOIN h ON s.hr = h.hr
+         |ORDER BY hr""".stripMargin,
+
+    "q_stats_corr" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS HUGEINT) AS x,
+        |    CAST(round(value * 1000) AS HUGEINT) AS ym
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(x) AS sx, SUM(ym) AS sy, SUM(x * x) AS sxx,
+        |    SUM(x * ym) AS sxy, SUM(ym * ym) AS syy
+        |  FROM t GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0 AS slope,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size
+        |    AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size
+        |         OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p.p_size, p.p_retailprice, p.p_partkey""".stripMargin,
+
+    "q_running_distinct" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS day FROM e GROUP BY 1),
+        |daily AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1),
+        |spine AS (SELECT DISTINCT day FROM e)
+        |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+        |  COALESCE(d.new_users, 0) AS new_users,
+        |  CAST(SUM(COALESCE(d.new_users, 0)) OVER (
+        |    ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day
+        |ORDER BY day""".stripMargin
   )
 }
