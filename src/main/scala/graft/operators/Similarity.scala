@@ -114,7 +114,61 @@ object Similarity extends QueryModule {
     // centroids with no other change. Recall vs brute force is
     // measured in SimilaritySpec.
     "sim_ann_ivf" -> ((s, d) =>
-      ivfTopK(corpus(s, d), 10).orderBy(col("query_id"), col("rank")))
+      ivfTopK(corpus(s, d), 10).orderBy(col("query_id"), col("rank"))),
+
+    // Product quantization (Jégou et al. 2011): the memory face of
+    // ANN at scale. Each 64-dim vector compresses to 8 sub-space
+    // codes — 256 bytes of floats become 8 small ints — and search
+    // runs over CODES via an asymmetric-distance lookup table (ADC),
+    // never touching raw vectors: the design that lets a
+    // billion-vector index live in RAM (production stacks it under
+    // IVF's candidate pruning; here the ADC scan is deliberately
+    // exhaustive so recall isolates quantization error alone —
+    // measured vs brute force in SimilaritySpec). Everything is
+    // exact-arithmetic: sub-vectors quantize to a micro-int grid, so
+    // code assignment (argmin L2², ties to the smaller centroid via
+    // dist*16+cid packing) and ADC sums are integer-identical in both
+    // engines. Codebook = the first 16 vectors' sub-vectors
+    // (deterministic, SQL-expressible; production swaps per-subspace
+    // k-means with no other change — the sim_ann_ivf contract).
+    // Scale shape: the codebook (16×8 sub-vectors) and per-query LUT
+    // (10×8×16 distances) broadcast; assignment and the ADC scan are
+    // linear corpus passes; the one corpus-sized shuffle keys on
+    // (query_id, vec_id) for the 8-way ADC partial sums, map-side
+    // combined.
+    "sim_ann_pq" -> ((s, d) => {
+      val (m8, sub, k16) = (8, 8, 16)
+      val e = embeddings(s, d).select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        .as("qv"))
+      val subs = e.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m8 - 1})," +
+          s" m -> slice(qv, m * $sub + 1, $sub))")).as(Seq("m", "svec")))
+      val cent = subs.filter(col("vec_id") < k16)
+        .select(col("vec_id").as("cid"), col("m"), col("svec").as("cvec"))
+      val dist = expr("aggregate(zip_with(svec, cvec," +
+        " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val codes = subs.join(broadcast(cent), Seq("m"))
+        .withColumn("pk", dist * lit(k16) + col("cid"))
+        .groupBy(col("vec_id"), col("m")).agg(min(col("pk")).as("mpk"))
+        .select(col("vec_id"), col("m"), (col("mpk") % k16).as("cid"))
+      val lut = subs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("m"),
+          col("svec"))
+        .join(broadcast(cent), Seq("m"))
+        .select(col("query_id"), col("m"), col("cid"), dist.as("pd"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      codes.join(broadcast(lut), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("pd")).as("adc"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("adc"))
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   /** LSH candidate generation + exact scoring. Returned rank is dense
@@ -200,6 +254,41 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
 
   override def oracles: Map[String, String] = Map(
+    "sim_ann_pq" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sub AS MATERIALIZED (
+        |  SELECT vec_id, u.m, qv[u.m * 8 + 1 : u.m * 8 + 8] AS svec
+        |  FROM e, UNNEST(generate_series(0, 7)) u(m)),
+        |cent AS (SELECT vec_id AS cid, m, svec AS cvec
+        |         FROM sub WHERE vec_id < 16),
+        |codes AS (
+        |  SELECT vec_id, m, CAST(MIN(
+        |      list_sum(list_transform(generate_series(1, 8),
+        |        i -> (svec[i] - cvec[i]) * (svec[i] - cvec[i])))
+        |      * 16 + cid) % 16 AS BIGINT) AS cid
+        |  FROM sub JOIN cent USING (m)
+        |  GROUP BY vec_id, m),
+        |lut AS (
+        |  SELECT s.vec_id AS query_id, s.m, c.cid,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i])))
+        |      AS BIGINT) AS pd
+        |  FROM sub s JOIN cent c USING (m) WHERE s.vec_id < 10),
+        |adc AS (
+        |  SELECT l.query_id, c.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc
+        |  FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+        |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id, adc FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc, vec_id) AS rank
+        |  FROM adc) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "sim_ann_lsh" -> {
       val corpusCodes = (0 until NumTables)
         .map(t => s"${codeSql(t)} AS k$t").mkString(",\n    ")

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Num, QueryModule, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for a training-data pipeline: token
   * statistics, quality scoring, language identification, and content
@@ -427,6 +428,83 @@ object TextAnalysis extends QueryModule {
         .agg(count(lit(1)).as("n_bigrams"),
           graft.Num.davg(col("p")).as("mean_p"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style rule battery (Rae et al. 2021 §A1.1): the five
+    // per-document quality cuts LM pipelines apply before near-dup
+    // work — token-count bounds, mean token length band, symbol-char
+    // ratio, alphabetic-token fraction, minimum stopword evidence —
+    // each as its own 0/1 flag plus the conjunctive pass bit, so
+    // downstream mixing can weight by individual rules rather than a
+    // single opaque score. Pure per-row expression work off one scan
+    // (no shuffle but the final sort); each ratio is one IEEE divide
+    // of exact integers, so both engines agree bit-for-bit.
+    "text_gopher_rules" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("tok_chars",
+          expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+        .withColumn("n_alpha", size(expr(
+          "filter(toks, t -> t rlike '[a-zA-Z]')")).cast("long"))
+        .withColumn("n_sym",
+          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+            .cast("long"))
+        .withColumn("n_stop", size(expr(
+          s"filter(toks, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))"))
+          .cast("long"))
+        .withColumn("mean_tok_len",
+          col("tok_chars").cast("double") / col("n_tokens"))
+        .withColumn("r_count",
+          (col("n_tokens") >= 10 && col("n_tokens") <= 1000)
+            .cast("long"))
+        .withColumn("r_mean_len",
+          (col("mean_tok_len") >= 2.0 && col("mean_tok_len") <= 8.0)
+            .cast("long"))
+        .withColumn("r_symbol",
+          (col("n_sym").cast("double") / length(col("text")) < 0.1)
+            .cast("long"))
+        .withColumn("r_alpha",
+          (col("n_alpha").cast("double") / col("n_tokens") > 0.8)
+            .cast("long"))
+        .withColumn("r_stop", (col("n_stop") >= 2).cast("long"))
+        .withColumn("pass",
+          (col("r_count") + col("r_mean_len") + col("r_symbol") +
+            col("r_alpha") + col("r_stop") === 5).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
+          col("r_count"), col("r_mean_len"), col("r_symbol"),
+          col("r_alpha"), col("r_stop"), col("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Zipf rank-frequency head: the top-40 tokens with rank,
+    // count, the rank×count Zipf product (≈constant under Zipf's
+    // law — the corpus-health diagnostic) and the cumulative ppm
+    // share of all token occurrences. Scale shape: the vocabulary
+    // never sees a global window — the head is a distributed top-k
+    // (TakeOrderedAndProject over the token-count aggregate) and
+    // ranks/cumulative sums are computed on those 40 rows only; the
+    // corpus contributes one map-side-combinable count per distinct
+    // token and one scalar total. Integer products and floor-div
+    // ppm, so fully oracle-exact.
+    "text_zipf" -> ((s, d) => {
+      val counts = documents(s, d)
+        .select(explode(expr(toksExpr)).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val top = counts
+        .orderBy(col("cnt").desc, col("t")).limit(40)
+      val wRank = Window.orderBy(col("cnt").desc, col("t"))
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .withColumn("zipf_prod", col("rank") * col("cnt"))
+        .withColumn("cum_ppm",
+          expr("sum(cnt) OVER (ORDER BY cnt DESC, t" +
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)" +
+            " * 1000000L div total"))
+        .select(col("rank"), col("t").as("token"), col("cnt"),
+          col("zipf_prod"), col("cum_ppm"))
+        .orderBy(col("rank"))
     })
   )
 
@@ -623,6 +701,61 @@ object TextAnalysis extends QueryModule {
          |SELECT doc_id, COUNT(*) AS n_bigrams, ${sqlAvg("p")} AS mean_p
          |FROM bg JOIN probs USING (big)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "text_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $sqlToks AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_prepend(0,
+         |      list_transform(toks, t -> len(t)))) AS BIGINT) AS tok_chars,
+         |    CAST(len(list_filter(toks,
+         |      t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+         |      AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(toks, t -> t IN
+         |      (${stopwords.map("'" + _ + "'").mkString(",")})))
+         |      AS BIGINT) AS n_stop
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(tok_chars AS DOUBLE) / n_tokens AS mean_tok_len,
+         |    CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+         |      THEN 1 ELSE 0 END AS r_count,
+         |    CASE WHEN CAST(tok_chars AS DOUBLE) / n_tokens >= 2.0
+         |          AND CAST(tok_chars AS DOUBLE) / n_tokens <= 8.0
+         |      THEN 1 ELSE 0 END AS r_mean_len,
+         |    CASE WHEN CAST(n_sym AS DOUBLE) / len(text) < 0.1
+         |      THEN 1 ELSE 0 END AS r_symbol,
+         |    CASE WHEN CAST(n_alpha AS DOUBLE) / n_tokens > 0.8
+         |      THEN 1 ELSE 0 END AS r_alpha,
+         |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+         |  FROM m)
+         |SELECT doc_id, n_tokens, mean_tok_len,
+         |  CAST(r_count AS BIGINT) AS r_count,
+         |  CAST(r_mean_len AS BIGINT) AS r_mean_len,
+         |  CAST(r_symbol AS BIGINT) AS r_symbol,
+         |  CAST(r_alpha AS BIGINT) AS r_alpha,
+         |  CAST(r_stop AS BIGINT) AS r_stop,
+         |  CAST(CASE WHEN r_count + r_mean_len + r_symbol + r_alpha
+         |    + r_stop = 5 THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_zipf" ->
+      s"""WITH c AS MATERIALIZED (
+         |  SELECT u.t, COUNT(*) AS cnt
+         |  FROM (SELECT $sqlToks AS toks FROM documents), UNNEST(toks) u(t)
+         |  GROUP BY u.t),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+         |top AS (SELECT * FROM c ORDER BY cnt DESC, t LIMIT 40)
+         |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rank,
+         |  t AS token, cnt,
+         |  ROW_NUMBER() OVER (ORDER BY cnt DESC, t) * cnt AS zipf_prod,
+         |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    * 1000000 // total AS BIGINT) AS cum_ppm
+         |FROM top, tot ORDER BY rank""".stripMargin
   )
 }

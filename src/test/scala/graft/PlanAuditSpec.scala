@@ -30,10 +30,14 @@ class PlanAuditSpec extends SparkSpec {
   //    1×N "join" by construction, O(m/8) bytes regardless of corpus)
   //  - sim_hard_negatives: corpus × the broadcast 10-vector probe set
   //    (label-mismatch condition; same bounded shape as sim_topk_brute)
+  //  - text_zipf: 40-row top-k head × the broadcast ONE-row corpus
+  //    total (both sides bounded by construction; the vocabulary
+  //    itself never reaches the join)
   private val nestedLoopOk =
     Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine",
       "dedup_semantic", "emb_kmeans_step", "emb_decontaminate",
-      "emb_pca_power", "text_bloom_decon", "sim_hard_negatives")
+      "emb_pca_power", "text_bloom_decon", "sim_hard_negatives",
+      "text_zipf")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:

@@ -51,6 +51,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfRecall >= 0.5, f"IVF recall $ivfRecall%.3f below 0.5")
   }
 
+  test("PQ ADC recall@10 against exact L2 on the same grid") {
+    // PQ approximates L2, not cosine — so its recall is measured
+    // against the exact L2 top-10 over the same micro-int grid the
+    // codes quantize; the gap is pure quantization error of the
+    // 16-centroid × 8-subspace codebook.
+    import org.apache.spark.sql.expressions.Window
+    val pq = SparkEntry.queries("sim_ann_pq")(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        .as("qv"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("pv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("vec_id"))
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", expr("aggregate(zip_with(qv, pv," +
+        " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"PQ ADC recall@10 vs exact L2 = $recall%.3f")
+    assert(recall >= 0.3, f"PQ recall $recall%.3f below 0.3")
+  }
+
   test("custom expressions are SQL-callable after Graft.register") {
     Graft.register(spark)
     spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
