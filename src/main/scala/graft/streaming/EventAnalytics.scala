@@ -44,6 +44,27 @@ object EventAnalytics {
       .select(col("window.start").as("window_start"), col("n"),
         col("sum_value"))
 
+  /** Streaming heavy hitters: the bounded SpaceSaving summary as a
+    * streaming aggregate — O(capacity) state for the WHOLE stream
+    * regardless of distinct-key cardinality, where a plain
+    * groupBy(key).count() grows state with every key ever seen. Runs
+    * in complete mode (the summary is one row, re-emitted per batch).
+    * Correctness under micro-batching rides the sketch's mergeability
+    * (SpaceSavingTopK.merge charges absent-key bounds), and while
+    * distinct keys stay <= capacity the streaming counts are EXACT
+    * across any batch/partition split — spec-asserted against the
+    * batch groupBy. */
+  def heavyHitters(tokens: DataFrame, tokenCol: String = "token",
+      capacity: Int = 64, k: Int = 10): DataFrame =
+    tokens
+      .agg(graft.expressions.SpaceSavingTopK
+        .space_saving_topk(col(tokenCol), capacity).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("pos", "e")))
+      .filter(col("pos") < k)
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("e.token").as("token"), col("e.cnt").as("cnt"),
+        col("e.err").as("err"))
+
   /** Streaming exact dedup: one row per key, with the watermark
     * bounding how long keys are remembered — the only way dedup state
     * stays finite on an unbounded stream. */

@@ -41,6 +41,28 @@ class EventAnalyticsSpec extends SparkSpec {
       s"first window wrong or missing: $rows")
   }
 
+  test("streaming heavy hitters: bounded sketch, exact counts across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = EventAnalytics
+      .heavyHitters(in.toDF().toDF("token"), capacity = 8, k = 5)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode(OutputMode.Complete).start()
+    in.addData("a", "b", "a", "c")
+    q.processAllAvailable()
+    in.addData("a", "b", "d", "d", "d")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hh_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // complete mode: the table holds the latest emission — exact
+    // counts over BOTH batches (distinct keys <= capacity => err 0),
+    // ties broken (cnt DESC, token ASC)
+    assert(rows.toSeq == Seq((1L, "a", 3L, 0L), (2L, "d", 3L, 0L),
+      (3L, "b", 2L, 0L), (4L, "c", 1L, 0L)),
+      s"got ${rows.toSeq}")
+  }
+
   test("streaming dedup emits each key once across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
