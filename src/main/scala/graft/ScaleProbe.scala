@@ -78,7 +78,13 @@ object ScaleProbe {
       // path), boilerplate gram-df join, and the two label-geometry
       // audits (perturbed text / pure reductions, same rationale)
       "text_bloom_decon", "text_boilerplate", "emb_class_reps",
-      "emb_label_outliers")
+      "emb_label_outliers",
+      // round-7 additions: word-gram banding (perturbed text — the
+      // translate map rewrites every word, so cross-copy gram overlap
+      // is ~zero), PQ's linear code-assignment + ADC scan, and the
+      // triplet miner's scored-pass windows (both pure scans +
+      // bounded-output top-k over unperturbed embeddings)
+      "dedup_minhash_words", "sim_ann_pq", "emb_triplets")
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

@@ -152,6 +152,18 @@ object Dedup extends QueryModule {
     "dedup_minhash_lsh" -> ((s, d) =>
       minhashPairs(documents(s, d)).orderBy(col("a_id"), col("b_id"))),
 
+    // Word-shingle MinHash-LSH: the banding production LLM pipelines
+    // actually run (word n-grams à la RefinedWeb/Dolma — robust to
+    // character-level noise where char shingles are robust to word
+    // reordering). Same 48-perm/16-band machinery and exact-Jaccard
+    // verify as the char variant, over word-3-gram md5 sets; on this
+    // corpus every true pair sits at word-gram J >= 0.9 (16 bands of
+    // 3 rows miss such a pair with p ~ 1e-9), so the verified output
+    // EQUALS the brute-force oracle pair set.
+    "dedup_minhash_words" -> ((s, d) =>
+      bandedMinhashPairs(wordGramSets(documents(s, d)), 0.8)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // SimHash near-dup pairs: native codegen'd fingerprint (one long
     // per doc), then 4×15-bit chunk banding — pigeonhole guarantees
     // every pair within Hamming distance 3 shares a chunk — and a
@@ -296,18 +308,44 @@ object Dedup extends QueryModule {
     * set: a single shuffle of the shingle stream, then everything
     * else operates on one small cached row per document.
     */
-  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    // the per-doc distinct shingle-hash set comes straight off the scan
+    // (no shuffle — see shingleSets); cached: dedup_cluster and
+    // dedup_minhash_lsh both consume the identical plan.
+    bandedMinhashPairs(shingleSets(docs), threshold)
+
+  /** Per-doc distinct word-3-gram md5 hash sets — the WORD-shingle
+    * face of shingleSets (what production LLM dedup pipelines band
+    * on: RefinedWeb/Dolma-style word n-grams, robust to whitespace
+    * and character noise where char shingles are robust to word
+    * reordering). Composed md5-conv expressions rather than a native
+    * pass: grams-per-doc is tokens-2 (vs ~chars for char shingles),
+    * so the string round-trip that justified ShingleHashes never
+    * dominates here. Docs under 3 tokens have no gram set and drop
+    * out, same as the oracle's len(toks) >= 3 guard. */
+  def wordGramSets(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(
+        "filter(split(text, '\\\\s+'), t -> t != '')"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_sort(array_distinct(transform(sequence(1, size(toks) - 2)," +
+          " i -> cast(conv(substring(md5(concat_ws(' '," +
+          " toks[i - 1], toks[i], toks[i + 1])), 1, 15), 16, 10)" +
+          " as bigint))))").as("set"))
+      .withColumn("n", size(col("set")).cast("long"))
+      .cache()
+
+  /** Banded MinHash over any (doc_id, set, n) hash-set table. */
+  private def bandedMinhashPairs(sets: DataFrame,
+      threshold: Double): DataFrame = {
     val numPerm = 48
     val bands = 16
     val rowsPerBand = numPerm / bands
-    // the per-doc distinct shingle-hash set comes straight off the scan
-    // (no shuffle — see shingleSets); all 48 per-permutation mins come
-    // from ONE native pass over the set (see MinHashSig — the nested
-    // transform/array_min formulation materialized 48 intermediate
-    // arrays per row and dominated the pipeline). Cached:
-    // dedup_cluster and dedup_minhash_lsh both consume the identical
-    // plan.
-    val sets = shingleSets(docs)
+    // all 48 per-permutation mins come from ONE native pass over the
+    // set (see MinHashSig — the nested transform/array_min formulation
+    // materialized 48 intermediate arrays per row and dominated the
+    // pipeline).
     val perDoc = sets
       .withColumn("sig",
         graft.expressions.MinHashSig.minhash_sig(col("set"), numPerm))
@@ -424,6 +462,29 @@ object Dedup extends QueryModule {
     // Exact near-dup pair set: the LSH pipeline's verified output must
     // equal this (banding is tuned so no true pair is missed; the
     // verify step removes every false candidate).
+    "dedup_minhash_words" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '')
+        |      AS toks
+        |  FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' '
+        |      || toks[i + 2]), 1, 15))::BIGINT AS h
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 2)) u(i)
+        |  WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM g x JOIN g y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter, a.n + b.n - inter AS union_n
+        |FROM pairs JOIN sz a ON a.doc_id = a_id
+        |           JOIN sz b ON b.doc_id = b_id
+        |WHERE inter * 100 >= (a.n + b.n - inter) * 80
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "dedup_minhash_lsh" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, u.s FROM documents,

@@ -823,6 +823,26 @@ object Relational extends QueryModule {
         .orderBy(col("p_size"), col("p_retailprice"), col("p_partkey"))
     }),
 
+    // Per-key mode (most frequent value): neither engine defines
+    // mode()'s tie order, so the portable formulation is count →
+    // per-key max over a window → keep tied rows → MIN as the
+    // deterministic tie-break. Both shuffles key on user_id (high
+    // cardinality, uniform); the window partitions by the same key,
+    // so the exchange is reused — no global sort anywhere.
+    "q_mode_events" -> ((s, d) => {
+      val counts = events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("user_id"))
+      counts
+        .withColumn("mx", max(col("cnt")).over(w))
+        .filter(col("cnt") === col("mx"))
+        .groupBy(col("user_id"))
+        .agg(min(col("event_type")).as("mode_type"),
+          max(col("mx")).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
     // Cumulative distinct users by day — the growth curve a plain
     // COUNT(DISTINCT) OVER cannot express in either engine. Each
     // user's first active day (one user_id-keyed aggregate) turns
@@ -1320,6 +1340,19 @@ object Relational extends QueryModule {
         |    AND (q.p_size > p.p_size
         |         OR q.p_retailprice < p.p_retailprice))
         |ORDER BY p.p_size, p.p_retailprice, p.p_partkey""".stripMargin,
+
+    "q_mode_events" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, event_type, cnt,
+        |    MAX(cnt) OVER (PARTITION BY user_id) AS mx
+        |  FROM c)
+        |SELECT user_id, MIN(event_type) AS mode_type,
+        |  CAST(MAX(mx) AS BIGINT) AS n
+        |FROM m WHERE cnt = mx
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_running_distinct" ->
       """WITH e AS MATERIALIZED (

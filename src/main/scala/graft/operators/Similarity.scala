@@ -136,6 +136,43 @@ object Similarity extends QueryModule {
     // linear corpus passes; the one corpus-sized shuffle keys on
     // (query_id, vec_id) for the 8-way ADC partial sums, map-side
     // combined.
+    // Full triplet mining for contrastive training: per anchor, the
+    // hardest POSITIVE (least similar same-label vector — the one the
+    // loss must pull hardest) joined to the hardest NEGATIVE (most
+    // similar different-label vector), with the margin between them —
+    // the rows a triplet/InfoNCE sampler feeds straight to training.
+    // One scored pass serves both sides (same probe-set × corpus
+    // broadcast shape as sim_topk_brute); the two rank-1 windows
+    // partition on query_id and the final join is 10 × 10 rows.
+    "emb_triplets" -> ((s, d) => {
+      val c = embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"),
+        float_dot(col("embedding"), col("embedding")).as("nrm"))
+      val q = c.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+      val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
+      val wPos = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine"), col("vec_id"))
+      val pos = scored.filter(col("label") === col("q_label"))
+        .withColumn("rk", row_number().over(wPos))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("vec_id").as("pos_id"),
+          col("cosine").as("pos_cos"))
+      val wNeg = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val neg = scored.filter(col("label") =!= col("q_label"))
+        .withColumn("rk", row_number().over(wNeg))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("vec_id").as("neg_id"),
+          col("cosine").as("neg_cos"))
+      pos.join(neg, Seq("query_id"))
+        .withColumn("margin", col("pos_cos") - col("neg_cos"))
+        .orderBy(col("query_id"))
+    }),
+
     "sim_ann_pq" -> ((s, d) => {
       val (m8, sub, k16) = (8, 8, 16)
       val e = embeddings(s, d).select(col("vec_id"), expr(
@@ -254,6 +291,37 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
 
   override def oracles: Map[String, String] = Map(
+    "emb_triplets" ->
+      """WITH c AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                     CAST(embedding AS DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS q_label,
+        |        emb AS q_emb, nrm AS q_nrm
+        |      FROM c WHERE vec_id < 10),
+        |s AS MATERIALIZED (
+        |  SELECT q.query_id, c.vec_id, c.label, q.q_label,
+        |    list_dot_product(q.q_emb, c.emb)
+        |      / (sqrt(q.q_nrm) * sqrt(c.nrm)) AS cosine
+        |  FROM c JOIN q ON c.vec_id <> q.query_id),
+        |pos AS (
+        |  SELECT query_id, vec_id AS pos_id, cosine AS pos_cos FROM (
+        |    SELECT query_id, vec_id, cosine,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cosine, vec_id) AS rk
+        |    FROM s WHERE label = q_label) t WHERE rk = 1),
+        |neg AS (
+        |  SELECT query_id, vec_id AS neg_id, cosine AS neg_cos FROM (
+        |    SELECT query_id, vec_id, cosine,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, vec_id) AS rk
+        |    FROM s WHERE label <> q_label) t WHERE rk = 1)
+        |SELECT p.query_id, pos_id, pos_cos, neg_id, neg_cos,
+        |  pos_cos - neg_cos AS margin
+        |FROM pos p JOIN neg n ON p.query_id = n.query_id
+        |ORDER BY p.query_id""".stripMargin,
+
     "sim_ann_pq" ->
       """WITH e AS MATERIALIZED (
         |  SELECT vec_id, list_transform(embedding,

@@ -33,11 +33,14 @@ class PlanAuditSpec extends SparkSpec {
   //  - text_zipf: 40-row top-k head × the broadcast ONE-row corpus
   //    total (both sides bounded by construction; the vocabulary
   //    itself never reaches the join)
+  //  - emb_triplets: corpus × the broadcast 10-anchor probe set (one
+  //    scored pass serving both triplet sides; same bounded shape as
+  //    sim_hard_negatives)
   private val nestedLoopOk =
     Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine",
       "dedup_semantic", "emb_kmeans_step", "emb_decontaminate",
       "emb_pca_power", "text_bloom_decon", "sim_hard_negatives",
-      "text_zipf")
+      "text_zipf", "emb_triplets")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
