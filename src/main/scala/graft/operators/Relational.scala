@@ -823,6 +823,51 @@ object Relational extends QueryModule {
         .orderBy(col("p_size"), col("p_retailprice"), col("p_partkey"))
     }),
 
+    // TPC-H Q13 shape: customer distribution by order count,
+    // INCLUDING zero-order customers (the left join is the point —
+    // an inner join silently drops them). Two aggregates: the first
+    // keys on custkey (high cardinality, the exchange carries from
+    // the join), the second is |distinct counts| rows. All-integer.
+    "q_order_dist" -> ((s, d) => {
+      val per = customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      per.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q22 shape: positive-balance customers with no RECENT
+    // order (none since 2000 — every synthetic customer has SOME
+    // order, so "never ordered" is the empty set; the recency window
+    // keeps the anti join semantics AND a non-trivial answer),
+    // rolled up by nation — anti join + a scalar threshold. The
+    // threshold (mean positive balance) goes through Num's quantized
+    // accumulation so the cutoff is bit-identical in both engines (a
+    // plain AVG(double) is merge-order-dependent and can flip
+    // borderline customers); it rides along as a broadcast 1-row
+    // cross join (bounded by construction — PlanAuditSpec exemption).
+    // The anti join keys on custkey; nation is an explicit broadcast.
+    "q_idle_customers" -> ((s, d) => {
+      val thr = customer(s, d).filter(col("c_acctbal") > 0)
+        .agg(davg(col("c_acctbal")).as("thr"))
+      customer(s, d)
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= tsLit("2000-01-01"))
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("n_name"))
+    }),
+
     // Per-key mode (most frequent value): neither engine defines
     // mode()'s tie order, so the portable formulation is count →
     // per-key max over a window → keep tied rows → MIN as the
@@ -1340,6 +1385,30 @@ object Relational extends QueryModule {
         |    AND (q.p_size > p.p_size
         |         OR q.p_retailprice < p.p_retailprice))
         |ORDER BY p.p_size, p.p_retailprice, p.p_partkey""".stripMargin,
+
+    "q_order_dist" ->
+      """WITH per AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM per GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_idle_customers" ->
+      s"""WITH thr AS (
+         |  SELECT ${sqlAvg("c_acctbal")} AS thr
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT n_name, COUNT(*) AS n_cust,
+         |  ${sqlSum("c_acctbal")} AS total_bal
+         |FROM customer c
+         |JOIN nation ON c.c_nationkey = n_nationkey, thr
+         |WHERE c.c_acctbal > thr.thr
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+         |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_mode_events" ->
       """WITH c AS (

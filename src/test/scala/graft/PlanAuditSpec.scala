@@ -36,11 +36,13 @@ class PlanAuditSpec extends SparkSpec {
   //  - emb_triplets: corpus × the broadcast 10-anchor probe set (one
   //    scored pass serving both triplet sides; same bounded shape as
   //    sim_hard_negatives)
+  //  - q_idle_customers: customers × the broadcast ONE-row quantized
+  //    balance threshold (scalar-aggregate ride-along)
   private val nestedLoopOk =
     Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine",
       "dedup_semantic", "emb_kmeans_step", "emb_decontaminate",
       "emb_pca_power", "text_bloom_decon", "sim_hard_negatives",
-      "text_zipf", "emb_triplets")
+      "text_zipf", "emb_triplets", "q_idle_customers")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
