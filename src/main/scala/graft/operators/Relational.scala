@@ -868,6 +868,44 @@ object Relational extends QueryModule {
         .orderBy(col("n_name"))
     }),
 
+    // Robust outlier accounting per event type: median / MAD (median
+    // absolute deviation) with a 3-MAD cut — the outlier rule that,
+    // unlike mean/stddev z-scores, outliers themselves cannot drag.
+    // Exactness AND scale come from the same trick: values live on a
+    // 2-decimal cent grid, so both medians are COUNTING medians — a
+    // (type, cent) count table plus one running-sum window over
+    // distinct cents — never a per-row sort (the value domain bounds
+    // the window, not the data; the rank-median of raw rows would
+    // sort data-sized per-type partitions). All-integer arithmetic,
+    // lower-median convention on even counts.
+    "q_anomaly_mad" -> ((s, d) => {
+      def median(df: org.apache.spark.sql.DataFrame, vCol: String) = {
+        val counts = df.groupBy(col("event_type"), col(vCol))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col(vCol))
+        counts
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("tot",
+            sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+          .filter(col("cum") >= expr("(tot + 1) div 2"))
+          .groupBy(col("event_type")).agg(min(col(vCol)).as("med"))
+      }
+      val e = events(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      val med = median(e, "c")
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("c") - col("med")))
+      val mad = median(dev, "dev")
+        .withColumnRenamed("med", "mad")
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("med_c"), min(col("mad")).as("mad_c"),
+          sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_anomalies"))
+        .orderBy(col("event_type"))
+    }),
+
     // Per-key mode (most frequent value): neither engine defines
     // mode()'s tie order, so the portable formulation is count →
     // per-key max over a window → keep tied rows → MIN as the
@@ -1409,6 +1447,40 @@ object Relational extends QueryModule {
          |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
          |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |mc AS (
+        |  SELECT event_type, c, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, MIN(c) AS med FROM (
+        |    SELECT event_type, c,
+        |      SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(cnt) OVER (PARTITION BY event_type) AS tot
+        |    FROM mc) t
+        |  WHERE cum >= (tot + 1) // 2 GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, e.c, abs(e.c - m.med) AS dev, m.med
+        |  FROM e JOIN m USING (event_type)),
+        |dc AS (
+        |  SELECT event_type, dev, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+        |md AS (
+        |  SELECT event_type, MIN(dev) AS mad FROM (
+        |    SELECT event_type, dev,
+        |      SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(cnt) OVER (PARTITION BY event_type) AS tot
+        |    FROM dc) t
+        |  WHERE cum >= (tot + 1) // 2 GROUP BY event_type)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |  MIN(d.med) AS med_c, MIN(md.mad) AS mad_c,
+        |  CAST(SUM(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q_mode_events" ->
       """WITH c AS (

@@ -65,6 +65,27 @@ object EventAnalytics {
         col("e.token").as("token"), col("e.cnt").as("cnt"),
         col("e.err").as("err"))
 
+  /** Per-window streaming top-k: the SpaceSaving sketch nested INSIDE
+    * a watermarked event-time window — each finalized window emits its
+    * own top-k once (append mode), which a global complete-mode
+    * summary cannot express. State is O(open windows × capacity):
+    * the trending-terms report shape, with the window close doing the
+    * "emit exactly once" work and the sketch bounding per-window
+    * state. */
+  def windowedTopK(tokens: DataFrame, win: String = "10 minutes",
+      watermark: String = "5 minutes", capacity: Int = 64,
+      k: Int = 5): DataFrame =
+    tokens
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), win))
+      .agg(graft.expressions.SpaceSavingTopK
+        .space_saving_topk(col("token"), capacity).as("hh"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("hh")).as(Seq("pos", "e")))
+      .filter(col("pos") < k)
+      .select(col("window_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.token").as("token"), col("e.cnt").as("cnt"))
+
   /** Streaming exact dedup: one row per key, with the watermark
     * bounding how long keys are remembered — the only way dedup state
     * stays finite on an unbounded stream. */

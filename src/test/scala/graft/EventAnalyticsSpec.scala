@@ -63,6 +63,31 @@ class EventAnalyticsSpec extends SparkSpec {
       s"got ${rows.toSeq}")
   }
 
+  test("windowed top-k: each finalized window emits its own ranking once") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = EventAnalytics
+      .windowedTopK(in.toDF().toDF("ts", "token"), win = "10 minutes",
+        watermark = "5 minutes", capacity = 8, k = 3)
+      .writeStream.format("memory").queryName("wtopk")
+      .outputMode(OutputMode.Append).start()
+    // window [10:00,10:10): x x y ; window stays open until watermark
+    in.addData((ts(1), "x"), (ts(2), "x"), (ts(3), "y"))
+    q.processAllAvailable()
+    assert(spark.table("wtopk").count() == 0) // nothing finalized yet
+    // advance the watermark far past the first window => it finalizes
+    in.addData((ts(40), "z"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wtopk").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1),
+        r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", 1L, "x", 2L),
+      ("2024-01-01 10:00:00.0", 2L, "y", 1L)),
+      s"got ${rows.toSeq}")
+  }
+
   test("streaming dedup emits each key once across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
