@@ -868,6 +868,72 @@ object Relational extends QueryModule {
         .orderBy(col("n_name"))
     }),
 
+    // RFM segmentation (recency / frequency / monetary): the classic
+    // customer-grading rollup. Quartile boundaries come from COUNTING
+    // quantiles, not ntile: each metric's domain is bounded (days
+    // since last order, order counts, whole-dollar totals), so the
+    // cutoff selection windows run over distinct-VALUE count tables —
+    // ntile over a billion customers would collapse into one
+    // unpartitioned data-sized sort. Cutoff_k = MIN v with
+    // cum*4 >= n*k (lower-quantile convention, all integer); scoring
+    // is then a broadcast 1-row cross join + three compares per
+    // metric. Segment counts out, 4x4x4 max.
+    "q_rfm_segments" -> ((s, d) => {
+      val rfm = orders(s, d).groupBy(col("o_custkey"))
+        .agg(datediff(lit("2001-09-01").cast("date"),
+          max(col("o_orderdate")).cast("date")).cast("long").as("rec"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice")).cast("decimal(38,0)"))
+            .cast("long").as("mon"))
+      def cuts(vCol: String, pfx: String) = {
+        val counts = rfm.groupBy(col(vCol).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        counts
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+          .agg(min(when(col("cum") * 4 >= col("n"), col("v")))
+            .as(s"${pfx}1"),
+            min(when(col("cum") * 4 >= col("n") * 2, col("v")))
+              .as(s"${pfx}2"),
+            min(when(col("cum") * 4 >= col("n") * 3, col("v")))
+              .as(s"${pfx}3"))
+      }
+      def grade(vCol: String, pfx: String) =
+        lit(1) + (col(vCol) > col(s"${pfx}1")).cast("int") +
+          (col(vCol) > col(s"${pfx}2")).cast("int") +
+          (col(vCol) > col(s"${pfx}3")).cast("int")
+      rfm
+        .crossJoin(broadcast(cuts("rec", "rc")))
+        .crossJoin(broadcast(cuts("freq", "fc")))
+        .crossJoin(broadcast(cuts("mon", "mc")))
+        .select(grade("rec", "rc").as("r_q"), grade("freq", "fc").as("f_q"),
+          grade("mon", "mc").as("m_q"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    }),
+
+    // Market-basket pair counts: parts co-ordered in the same order,
+    // with support >= 2 — pairwise frequent-itemset mining. The
+    // self-join keys on l_orderkey, so pair generation is bounded by
+    // lines-per-order (TPC-H: <= 7) per key — within-group pairs,
+    // never a corpus product — and the pair aggregate shuffles on the
+    // (p1, p2) key. The shape survives any corpus size as long as
+    // basket size is bounded, which is the defining property of
+    // baskets.
+    "q_basket_pairs" -> ((s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("p1"), col("p2"))
+    }),
+
     // Robust outlier accounting per event type: median / MAD (median
     // absolute deviation) with a 3-MAD cut — the outlier rule that,
     // unlike mean/stddev z-scores, outliers themselves cannot drag.
@@ -1447,6 +1513,54 @@ object Relational extends QueryModule {
          |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
          |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_rfm_segments" ->
+      """WITH rfm AS MATERIALIZED (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+        |      DATE '2001-09-01') AS BIGINT) AS rec,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(CAST(round(o_totalprice) AS HUGEINT)) AS BIGINT)
+        |      AS mon
+        |  FROM orders GROUP BY 1),
+        |cc AS MATERIALIZED (
+        |  SELECT metric, v, SUM(cnt) OVER (PARTITION BY metric ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY metric) AS n
+        |  FROM (
+        |    SELECT 'rec' AS metric, rec AS v, COUNT(*) AS cnt
+        |    FROM rfm GROUP BY 2
+        |    UNION ALL SELECT 'freq', freq, COUNT(*) FROM rfm GROUP BY 2
+        |    UNION ALL SELECT 'mon', mon, COUNT(*) FROM rfm GROUP BY 2) t),
+        |cuts AS (
+        |  SELECT metric,
+        |    MIN(CASE WHEN cum * 4 >= n THEN v END) AS c1,
+        |    MIN(CASE WHEN cum * 4 >= n * 2 THEN v END) AS c2,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS c3
+        |  FROM cc GROUP BY metric),
+        |scored AS (
+        |  SELECT
+        |    1 + CAST(rec  > r.c1 AS INT) + CAST(rec  > r.c2 AS INT)
+        |      + CAST(rec  > r.c3 AS INT) AS r_q,
+        |    1 + CAST(freq > f.c1 AS INT) + CAST(freq > f.c2 AS INT)
+        |      + CAST(freq > f.c3 AS INT) AS f_q,
+        |    1 + CAST(mon  > m.c1 AS INT) + CAST(mon  > m.c2 AS INT)
+        |      + CAST(mon  > m.c3 AS INT) AS m_q
+        |  FROM rfm,
+        |    (SELECT * FROM cuts WHERE metric = 'rec') r,
+        |    (SELECT * FROM cuts WHERE metric = 'freq') f,
+        |    (SELECT * FROM cuts WHERE metric = 'mon') m)
+        |SELECT r_q, f_q, m_q, COUNT(*) AS n
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_basket_pairs" ->
+      """SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |  COUNT(*) AS support
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, p1, p2""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH e AS (

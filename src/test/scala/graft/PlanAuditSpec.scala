@@ -38,11 +38,14 @@ class PlanAuditSpec extends SparkSpec {
   //    sim_hard_negatives)
   //  - q_idle_customers: customers × the broadcast ONE-row quantized
   //    balance threshold (scalar-aggregate ride-along)
+  //  - q_rfm_segments: customers × three broadcast ONE-row quartile
+  //    cutoff tables (counting-quantile scalars riding along)
   private val nestedLoopOk =
     Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine",
       "dedup_semantic", "emb_kmeans_step", "emb_decontaminate",
       "emb_pca_power", "text_bloom_decon", "sim_hard_negatives",
-      "text_zipf", "emb_triplets", "q_idle_customers")
+      "text_zipf", "emb_triplets", "q_idle_customers",
+      "q_rfm_segments")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
