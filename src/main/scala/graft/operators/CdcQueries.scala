@@ -62,7 +62,58 @@ object CdcQueries extends QueryModule {
       col("event_id"))
       .select((col("event_id") * 3 + col("off")).as("lsn"), col("payload"))
 
+  /** The synthesized change stream shared by cdc_apply and cdc_scd2:
+    * updates for id%3==0 (value*2), deletes for id%3==1, inserts of
+    * NEW keys for id%3==2 (negated-minus-one ids — disjoint from the
+    * non-negative real id space by construction at every scale
+    * factor), plus a SECOND later update (value+7) for id%9==0 so
+    * per-key LSN ordering is actually exercised. */
+  private def syntheticChanges(base: DataFrame): DataFrame =
+    base
+      .filter(col("event_id") % 3 === 0)
+      .select(col("event_id"), lit("update").as("op"),
+        (col("value") * 2).as("new_value"),
+        (col("event_id") * 2).as("lsn"))
+      .unionByName(base.filter(col("event_id") % 3 === 1)
+        .select(col("event_id"), lit("delete").as("op"),
+          lit(null).cast("double").as("new_value"),
+          (col("event_id") * 2).as("lsn")))
+      .unionByName(base.filter(col("event_id") % 3 === 2)
+        .select((-col("event_id") - 1L).as("event_id"),
+          lit("insert").as("op"), col("value").as("new_value"),
+          (col("event_id") * 2).as("lsn")))
+      .unionByName(base.filter(col("event_id") % 9 === 0)
+        .select(col("event_id"), lit("update").as("op"),
+          (col("value") + 7).as("new_value"),
+          (col("event_id") * 2 + 1).as("lsn")))
+
   override def queries: Map[String, Q] = Map(
+    // SCD2 history build: the change stream as validity INTERVALS —
+    // every non-delete change opens a version at its LSN, the next
+    // change on the same key (including a delete) closes it, and an
+    // open valid_to marks the current version. The whole history is
+    // one key-partitioned lead() window over base ∪ changes (the
+    // base table rides along as a synthetic initial load at LSN -1):
+    // one shuffle on the key, no self-join, the standard
+    // history-preserving face of the cdc_apply merge (SCD1). A key
+    // whose last change is a delete correctly ends with NO current
+    // row.
+    "cdc_scd2" -> ((s, d) => {
+      val base = events(s, d).select(col("event_id"), col("value"))
+      val versions = base
+        .select(col("event_id"), lit("insert").as("op"),
+          col("value").as("new_value"), lit(-1L).as("lsn"))
+        .unionByName(syntheticChanges(base))
+      val w = Window.partitionBy(col("event_id")).orderBy(col("lsn"))
+      versions
+        .withColumn("valid_to_lsn", lead(col("lsn"), 1).over(w))
+        .filter(col("op") =!= "delete")
+        .select(col("event_id"), col("new_value").as("value"),
+          col("lsn").as("valid_from_lsn"), col("valid_to_lsn"),
+          col("valid_to_lsn").isNull.cast("long").as("is_current"))
+        .orderBy(col("event_id"), col("valid_from_lsn"))
+    }),
+
     // P2/P4/J1/F1: wal2json parse round-trip; oracle = identity.
     "cdc_wal2json_roundtrip" -> ((s, d) => {
       Cdc.parseWal2Json(wal2jsonPayloads(s, d), "payload", catalog(s))
@@ -177,23 +228,7 @@ object CdcQueries extends QueryModule {
     // a micro-batch in foreachBatch.
     "cdc_apply" -> ((s, d) => {
       val base = events(s, d).select(col("event_id"), col("value"))
-      val changes = base
-        .filter(col("event_id") % 3 === 0)
-        .select(col("event_id"), lit("update").as("op"),
-          (col("value") * 2).as("new_value"),
-          (col("event_id") * 2).as("lsn"))
-        .unionByName(base.filter(col("event_id") % 3 === 1)
-          .select(col("event_id"), lit("delete").as("op"),
-            lit(null).cast("double").as("new_value"),
-            (col("event_id") * 2).as("lsn")))
-        .unionByName(base.filter(col("event_id") % 3 === 2)
-          .select((-col("event_id") - 1L).as("event_id"),
-            lit("insert").as("op"), col("value").as("new_value"),
-            (col("event_id") * 2).as("lsn")))
-        .unionByName(base.filter(col("event_id") % 9 === 0)
-          .select(col("event_id"), lit("update").as("op"),
-            (col("value") + 7).as("new_value"),
-            (col("event_id") * 2 + 1).as("lsn")))
+      val changes = syntheticChanges(base)
       val w = Window.partitionBy(col("event_id")).orderBy(col("lsn").desc)
       val latest = changes
         .withColumn("rn", row_number().over(w))
@@ -281,6 +316,38 @@ object CdcQueries extends QueryModule {
         |  CASE WHEN event_id % 5 = 0 THEN 'dead_letter'
         |    ELSE 'ok' END AS status
         |FROM events ORDER BY xid""".stripMargin,
+
+    "cdc_scd2" ->
+      """WITH base AS (SELECT event_id, value FROM events),
+        |changes AS (
+        |  SELECT event_id, 'update' AS op, value * 2 AS new_value,
+        |    event_id * 2 AS lsn
+        |  FROM base WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT event_id, 'delete', NULL, event_id * 2
+        |  FROM base WHERE event_id % 3 = 1
+        |  UNION ALL
+        |  SELECT -event_id - 1, 'insert', value, event_id * 2
+        |  FROM base WHERE event_id % 3 = 2
+        |  UNION ALL
+        |  SELECT event_id, 'update', value + 7, event_id * 2 + 1
+        |  FROM base WHERE event_id % 9 = 0),
+        |versions AS (
+        |  SELECT event_id, 'insert' AS op, value AS new_value,
+        |    CAST(-1 AS BIGINT) AS lsn
+        |  FROM base
+        |  UNION ALL SELECT * FROM changes),
+        |v2 AS (
+        |  SELECT event_id, op, new_value, lsn,
+        |    LEAD(lsn) OVER (PARTITION BY event_id ORDER BY lsn)
+        |      AS valid_to_lsn
+        |  FROM versions)
+        |SELECT event_id, new_value AS value, lsn AS valid_from_lsn,
+        |  valid_to_lsn,
+        |  CAST(CASE WHEN valid_to_lsn IS NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_current
+        |FROM v2 WHERE op <> 'delete'
+        |ORDER BY event_id, valid_from_lsn""".stripMargin,
 
     "cdc_apply" ->
       """WITH base AS (SELECT event_id, value FROM events),
