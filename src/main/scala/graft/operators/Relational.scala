@@ -36,6 +36,20 @@ object Relational extends QueryModule {
 
   private def tsLit(s: String) = lit(s).cast("timestamp")
 
+  /** Co-purchase edges (p1 < p2, support >= 2) — shared by
+    * q_basket_pairs and q_triangle_count. Pair generation is bounded
+    * by lines-per-order via the l_orderkey equi-join. */
+  private def basketPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+  }
+
   override def queries: Map[String, Q] = Map(
     // ---- aggregation ----------------------------------------------------
     // TPC-H Q1: pricing summary. Single scan → partial agg → final agg.
@@ -923,15 +937,57 @@ object Relational extends QueryModule {
     // (p1, p2) key. The shape survives any corpus size as long as
     // basket size is bounded, which is the defining property of
     // baskets.
-    "q_basket_pairs" -> ((s, d) => {
-      val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .orderBy(col("support").desc, col("p1"), col("p2"))
+    "q_basket_pairs" -> ((s, d) =>
+      basketPairs(s, d).orderBy(col("support").desc, col("p1"),
+        col("p2"))),
+
+    // Triangle count + global clustering coefficient over the
+    // co-purchase graph (edges = basket pairs with support >= 2).
+    // The wedge join uses the classic DEGREE ORIENTATION: each edge
+    // points from its (deg, id)-smaller endpoint to the larger, every
+    // wedge is generated at its lowest-rank vertex only, and closure
+    // is one equi-join back onto the oriented edges — each triangle
+    // counted exactly once, and per-vertex wedge fan-out is bounded
+    // by out-degree, which orientation caps at O(sqrt(m)) for any
+    // graph: the trick that makes distributed triangle counting
+    // survive power-law hubs (a hub's wedges are generated at its
+    // low-degree neighbors, not at the hub). Wedge totals come from
+    // the degree table; the coefficient is one IEEE divide of exact
+    // integers.
+    "q_triangle_count" -> ((s, d) => {
+      val e = basketPairs(s, d).select(col("p1"), col("p2"))
+      val deg = e.select(col("p1").as("v"))
+        .unionByName(e.select(col("p2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val wd = e
+        .join(deg.select(col("v").as("p1"), col("deg").as("d1")),
+          Seq("p1"))
+        .join(deg.select(col("v").as("p2"), col("deg").as("d2")),
+          Seq("p2"))
+      val uIsP1 = col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("p1") < col("p2"))
+      val oriented = wd.select(
+        when(uIsP1, col("p1")).otherwise(col("p2")).as("u"),
+        when(uIsP1, col("p2")).otherwise(col("p1")).as("v"),
+        when(uIsP1, col("d2")).otherwise(col("d1")).as("dv"))
+      val wedgeOrder = col("x.dv") < col("y.dv") ||
+        (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))
+      val triangles = oriented.as("x")
+        .join(oriented.as("y"),
+          col("x.u") === col("y.u") && wedgeOrder)
+        .select(col("x.v").as("u"), col("y.v").as("v"))
+        .join(oriented.select(col("u"), col("v")), Seq("u", "v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      stats.crossJoin(broadcast(edges))
+        .crossJoin(broadcast(triangles))
+        .select(col("n_nodes"), col("n_edges"),
+          col("n_wedges").cast("long").as("n_wedges"),
+          col("n_triangles"),
+          ((col("n_triangles") * 3).cast("double") / col("n_wedges"))
+            .as("clustering"))
     }),
 
     // Robust outlier accounting per event type: median / MAD (median
@@ -1552,6 +1608,31 @@ object Relational extends QueryModule {
         |    (SELECT * FROM cuts WHERE metric = 'mon') m)
         |SELECT r_q, f_q, m_q, COUNT(*) AS n
         |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_triangle_count" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e) t
+        |  GROUP BY v),
+        |tri AS (
+        |  SELECT COUNT(*) AS n FROM e ab
+        |  JOIN e bc ON ab.p2 = bc.p1
+        |  JOIN e ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2)
+        |SELECT
+        |  (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |  (SELECT COUNT(*) FROM e) AS n_edges,
+        |  (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  CAST(tri.n AS BIGINT) AS n_triangles,
+        |  CAST(3 * tri.n AS DOUBLE)
+        |    / (SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS clustering
+        |FROM tri""".stripMargin,
 
     "q_basket_pairs" ->
       """SELECT a.l_partkey AS p1, b.l_partkey AS p2,
