@@ -955,7 +955,12 @@ object Relational extends QueryModule {
     // the degree table; the coefficient is one IEEE divide of exact
     // integers.
     "q_triangle_count" -> ((s, d) => {
-      val e = basketPairs(s, d).select(col("p1"), col("p2"))
+      // cached: the basket-pair join feeds five consumers (degree
+      // table, both wedge legs, the closure probe, the edge count) —
+      // uncached, Catalyst re-runs the lineitem self-join per leg
+      // (measured 4.5 s -> the join once). On a cluster this barrier
+      // is a checkpoint or an intermediate table, same shape.
+      val e = basketPairs(s, d).select(col("p1"), col("p2")).cache()
       val deg = e.select(col("p1").as("v"))
         .unionByName(e.select(col("p2").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -970,6 +975,7 @@ object Relational extends QueryModule {
         when(uIsP1, col("p1")).otherwise(col("p2")).as("u"),
         when(uIsP1, col("p2")).otherwise(col("p1")).as("v"),
         when(uIsP1, col("d2")).otherwise(col("d1")).as("dv"))
+        .cache()
       val wedgeOrder = col("x.dv") < col("y.dv") ||
         (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))
       val triangles = oriented.as("x")

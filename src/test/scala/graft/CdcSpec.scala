@@ -237,6 +237,19 @@ class CdcSpec extends SparkSpec {
 
   // ---- catalog (reference tests/test_slot.py:124-140, §3.3 quirk) ---
 
+  test("SCD2 current rows reconstruct exactly the SCD1 applied state") {
+    // the two faces of the same change feed must agree: cdc_scd2's
+    // open (is_current=1) versions ARE the table cdc_apply merges to
+    val scd2 = SparkEntry.queries("cdc_scd2")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("is_current") === 1L)
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val scd1 = SparkEntry.queries("cdc_apply")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(scd2 == scd1)
+    assert(scd1.nonEmpty)
+  }
+
   test("composite pk collapses to last ordinal position") {
     val cat2 = PkCatalog.fromItems(spark, Seq(
       PrimaryKeyMapItem("public.multi", "a", "integer", 1),
