@@ -171,6 +171,53 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Sketch SET OPERATIONS (the theta-sketch capability): distinct
+    // users per event type, of their union, and of their
+    // INTERSECTION — all from three bounded KMV sketches, never a
+    // distinct-join of the raw sets. The theta trick: θ_union ≤ both
+    // per-set thetas, so every union-sketch hash that belongs to A is
+    // guaranteed to also sit in A's sketch — membership tests against
+    // the two k-arrays are exact, and est_inter = (|both|/k')·D̂_union.
+    // Below k distinct the sketches hold the whole sets and every
+    // estimate collapses to the exact count (the q_kmv_distinct
+    // small-set branch). All arithmetic is the same md5-derived
+    // doubles + a fixed IEEE op sequence in both engines, so even the
+    // ESTIMATES hash-match the oracle.
+    "q_kmv_setops" -> ((s, d) => {
+      import graft.expressions.KmvSmallest.kmv_smallest
+      val k = 64
+      val hExpr = "cast(conv(substring(md5(cast(user_id as string))," +
+        " 1, 8), 16, 10) as double) / 4294967296.0"
+      // the value cut makes membership PARTIAL (ragged overlap between
+      // the two sets) so the theta/estimator branch is actually
+      // exercised at sf >= 0.01 rather than the exact small-set branch
+      val ev = events(s, d).filter(col("value") > 110)
+        .select(col("event_type"), col("user_id"), expr(hExpr).as("h"))
+      def sketch(f: org.apache.spark.sql.Column, pfx: String) =
+        ev.filter(f).agg(kmv_smallest(col("h"), k).as(s"${pfx}_sk"),
+          countDistinct(col("user_id")).as(s"${pfx}_exact"))
+      def est(sk: String) =
+        when(size(col(sk)) >= k,
+          lit((k - 1).toDouble) / element_at(col(sk), k))
+          .otherwise(size(col(sk)).cast("double"))
+      sketch(col("event_type") === "view", "a")
+        .crossJoin(broadcast(sketch(col("event_type") === "click", "b")))
+        .crossJoin(broadcast(sketch(
+          col("event_type").isin("view", "click"), "u")))
+        .withColumn("est_a", est("a_sk"))
+        .withColumn("est_b", est("b_sk"))
+        .withColumn("est_union", est("u_sk"))
+        .withColumn("n_both", size(expr(
+          "filter(u_sk, x -> array_contains(a_sk, x)" +
+            " AND array_contains(b_sk, x))")).cast("long"))
+        .withColumn("est_inter",
+          col("n_both").cast("double") / size(col("u_sk")) *
+            col("est_union"))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          col("n_both"), col("est_inter"), col("a_exact"),
+          col("b_exact"), col("u_exact"))
+    }),
+
     // ---- joins ----------------------------------------------------------
     // TPC-H Q3: shipping priority. 3-way join, group, top-10.
     "q3_shipping" -> ((s, d) => {
@@ -1206,6 +1253,39 @@ object Relational extends QueryModule {
         |       ELSE CAST(len(hs) AS DOUBLE) END AS approx_parts,
         |  p50_price, p95_price
         |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "q_kmv_setops" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT event_type, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 AS h
+        |  FROM events WHERE value > 110),
+        |a AS (SELECT list_sort(list(DISTINCT h))[:64] AS sk,
+        |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ex
+        |      FROM h WHERE event_type = 'view'),
+        |b AS (SELECT list_sort(list(DISTINCT h))[:64] AS sk,
+        |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ex
+        |      FROM h WHERE event_type = 'click'),
+        |u AS (SELECT list_sort(list(DISTINCT h))[:64] AS sk,
+        |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ex
+        |      FROM h WHERE event_type IN ('view', 'click')),
+        |e AS (
+        |  SELECT
+        |    CASE WHEN len(a.sk) >= 64 THEN 63.0 / a.sk[64]
+        |      ELSE CAST(len(a.sk) AS DOUBLE) END AS est_a,
+        |    CASE WHEN len(b.sk) >= 64 THEN 63.0 / b.sk[64]
+        |      ELSE CAST(len(b.sk) AS DOUBLE) END AS est_b,
+        |    CASE WHEN len(u.sk) >= 64 THEN 63.0 / u.sk[64]
+        |      ELSE CAST(len(u.sk) AS DOUBLE) END AS est_union,
+        |    CAST(len(list_filter(u.sk, x -> list_contains(a.sk, x)
+        |      AND list_contains(b.sk, x))) AS BIGINT) AS n_both,
+        |    a.ex AS a_exact, b.ex AS b_exact, u.ex AS u_exact,
+        |    len(u.sk) AS u_len
+        |  FROM a, b, u)
+        |SELECT est_a, est_b, est_union, n_both,
+        |  CAST(n_both AS DOUBLE) / u_len * est_union AS est_inter,
+        |  a_exact, b_exact, u_exact
+        |FROM e""".stripMargin,
 
     "q_kmv_distinct" ->
       """WITH h AS (
