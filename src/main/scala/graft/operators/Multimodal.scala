@@ -127,6 +127,32 @@ object Multimodal extends QueryModule {
     // per-shard at scale — a global row_number would serialize on one
     // partition; per-shard windows parallelize by shard key exactly
     // like the downstream inference tasks they feed).
+    // Exact media dedup: identical binary payloads collapse on
+    // (content-md5, size) — the first pass of any crawl-scale media
+    // pipeline (the same image re-crawled across pages), the binary
+    // face of dedup_exact_hash. The md5 matches, the size guards the
+    // astronomically-unlikely collision for free. Linear: one digest
+    // per blob on the scan, one shuffle on the digest — the blob
+    // itself never shuffles. Duplicates synthesized as in
+    // Dedup.dupedCorpus (documents has none).
+    "mm_dedup_binary" -> ((s, d) => {
+      val base = documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val duped = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            col("payload")))
+      duped
+        .groupBy(md5(col("payload")).as("digest"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") >= 2)
+        .select(col("digest"), col("n_bytes"), col("survivor_id"),
+          col("n_copies"))
+        .orderBy(col("survivor_id"))
+    }),
+
     "mm_batch_plan" -> ((s, d) => {
       val frames = decoded(s, d)
         .filter(col("n_frames") > 0)
@@ -159,6 +185,17 @@ object Multimodal extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "mm_dedup_binary" ->
+      """WITH duped AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS digest,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+        |FROM duped GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY survivor_id""".stripMargin,
     // text is pure ASCII in this corpus, so byte length == char length
     // and byte sum == char-code sum; the oracle checks the decode
     // arithmetic without needing blob folds.
