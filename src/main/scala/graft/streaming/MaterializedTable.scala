@@ -136,6 +136,21 @@ class MaterializedTable(dir: String, retainVersions: Int = 8,
       manifest(commits().lastOption.map(_._2).getOrElse(-1L)))
   }
 
+  /** Time travel: the table as of the commit for `batchId` — the
+    * debugging/audit read the retained manifest window exists for
+    * (manifests reference buckets by version, so an old state is just
+    * an old manifest; no data is copied to serve this). Throws if the
+    * batch's version has been compacted away — silently returning the
+    * nearest surviving state would hand an auditor the WRONG table. */
+  def asOf(spark: SparkSession, batchId: Long): DataFrame = {
+    checkOrWriteMeta(write = false)
+    val v = commits().collectFirst { case (b, ver) if b == batchId => ver }
+      .getOrElse(throw new IllegalArgumentException(
+        s"batchId $batchId not in the retained commit window of $dir" +
+          " (compacted or never committed)"))
+    readBuckets(spark, manifest(v))
+  }
+
   /** Left-join a batch against the CURRENT table state — the
     * CDC-maintained slowly-changing-dimension pattern: one stream
     * keeps this table current via [[applyBatch]], another stream calls

@@ -40,6 +40,23 @@ class MaterializedTableSpec extends SparkSpec {
     assert(mt.commits() == Seq((0L, 0L), (1L, 1L)))
   }
 
+  test("asOf time travel reads any retained version; missing batch throws") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt-asof").toString
+    val mt = new MaterializedTable(dir)
+    mt.applyBatch(Seq(("k1", "insert", "a0", 1L))
+      .toDF("pkey", "operation", "payload", "lsn"), 0L)
+    mt.applyBatch(Seq(("k1", "update", "a1", 2L),
+      ("k2", "insert", "b0", 3L))
+      .toDF("pkey", "operation", "payload", "lsn"), 1L)
+    def asOfMap(b: Long) = mt.asOf(spark, b).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(asOfMap(0L) == Map("k1" -> "a0"))
+    assert(asOfMap(1L) == Map("k1" -> "a1", "k2" -> "b0"))
+    assert(state(mt) == asOfMap(1L))
+    intercept[IllegalArgumentException](mt.asOf(spark, 99L))
+  }
+
   test("intra-transaction LSN ties break on the ord column, deterministically") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-mt-ord").toString
