@@ -502,6 +502,50 @@ object Pipeline extends QueryModule {
         .orderBy(col("shard"))
     }),
 
+    // The curation pass as a RETENTION FUNNEL: how many documents
+    // survive each stage of corpus_curate — the observability report
+    // a data team reads before any training run ships ("where did my
+    // corpus go?"). Five one-row aggregates over the SAME stage
+    // definitions (shingle sets cached, cluster fixpoint memoized —
+    // the stages are not recomputed five times from scratch), unioned
+    // into a 5-row funnel. If corpus_curate's stage semantics change,
+    // change them here too.
+    "corpus_funnel" -> ((s, d) => {
+      val docs = documents(s, d).withColumn("n_toks",
+        expr("size(filter(split(text, '\\\\s+'), t -> t != ''))")
+          .cast("long"))
+      val input = docs.filter(col("doc_id") >= 20)
+      val quality = input.filter(col("n_toks") >= 20)
+      val firsts = quality.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val exact = quality.join(firsts.select(col("doc_id")),
+        Seq("doc_id"))
+      val surv = exact.join(
+        clusters(s, d).filter(col("doc_id") =!= col("cluster_id")),
+        Seq("doc_id"), "left_anti")
+      val sets = Dedup.shingleSets(documents(s, d))
+      def shingles(df: DataFrame) =
+        df.select(col("doc_id"), explode(col("set")).as("h"))
+      val bench = shingles(sets.filter(col("doc_id") < 20))
+        .withColumnRenamed("doc_id", "bench_id")
+      val contam = shingles(sets.filter(col("doc_id") >= 20))
+        .join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 80)
+        .select(col("doc_id")).distinct()
+      val clean = surv.join(contam, Seq("doc_id"), "left_anti")
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      stage("1_input", input)
+        .unionByName(stage("2_quality", quality))
+        .unionByName(stage("3_exact_dedup", exact))
+        .unionByName(stage("4_neardup_survivors", surv))
+        .unionByName(stage("5_decontaminated", clean))
+        .orderBy(col("stage"))
+    }),
+
     // Corpus-mix accounting: per (source, lang) document/char counts
     // and corpus share — the data-mixture report every training run
     // starts from. One aggregate; the share divides by a windowed
@@ -873,6 +917,58 @@ object Pipeline extends QueryModule {
     // already-proven stage oracles: same shingle/cluster prelude as
     // dedup_survivors, same containment test as text_decontaminate,
     // same shard expression as shard_assign.
+    "corpus_funnel" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |np AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
+        |edges(a, b) AS (
+        |  SELECT a_id, b_id FROM np UNION SELECT b_id, a_id FROM np),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        |tk AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |input AS (SELECT * FROM tk WHERE doc_id >= 20),
+        |quality AS (SELECT * FROM input WHERE n_toks >= 20),
+        |firsts AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+        |exact AS (SELECT q.* FROM quality q JOIN firsts USING (doc_id)),
+        |surv AS (
+        |  SELECT * FROM exact WHERE doc_id NOT IN
+        |    (SELECT node FROM clusters WHERE node <> cluster_id)),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT c.doc_id FROM sh c
+        |    JOIN (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20) b
+        |      ON c.s = b.s
+        |    WHERE c.doc_id >= 20
+        |    GROUP BY c.doc_id, b.bench_id HAVING COUNT(*) >= 80)),
+        |clean AS (
+        |  SELECT * FROM surv
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+        |SELECT stage, n_docs FROM (
+        |  SELECT '1_input' AS stage, COUNT(*) AS n_docs FROM input
+        |  UNION ALL SELECT '2_quality', COUNT(*) FROM quality
+        |  UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM exact
+        |  UNION ALL SELECT '4_neardup_survivors', COUNT(*) FROM surv
+        |  UNION ALL SELECT '5_decontaminated', COUNT(*) FROM clean) t
+        |ORDER BY stage""".stripMargin,
+
     "corpus_curate" ->
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id, u.s FROM documents,

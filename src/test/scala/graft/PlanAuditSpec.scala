@@ -89,7 +89,9 @@ class PlanAuditSpec extends SparkSpec {
       "corpus_mix", "graph_pagerank", "text_winnow_pairs",
       // rides the memoized cluster fixpoint like the rest of the
       // cluster family
-      "corpus_curate")
+      "corpus_curate",
+      // same memoized cluster fixpoint as corpus_curate
+      "corpus_funnel")
     val sc = spark.sparkContext
     @volatile var jobs = 0
     @volatile var lastSite = ""
