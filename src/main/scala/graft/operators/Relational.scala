@@ -1043,6 +1043,76 @@ object Relational extends QueryModule {
             .as("clustering"))
     }),
 
+    // Day-of-week × hour activity heatmap — the seasonality grid
+    // behind capacity planning and anomaly baselines. Weekday comes
+    // from integer epoch-day arithmetic ((days + 3) % 7, 0 = Monday)
+    // rather than each engine's dayofweek() — their week-start
+    // conventions differ, the formula doesn't. One
+    // map-side-combinable aggregate, 168 output rows at any scale.
+    "q_dow_hour_heatmap" -> ((s, d) => {
+      events(s, d)
+        .withColumn("dow", (datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long") + 3) % 7)
+        .withColumn("hr", hour(col("ts")).cast("long"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+        .orderBy(col("dow"), col("hr"))
+    }),
+
+    // Year-over-year growth per nation — the classic BI trend report.
+    // Revenue aggregates through Num's quantized accumulation so the
+    // per-(nation, year) totals are merge-order-exact; growth is then
+    // ONE subtraction and ONE divide on those exact totals, identical
+    // in both engines. The lag window partitions by nation over a
+    // years-bounded frame (the aggregate output, never the fact
+    // table); first year reports NULL growth rather than a fake zero.
+    "q_yoy_growth" -> ((s, d) => {
+      val rev = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+      rev
+        .withColumn("prev", lag(col("revenue"), 1).over(w))
+        .select(col("n_name"), col("yr").cast("long").as("yr"),
+          col("revenue"),
+          ((col("revenue") - col("prev")) / col("prev")).as("yoy"))
+        .orderBy(col("n_name"), col("yr"))
+    }),
+
+    // Inter-arrival time distribution: per-user gaps between
+    // consecutive events, summarized as counting-quantile statistics
+    // over the SECONDS grid (the q_anomaly_mad discipline — the
+    // ranking window runs over distinct gap values, bounded by the
+    // time domain, never the event count). Gaps are exact integer
+    // microsecond differences; the lag window keys on user_id with a
+    // (ts, event_id) order so ties are deterministic.
+    "q_interarrival" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(expr("(unix_micros(cast(ts as timestamp))" +
+          " - unix_micros(cast(prev as timestamp))) div 1000000")
+          .as("gap_s"))
+      val counts = gaps.groupBy(col("gap_s"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy(col("gap_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+        .agg(max(col("n")).as("n_gaps"),
+          min(when(col("cum") * 2 >= col("n"), col("gap_s")))
+            .as("median_gap_s"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("gap_s")))
+            .as("p90_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+    }),
+
     // Robust outlier accounting per event type: median / MAD (median
     // absolute deviation) with a 3-MAD cut — the outlier rule that,
     // unlike mean/stddev z-scores, outliers themselves cannot drag.
@@ -1728,6 +1798,50 @@ object Relational extends QueryModule {
         |  AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY support DESC, p1, p2""".stripMargin,
+
+    "q_dow_hour_heatmap" ->
+      s"""SELECT
+         |  (CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+         |     - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS dow,
+         |  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+         |  COUNT(*) AS n, ${sqlAvg("value")} AS avg_value
+         |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
+
+    "q_yoy_growth" ->
+      s"""WITH rev AS (
+         |  SELECT n_name, CAST(year(CAST(o_orderdate AS TIMESTAMP))
+         |      AS BIGINT) AS yr,
+         |    ${sqlSum("o_totalprice")} AS revenue
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2)
+         |SELECT n_name, yr, revenue,
+         |  (revenue - LAG(revenue) OVER (PARTITION BY n_name ORDER BY yr))
+         |    / LAG(revenue) OVER (PARTITION BY n_name ORDER BY yr) AS yoy
+         |FROM rev ORDER BY n_name, yr""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT (epoch_us(CAST(ts AS TIMESTAMP))
+        |      - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id)))
+        |    // 1000000 AS gap_s
+        |  FROM events),
+        |c AS (
+        |  SELECT gap_s, COUNT(*) AS cnt FROM g
+        |  WHERE gap_s IS NOT NULL GROUP BY gap_s),
+        |w AS (
+        |  SELECT gap_s,
+        |    SUM(cnt) OVER (ORDER BY gap_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER () AS n
+        |  FROM c)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |  MIN(CASE WHEN cum * 2 >= n THEN gap_s END) AS median_gap_s,
+        |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS p90_gap_s,
+        |  MAX(gap_s) AS max_gap_s
+        |FROM w""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH e AS (
