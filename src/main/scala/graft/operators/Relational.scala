@@ -1043,6 +1043,31 @@ object Relational extends QueryModule {
             .as("clustering"))
     }),
 
+    // 7-day rolling active users (the DAU→WAU curve): a rolling
+    // COUNT(DISTINCT) that no window frame can express exactly in
+    // either engine. The exact-and-linear formulation: each distinct
+    // (user, active-day) contributes membership to the 7 report days
+    // it covers — explode that bounded factor, re-distinct, count per
+    // day. Work is 7× the distinct (user, day) pairs (never user ×
+    // calendar), every shuffle keys on high-cardinality (user, day),
+    // and the report is calendar-bounded. Days past the last activity
+    // are clipped so the curve ends with the data.
+    "q_rolling_active_users" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val maxDay = ud.agg(max(col("day")).as("max_day"))
+      ud.crossJoin(broadcast(maxDay))
+        .select(col("user_id"), explode(expr(
+          "sequence(day, least(date_add(day, 6), max_day))")).as("rday"))
+        .distinct()
+        .groupBy(col("rday"))
+        .agg(count(lit(1)).as("wau"))
+        .select(date_format(col("rday"), "yyyy-MM-dd").as("day"),
+          col("wau"))
+        .orderBy(col("day"))
+    }),
+
     // Day-of-week × hour activity heatmap — the seasonality grid
     // behind capacity planning and anomaly baselines. Weekday comes
     // from integer epoch-day arithmetic ((days + 3) % 7, 0 = Monday)
@@ -1798,6 +1823,21 @@ object Relational extends QueryModule {
         |  AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY support DESC, p1, p2""".stripMargin,
+
+    "q_rolling_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |mx AS (SELECT MAX(day) AS max_day FROM ud),
+        |ex AS (
+        |  SELECT DISTINCT user_id, CAST(u.rday AS DATE) AS rday
+        |  FROM ud, mx,
+        |  UNNEST(generate_series(CAST(day AS TIMESTAMP),
+        |    CAST(least(day + 6, max_day) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) u(rday))
+        |SELECT strftime(rday, '%Y-%m-%d') AS day, COUNT(*) AS wau
+        |FROM ex GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_dow_hour_heatmap" ->
       s"""SELECT
