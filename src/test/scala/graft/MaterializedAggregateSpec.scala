@@ -56,6 +56,26 @@ class MaterializedAggregateSpec extends SparkSpec {
     assert(ma.commits().map(_._1) == Seq(0L, 1L))
   }
 
+  test("streaming e2e: foreachBatch maintains the aggregate across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ma = new MaterializedAggregate(tmp())
+    val in = MemoryStream[Chg]
+    val q = in.toDF()
+      .toDF("operation", "grp", "value_m", "old_grp", "old_value_m")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        ma.applyBatch(b, id); ()
+      }
+      .start()
+    in.addData(("insert", "a", 10L, null, 0L), ("insert", "b", 5L, null, 0L))
+    q.processAllAvailable()
+    in.addData(("update", "b", 9L, "a", 10L))
+    q.processAllAvailable()
+    q.stop()
+    assert(state(ma) == Map("b" -> (2L, 14L)))
+  }
+
   test("incremental state equals a brute-force recompute of the applied table") {
     val rnd = new scala.util.Random(7)
     val ma = new MaterializedAggregate(tmp())
