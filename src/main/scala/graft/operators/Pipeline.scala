@@ -453,6 +453,29 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Survivor selection by QUALITY, not id: per near-dup cluster,
+    // keep the member with the most tokens (ties to the smaller id).
+    // min-id survivorship (dedup_survivors) is reproducible but blind
+    // — it can keep a truncated copy and drop the full one;
+    // production pipelines pick by length/quality. The packed
+    // (n_toks·2³² − doc_id) ordinal makes both engines maximize the
+    // same scalar (neither defines max_by/arg_max tie order); one
+    // map-side-combinable aggregate over the memoized cluster table.
+    "dedup_survivors_quality" -> ((s, d) => {
+      val nt = documents(s, d).withColumn("n_toks",
+        expr("size(filter(split(text, '\\\\s+'), t -> t != ''))")
+          .cast("long"))
+      clusters(s, d).join(nt, Seq("doc_id"))
+        .withColumn("pk",
+          col("n_toks") * lit(4294967296L) - col("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          expr("max_by(doc_id, pk)").as("survivor_id"),
+          expr("max_by(n_toks, pk)").as("survivor_toks"))
+        .filter(col("n_members") >= 2)
+        .orderBy(col("cluster_id"))
+    }),
+
     // THE end-to-end curation pass as ONE declared query — what a user
     // actually runs nightly: eval-exclusion → quality gate (>= 20
     // tokens) → exact dedup (first doc per content hash) → near-dup
@@ -887,6 +910,42 @@ object Pipeline extends QueryModule {
       """SELECT ('0x' || substr(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32 AS shard,
         |  COUNT(*) AS n_docs, CAST(SUM(len(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "dedup_survivors_quality" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |np AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
+        |edges(a, b) AS (
+        |  SELECT a_id, b_id FROM np UNION SELECT b_id, a_id FROM np),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+        |tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT c.cluster_id, c.node AS doc_id, tk.n_toks,
+        |    tk.n_toks * 4294967296 - c.node AS pk
+        |  FROM clusters c JOIN tk ON tk.doc_id = c.node)
+        |SELECT cluster_id, COUNT(*) AS n_members,
+        |  arg_max(doc_id, pk) AS survivor_id,
+        |  arg_max(n_toks, pk) AS survivor_toks
+        |FROM m GROUP BY cluster_id HAVING COUNT(*) >= 2
+        |ORDER BY cluster_id""".stripMargin,
 
     "dedup_survivors" ->
       """WITH RECURSIVE sh AS (

@@ -92,7 +92,7 @@ class PlanAuditSpec extends SparkSpec {
       // cluster family
       "corpus_curate",
       // same memoized cluster fixpoint as corpus_curate
-      "corpus_funnel")
+      "corpus_funnel", "dedup_survivors_quality")
     val sc = spark.sparkContext
     @volatile var jobs = 0
     @volatile var lastSite = ""
