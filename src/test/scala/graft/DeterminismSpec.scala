@@ -21,9 +21,18 @@ class DeterminismSpec extends SparkSpec {
   // case: three rounds of dot/accumulate/normalize, any merge-order
   // leak compounds), corpus-count double division + quantized mean
   // (text_bigram_lm).
+  // Round-7 families: packed max_by ordinals (q_argmax_events),
+  // one-pass sufficient-moment regression (q_stats_corr — sqrt of
+  // exact decimals), counting medians (q_anomaly_mad), KMV set-op
+  // estimates (q_kmv_setops — division chains over sketch arrays),
+  // mergeable SpaceSaving (text_heavy_hitters — the merge-order bug
+  // this spec exists to catch), PQ code assignment + ADC
+  // (sim_ann_pq).
   private val representative = Seq("q1_pricing", "dedup_semantic",
     "emb_kmeans_step", "corpus_mix_temp", "text_tfidf", "sample_priority",
-    "emb_pca_power", "text_bigram_lm")
+    "emb_pca_power", "text_bigram_lm",
+    "q_argmax_events", "q_stats_corr", "q_anomaly_mad", "q_kmv_setops",
+    "text_heavy_hitters", "sim_ann_pq")
 
   test("query results are invariant to shuffle partition count") {
     val key = "spark.sql.shuffle.partitions"
