@@ -40,6 +40,42 @@ class MaterializedTableSpec extends SparkSpec {
     assert(mt.commits() == Seq((0L, 0L), (1L, 1L)))
   }
 
+  test("incremental table over the synthetic feed equals batch cdc_apply") {
+    // the same change stream, two execution models: cdc_apply merges
+    // it in ONE batch query; MaterializedTable applies it as three
+    // LSN-ordered micro-batches. The results must be identical — the
+    // batch/streaming parity claim, actually checked. The initial
+    // table state rides in as batch 0 (synthetic initial load).
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mt-parity").toString
+    val mt = new MaterializedTable(dir)
+    val d = sf
+    val base = Tables.events(spark, d)
+      .select(col("event_id"), col("value"))
+    val changes = operators.CdcQueries.syntheticChangesForTest(base)
+      .select(col("event_id").cast("string").as("pkey"),
+        col("op").as("operation"),
+        col("new_value").cast("string").as("payload"), col("lsn"))
+    mt.applyBatch(base.select(col("event_id").cast("string").as("pkey"),
+      lit("insert").as("operation"),
+      col("value").cast("string").as("payload"), lit(-1L).as("lsn")), 0L)
+    // split by LSN terciles so later batches supersede earlier ones
+    val cuts = changes.select(col("lsn")).agg(
+      max(col("lsn")).as("mx")).collect().head.getLong(0)
+    mt.applyBatch(changes.filter(col("lsn") <= cuts / 3), 1L)
+    mt.applyBatch(changes.filter(col("lsn") > cuts / 3 &&
+      col("lsn") <= 2 * cuts / 3), 2L)
+    mt.applyBatch(changes.filter(col("lsn") > 2 * cuts / 3), 3L)
+    val streaming = state(mt)
+    val batch = SparkEntry.queries("cdc_apply")(spark, d)
+      .select(col("event_id").cast("string"),
+        col("value").cast("string")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streaming == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("asOf time travel reads any retained version; missing batch throws") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-mt-asof").toString
