@@ -477,6 +477,39 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source distribution drift: chi-square distance between each
+    // source's token distribution and the corpus-wide one — the
+    // "which source changed / doesn't belong" monitor run before
+    // mixing. Chi-square, NOT KL/JS: divergences need log (libm
+    // differs across engines), while Σ(p−q)²/(p+q) is rational — each
+    // term a fixed IEEE sequence on exact counts, summed through
+    // Num's quantized accumulation. Tokens absent from a source
+    // contribute Σq over the complement, folded in CLOSED FORM as
+    // (1 − Σ_present q) so only present (source, token) pairs are
+    // ever materialized. Shuffles key on the token (high cardinality)
+    // and (source); the corpus-total rides as a broadcast scalar.
+    "text_source_drift" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("source"), explode(expr(toksExpr)).as("t"))
+      val st = tok.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      val ct = tok.groupBy(col("t")).agg(count(lit(1)).as("ct"))
+      val ns = st.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val n = ct.agg(sum(col("ct")).as("n"))
+      val terms = st.join(ct, Seq("t"))
+        .join(ns, Seq("source"))
+        .crossJoin(broadcast(n))
+        .withColumn("p", col("c").cast("double") / col("ns"))
+        .withColumn("q", col("ct").cast("double") / col("n"))
+        .withColumn("term",
+          (col("p") - col("q")) * (col("p") - col("q")) /
+            (col("p") + col("q")))
+      terms.groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tokens"),
+          (dsum(col("term")) + lit(1.0) - dsum(col("q"))).as("chi2"))
+        .orderBy(col("source"))
+    }),
+
     // Zipf rank-frequency head: the top-40 tokens with rank,
     // count, the rank×count Zipf product (≈constant under Zipf's
     // law — the corpus-health diagnostic) and the cumulative ppm
@@ -742,6 +775,26 @@ object TextAnalysis extends QueryModule {
          |  CAST(CASE WHEN r_count + r_mean_len + r_symbol + r_alpha
          |    + r_stop = 5 THEN 1 ELSE 0 END AS BIGINT) AS pass
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_source_drift" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT source, u.t
+         |  FROM (SELECT source, $sqlToks AS toks FROM documents),
+         |  UNNEST(toks) u(t)),
+         |st AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT t, COUNT(*) AS ct FROM tok GROUP BY 1),
+         |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+         |       FROM st GROUP BY 1),
+         |n AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM ct),
+         |terms AS (
+         |  SELECT st.source, ns.ns,
+         |    CAST(st.c AS DOUBLE) / ns.ns AS p,
+         |    CAST(ct.ct AS DOUBLE) / n.n AS q
+         |  FROM st JOIN ct USING (t) JOIN ns USING (source), n)
+         |SELECT source, MAX(ns) AS n_tokens,
+         |  ${sqlSum("(p - q) * (p - q) / (p + q)")} + 1.0
+         |    - ${sqlSum("q")} AS chi2
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     "text_zipf" ->
       s"""WITH c AS MATERIALIZED (

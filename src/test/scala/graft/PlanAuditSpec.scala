@@ -46,7 +46,7 @@ class PlanAuditSpec extends SparkSpec {
       "emb_pca_power", "text_bloom_decon", "sim_hard_negatives",
       "text_zipf", "emb_triplets", "q_idle_customers",
       "q_rfm_segments", "q_triangle_count", "q_kmv_setops",
-      "q_rolling_active_users")
+      "q_rolling_active_users", "text_source_drift")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
