@@ -116,6 +116,47 @@ object Similarity extends QueryModule {
     "sim_ann_ivf" -> ((s, d) =>
       ivfTopK(corpus(s, d), 10).orderBy(col("query_id"), col("rank"))),
 
+    // k-NN GRAPH construction — every vector's top-4 neighbors, the
+    // building block under graph ANN (HNSW layer 0), SemDeDup-style
+    // cluster refinement, and label propagation. Candidates come from
+    // the same 16-table sign-LSH buckets as sim_ann_lsh, but with the
+    // WHOLE corpus as the query side: the bucket self-join replaces
+    // the all-pairs product with O(collisions), and neither side is
+    // broadcast — at corpus scale both legs are corpus-sized and the
+    // join keys on (table, code), so AQE picks the strategy. Exact
+    // cosine re-scoring + per-vector rank-4 cut; the oracle
+    // replicates the identical bucket pipeline, so the result is
+    // hash-exact (the recall-vs-brute-force gap is measured in
+    // SimilaritySpec for the shared LSH machinery).
+    "sim_knn_graph" -> ((s, d) => {
+      val c = corpus(s, d)
+      val codes = c.select(col("vec_id"), posexplode(
+        graft.expressions.LshCodes.lsh_codes(col("embedding"),
+          NumTables, BitsPerTable)).as(Seq("tbl", "code")))
+      val candidates = codes.as("x")
+        .join(codes.as("y"), col("x.tbl") === col("y.tbl") &&
+          col("x.code") === col("y.code") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"),
+          col("y.vec_id").as("nbr_id"))
+        .distinct()
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("nbr_id"))
+      candidates
+        .join(c.select(col("vec_id"), col("embedding"), col("nrm")),
+          Seq("vec_id"))
+        .join(c.select(col("vec_id").as("nbr_id"),
+          col("embedding").as("n_emb"), col("nrm").as("n_nrm")),
+          Seq("nbr_id"))
+        .withColumn("cosine", cosine(col("embedding"), col("nrm"),
+          col("n_emb"), col("n_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 4)
+        .select(col("vec_id"), col("rank"),
+          col("nbr_id").as("neighbor_id"), col("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
     // Product quantization (Jégou et al. 2011): the memory face of
     // ANN at scale. Each 64-dim vector compresses to 8 sub-space
     // codes — 256 bytes of floats become 8 small ints — and search
@@ -356,6 +397,37 @@ object Similarity extends QueryModule {
         |      ORDER BY adc, vec_id) AS rank
         |  FROM adc) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_knn_graph" -> {
+      val corpusCodes = (0 until NumTables)
+        .map(t => s"${codeSql(t)} AS k$t").mkString(",\n    ")
+      val anyCollision = (0 until NumTables)
+        .map(t => s"x.k$t = y.k$t").mkString(" OR ")
+      s"""WITH c0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                     CAST(embedding AS DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id, emb, nrm,
+         |    $corpusCodes
+         |  FROM c0),
+         |cand AS (
+         |  SELECT x.vec_id, y.vec_id AS nbr_id,
+         |    x.emb AS xe, x.nrm AS xn, y.emb AS ye, y.nrm AS yn
+         |  FROM c x JOIN c y
+         |    ON x.vec_id <> y.vec_id AND ($anyCollision)),
+         |ranked AS (
+         |  SELECT vec_id, nbr_id,
+         |    list_dot_product(xe, ye) / (sqrt(xn) * sqrt(yn)) AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY list_dot_product(xe, ye) / (sqrt(xn) * sqrt(yn))
+         |        DESC, nbr_id) AS rank
+         |  FROM cand)
+         |SELECT vec_id, rank, nbr_id AS neighbor_id, cosine
+         |FROM ranked WHERE rank <= 4
+         |ORDER BY vec_id, rank""".stripMargin
+    },
 
     "sim_ann_lsh" -> {
       val corpusCodes = (0 until NumTables)
