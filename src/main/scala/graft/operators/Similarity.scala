@@ -128,33 +128,42 @@ object Similarity extends QueryModule {
     // replicates the identical bucket pipeline, so the result is
     // hash-exact (the recall-vs-brute-force gap is measured in
     // SimilaritySpec for the shared LSH machinery).
-    "sim_knn_graph" -> ((s, d) => {
-      val c = corpus(s, d)
-      val codes = c.select(col("vec_id"), posexplode(
-        graft.expressions.LshCodes.lsh_codes(col("embedding"),
-          NumTables, BitsPerTable)).as(Seq("tbl", "code")))
-      val candidates = codes.as("x")
-        .join(codes.as("y"), col("x.tbl") === col("y.tbl") &&
-          col("x.code") === col("y.code") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_id"),
-          col("y.vec_id").as("nbr_id"))
-        .distinct()
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("nbr_id"))
-      candidates
-        .join(c.select(col("vec_id"), col("embedding"), col("nrm")),
-          Seq("vec_id"))
-        .join(c.select(col("vec_id").as("nbr_id"),
-          col("embedding").as("n_emb"), col("nrm").as("n_nrm")),
-          Seq("nbr_id"))
-        .withColumn("cosine", cosine(col("embedding"), col("nrm"),
-          col("n_emb"), col("n_nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 4)
+    "sim_knn_graph" -> ((s, d) =>
+      knnEdges(corpus(s, d), 4)
         .select(col("vec_id"), col("rank"),
           col("nbr_id").as("neighbor_id"), col("cosine"))
-        .orderBy(col("vec_id"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))),
+
+    // Semi-supervised LABEL PROPAGATION over the k-NN graph: vectors
+    // with vec_id < 250 are the labeled seed set; every other vector
+    // takes the cosine-weighted majority label of its labeled
+    // neighbors among its top-4 graph edges. The report is the
+    // predicted-vs-true confusion matrix (ground truth exists for the
+    // whole synthetic corpus, so propagation quality is measurable in
+    // the query itself). Determinism: vote weights are micro-int
+    // quantized cosines summed exactly; argmax ties break to the
+    // smaller label via the (w·16 + (15 − label)) packed ordinal.
+    // Scale shape = the knn graph's (bucket self-join), then two
+    // high-cardinality keyed aggregates; the labeled side of the vote
+    // join is corpus-sized too — no broadcast, AQE decides.
+    "emb_label_prop" -> ((s, d) => {
+      val c = corpus(s, d)
+      val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+      val votes = knnEdges(c, 4)
+        .filter(col("vec_id") >= 250)
+        .join(lab.filter(col("vec_id") < 250)
+          .select(col("vec_id").as("nbr_id"),
+            col("label").as("n_label")), Seq("nbr_id"))
+        .withColumn("wm", round(col("cosine") * 100000000L).cast("long"))
+        .groupBy(col("vec_id"), col("n_label"))
+        .agg(sum(col("wm")).as("w"))
+        .withColumn("pk", col("w") * 16 + (lit(15) - col("n_label")))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(n_label, pk)").as("predicted"))
+      votes.join(lab, Seq("vec_id"))
+        .groupBy(col("label"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("predicted"))
     }),
 
     // Product quantization (Jégou et al. 2011): the memory face of
@@ -248,6 +257,36 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     })
   )
+
+  /** Corpus-wide k-NN edges from the 16-table sign-LSH buckets: the
+    * bucket self-join bounds candidates to O(collisions), neither leg
+    * broadcasts (both corpus-sized; AQE picks the (tbl, code)-keyed
+    * strategy), exact cosine re-scores, per-vector rank cut. Shared
+    * by sim_knn_graph and emb_label_prop. */
+  private def knnEdges(c: DataFrame, k: Int): DataFrame = {
+    val codes = c.select(col("vec_id"), posexplode(
+      graft.expressions.LshCodes.lsh_codes(col("embedding"),
+        NumTables, BitsPerTable)).as(Seq("tbl", "code")))
+    val candidates = codes.as("x")
+      .join(codes.as("y"), col("x.tbl") === col("y.tbl") &&
+        col("x.code") === col("y.code") &&
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"),
+        col("y.vec_id").as("nbr_id"))
+      .distinct()
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    candidates
+      .join(c.select(col("vec_id"), col("embedding"), col("nrm")),
+        Seq("vec_id"))
+      .join(c.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm")),
+        Seq("nbr_id"))
+      .withColumn("cosine", cosine(col("embedding"), col("nrm"),
+        col("n_emb"), col("n_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 
   /** LSH candidate generation + exact scoring. Returned rank is dense
     * per query over candidates only. */
@@ -427,6 +466,48 @@ object Similarity extends QueryModule {
          |SELECT vec_id, rank, nbr_id AS neighbor_id, cosine
          |FROM ranked WHERE rank <= 4
          |ORDER BY vec_id, rank""".stripMargin
+    },
+
+    "emb_label_prop" -> {
+      val corpusCodes = (0 until NumTables)
+        .map(t => s"${codeSql(t)} AS k$t").mkString(",\n    ")
+      val anyCollision = (0 until NumTables)
+        .map(t => s"x.k$t = y.k$t").mkString(" OR ")
+      s"""WITH c0 AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                     CAST(embedding AS DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id, label, emb, nrm,
+         |    $corpusCodes
+         |  FROM c0),
+         |cand AS (
+         |  SELECT x.vec_id, y.vec_id AS nbr_id, y.label AS n_label,
+         |    x.emb AS xe, x.nrm AS xn, y.emb AS ye, y.nrm AS yn
+         |  FROM c x JOIN c y
+         |    ON x.vec_id <> y.vec_id AND ($anyCollision)),
+         |ranked AS (
+         |  SELECT vec_id, nbr_id, n_label,
+         |    list_dot_product(xe, ye) / (sqrt(xn) * sqrt(yn)) AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY list_dot_product(xe, ye) / (sqrt(xn) * sqrt(yn))
+         |        DESC, nbr_id) AS rank
+         |  FROM cand),
+         |votes AS (
+         |  SELECT vec_id, n_label,
+         |    CAST(SUM(CAST(round(cosine * 100000000) AS BIGINT))
+         |      AS BIGINT) AS w
+         |  FROM ranked
+         |  WHERE rank <= 4 AND vec_id >= 250 AND nbr_id < 250
+         |  GROUP BY vec_id, n_label),
+         |pred AS (
+         |  SELECT vec_id, arg_max(n_label, w * 16 + (15 - n_label))
+         |    AS predicted
+         |  FROM votes GROUP BY vec_id)
+         |SELECT c0.label, pred.predicted, COUNT(*) AS n
+         |FROM pred JOIN c0 ON c0.vec_id = pred.vec_id
+         |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
     },
 
     "sim_ann_lsh" -> {
