@@ -350,6 +350,65 @@ object Corpus extends QueryModule {
           expr("(s3 + 1000000000L * cnt) div cnt - 1000000000L").as("mean_q3"),
           expr("(s4 + 1000000000L * cnt) div cnt - 1000000000L").as("mean_q4"))
         .orderBy(col("cid"))
+    }),
+
+    // Per-domain frequency cap (the RefinedWeb/C4 rule: at most K
+    // documents per source/domain, chosen by deterministic hash
+    // priority so the survivors are an unbiased sample). Exact top-K
+    // per key, computed skew-proof in two stages: stage 1 takes the K
+    // best within each (source, salt-of-8) sub-partition — bounding
+    // ANY window task to K rows per salt even when one domain holds
+    // billions of documents — stage 2 re-ranks the <= 8K survivors
+    // per source. Identical result to the naive single window, but
+    // the full corpus is never sorted within one hot-domain task.
+    "sample_domain_cap" -> ((s, d) => {
+      val cap = 20
+      val pri = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("dc"), col("doc_id").cast("string"))).as("pri"))
+      val w1 = Window
+        .partitionBy(col("source"), pmod(col("doc_id"), lit(8)))
+        .orderBy(col("pri"), col("doc_id"))
+      val w2 = Window.partitionBy(col("source"))
+        .orderBy(col("pri"), col("doc_id"))
+      pri
+        .withColumn("rn1", row_number().over(w1))
+        .filter(col("rn1") <= cap)
+        .withColumn("keep_rank", row_number().over(w2).cast("long"))
+        .filter(col("keep_rank") <= cap)
+        .select(col("doc_id"), col("source"), col("keep_rank"))
+        .orderBy(col("source"), col("keep_rank"))
+    }),
+
+    // Token-budget epoch planner (the "how many times do we repeat
+    // each source" calculation behind fixed-token-budget training
+    // mixes a la DoReMi/Llama data recipes): per-source token counts,
+    // a uniform per-source target share of the total budget, and the
+    // repeat factor (x100 fixed-point, clamped to [1x, 4x] — repeating
+    // a tiny source more than 4 epochs degrades quality faster than it
+    // fills budget). Integer throughout. Scale shape: one
+    // map-side-combinable per-source aggregate; the 1-row corpus total
+    // rides back as a broadcast — the corpus itself is scanned once.
+    "corpus_epochs" -> ((s, d) => {
+      val perSource = documents(s, d)
+        .withColumn("n_toks",
+          size(expr(toksExpr)).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      val tot = perSource.agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSource.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          expr("total_tokens div n_sources"))
+        .withColumn("epochs_x100", expr(
+          "least(400L, greatest(100L," +
+            " target_tokens * 100L div n_tokens))"))
+        .withColumn("planned_tokens",
+          expr("n_tokens * epochs_x100 div 100"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("target_tokens"), col("epochs_x100"), col("planned_tokens"))
+        .orderBy(col("source"))
     })
   )
 
@@ -463,6 +522,33 @@ object Corpus extends QueryModule {
          |  ${meanQ(1)}, ${meanQ(2)}, ${meanQ(3)}, ${meanQ(4)}
          |FROM assigned GROUP BY cid
          |ORDER BY cid""".stripMargin
+    },
+
+    "sample_domain_cap" ->
+      """SELECT doc_id, source,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5('dc' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS keep_rank
+        |FROM documents
+        |QUALIFY keep_rank <= 20
+        |ORDER BY source, keep_rank""".stripMargin,
+
+    "corpus_epochs" -> {
+      s"""WITH per AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len($sqlToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  COUNT(*) AS n_sources FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(total_tokens // n_sources AS BIGINT) AS target_tokens,
+         |  CAST(least(400, greatest(100,
+         |    (total_tokens // n_sources) * 100 // n_tokens))
+         |    AS BIGINT) AS epochs_x100,
+         |  CAST(n_tokens * least(400, greatest(100,
+         |    (total_tokens // n_sources) * 100 // n_tokens)) // 100
+         |    AS BIGINT) AS planned_tokens
+         |FROM per, tot ORDER BY source""".stripMargin
     }
   )
 }

@@ -170,6 +170,35 @@ object Multimodal extends QueryModule {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("shard"), col("batch_id"))
+    }),
+
+    // Byte-budget shard packer: next-fit bin packing of the media
+    // manifest into ~64 KB shards (the tar/WebDataset-shard planning
+    // step that decides which blobs land in which archive file). Blobs
+    // are ordered by deterministic hash priority — shuffling sizes so
+    // shards mix large and small — then a running byte offset assigns
+    // each blob to the shard its START offset falls in (items never
+    // split; a shard overshoots by at most one blob). This runs on the
+    // MANIFEST (one metadata row per blob — the payload bytes never
+    // move until the archiver reads its assigned list), so the global
+    // prefix sum is over metadata only; at larger scale the same exact
+    // cumsum distributes as a range-partitioned two-pass prefix sum.
+    "mm_shard_pack" -> ((s, d) => {
+      val cap = 65536L
+      val manifest = documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_bytes"),
+          md5(concat(lit("sp"), col("doc_id").cast("string"))).as("pri"))
+      val w = Window.orderBy(col("pri"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      manifest
+        .withColumn("cum", sum(col("n_bytes")).over(w))
+        .withColumn("shard", expr(s"(cum - n_bytes) div $cap"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).as("total_bytes"),
+          max(col("n_bytes")).as("max_item_bytes"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -254,6 +283,22 @@ object Multimodal extends QueryModule {
         |SELECT shard, CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
         |  COUNT(*) AS n_items, MIN(doc_id) AS first_doc,
         |  MAX(doc_id) AS last_doc
-        |FROM numbered GROUP BY 1, 2 ORDER BY shard, batch_id""".stripMargin
+        |FROM numbered GROUP BY 1, 2 ORDER BY shard, batch_id""".stripMargin,
+
+    "mm_shard_pack" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
+        |    md5('sp' || CAST(doc_id AS VARCHAR)) AS pri
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_bytes,
+        |    SUM(n_bytes) OVER (ORDER BY pri, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m)
+        |SELECT CAST((cum - n_bytes) // 65536 AS BIGINT) AS shard,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(n_bytes) AS BIGINT) AS max_item_bytes
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
   )
 }

@@ -538,6 +538,60 @@ object TextAnalysis extends QueryModule {
         .select(col("rank"), col("t").as("token"), col("cnt"),
           col("zipf_prod"), col("cum_ppm"))
         .orderBy(col("rank"))
+    }),
+
+    // Hashed-linear-classifier inference (the fastText-style quality
+    // classifier every LM data pipeline runs over the full corpus):
+    // token -> hashing-trick bucket (md5, the cross-engine hash) ->
+    // weight lookup -> per-doc score sum. The weight table here is a
+    // deterministic stand-in ((bucket % 21) - 10; a trained model
+    // ships real weights — broadcast a 4096-row table or bake them
+    // into the same expression); the Spark-side shape is the real
+    // one: a single scan, per-row array fold, NO explode and NO
+    // shuffle — at 100 TB this stays scan-bound, the ideal plan for
+    // per-document inference. All-integer arithmetic, oracle-exact.
+    "text_classifier_score" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("score", expr(
+          "aggregate(toks, 0L, (a, t) -> a + " +
+            "(cast(conv(substring(md5(concat('clf', t)), 1, 8), 16, 10)" +
+            " as bigint) % 4096) % 21 - 10)"))
+        .withColumn("pred", (col("score") > 0).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("score"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sentence-level exact dedup inventory (the C4 step: drop any
+    // three-sentence span seen before; here the unit is one
+    // sentence-ish span >= 30 chars). Emits the corpus-wide inventory
+    // of repeated spans — which sentences, how many docs, how many
+    // occurrences — the report that drives both boilerplate removal
+    // and contamination review. Two shuffles, both keyed on the span
+    // text (high-cardinality, uniform): distinct(doc,span) -> df, and
+    // the occurrence count; the span table never broadcasts (web-scale
+    // span vocab is huge), matching text_tfidf's AQE contract.
+    // Duplicates are synthesized (documents has none naturally): docs
+    // ending in 0 re-enter under doc_id+100000, the same convention as
+    // mm_dedup_binary / Dedup.dupedCorpus.
+    "text_para_dedup" -> ((s, d) => {
+      val base = documents(s, d)
+      val duped = base.select(col("doc_id"), col("text")).unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val sents = duped
+        .select(col("doc_id"), explode(expr(
+          "filter(transform(split(text, '\\\\.\\\\s+'), p -> trim(p))," +
+            " p -> length(p) >= 30)")).as("sent"))
+      val df = sents.select(col("doc_id"), col("sent")).distinct()
+        .groupBy(col("sent")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      val occ = sents.groupBy(col("sent")).agg(count(lit(1)).as("n_occ"))
+      df.join(occ, Seq("sent"))
+        .select(col("sent"), col("n_docs"), col("n_occ"),
+          length(col("sent")).cast("long").as("sent_len"))
+        .orderBy(col("n_docs").desc, col("n_occ").desc, col("sent"))
     })
   )
 
@@ -809,6 +863,39 @@ object TextAnalysis extends QueryModule {
          |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, t
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    * 1000000 // total AS BIGINT) AS cum_ppm
-         |FROM top, tot ORDER BY rank""".stripMargin
+         |FROM top, tot ORDER BY rank""".stripMargin,
+
+    "text_classifier_score" ->
+      s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(list_sum(list_transform(toks, t ->
+         |    ('0x' || substr(md5('clf' || t), 1, 8))::BIGINT % 4096 % 21
+         |      - 10)), 0) AS BIGINT) AS score,
+         |  CAST(CASE WHEN COALESCE(list_sum(list_transform(toks, t ->
+         |    ('0x' || substr(md5('clf' || t), 1, 8))::BIGINT % 4096 % 21
+         |      - 10)), 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_para_dedup" ->
+      """WITH duped AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |s AS MATERIALIZED (
+        |  SELECT doc_id, u.sent FROM (
+        |    SELECT doc_id,
+        |      list_filter(list_transform(string_split_regex(text, '\.\s+'),
+        |        p -> trim(p)), p -> len(p) >= 30) AS sents
+        |    FROM duped), UNNEST(sents) u(sent)),
+        |df AS (
+        |  SELECT sent, COUNT(*) AS n_docs
+        |  FROM (SELECT DISTINCT doc_id, sent FROM s)
+        |  GROUP BY sent HAVING COUNT(*) >= 2),
+        |occ AS (SELECT sent, COUNT(*) AS n_occ FROM s GROUP BY sent)
+        |SELECT df.sent, df.n_docs, occ.n_occ,
+        |  CAST(len(df.sent) AS BIGINT) AS sent_len
+        |FROM df JOIN occ USING (sent)
+        |ORDER BY df.n_docs DESC, occ.n_occ DESC, df.sent""".stripMargin
   )
 }
