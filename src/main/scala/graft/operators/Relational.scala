@@ -1221,6 +1221,51 @@ object Relational extends QueryModule {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("new_users"), col("cum_users"))
         .orderBy(col("day"))
+    }),
+
+    // TPC-H Q11 shape (no partsupp table in this star schema, so the
+    // "stock value" is lineitem revenue): per-part revenue vs a
+    // global-scalar threshold — group-aggregate against an aggregate
+    // of itself. The per-part rollup is one map-side-combinable
+    // shuffle; the threshold (the mean per-part value — scale-
+    // invariant where Q11's 1/SF-scaled fraction is not, and the
+    // synthetic uniform data keeps any k-sigma cut empty) re-aggregates the SAME
+    // tiny per-part table and rides back as a broadcast 1-row cross
+    // join, so the corpus-sized input is scanned exactly once.
+    // Decimal-exact sums (Num discipline) keep the borderline parts
+    // deterministic.
+    "q_important_parts" -> ((s, d) => {
+      val perPart = lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("value"))
+      val thr = perPart
+        .agg((dsum(col("value")) / count(lit(1))).as("thr"))
+      perPart.crossJoin(broadcast(thr))
+        .filter(col("value") > col("thr"))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q18 shape (large-volume orders): orders whose total
+    // lineitem quantity clears a threshold, decorated with the
+    // customer. The HAVING pre-aggregates lineitem BEFORE any join —
+    // the 150-quantity cut drops ~all orders, so the join inputs are
+    // the filtered aggregate (small) against orders/customer; the
+    // aggregate keys on orderkey (lineitem's natural clustering), and
+    // AQE picks the join strategy for the survivors.
+    "q_large_orders" -> ((s, d) => {
+      val big = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").cast("string")
+            .as("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     })
   )
 
@@ -1944,6 +1989,28 @@ object Relational extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS cum_users
         |FROM spine s LEFT JOIN daily d ON s.day = d.day
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    "q_important_parts" ->
+      s"""WITH per AS MATERIALIZED (
+         |  SELECT l_partkey,
+         |    ${sqlSum("l_extendedprice * (1 - l_discount)")} AS value
+         |  FROM lineitem GROUP BY l_partkey),
+         |thr AS (SELECT ${sqlSum("value")} / COUNT(*) AS thr FROM per)
+         |SELECT l_partkey, value FROM per, thr
+         |WHERE value > thr.thr
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${sqlSum("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${sqlSum("l_quantity")} > 150)
+         |SELECT c_name, c_custkey, o_orderkey,
+         |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+         |  o_totalprice, total_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
   )
 }

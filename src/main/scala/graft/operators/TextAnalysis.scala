@@ -592,6 +592,31 @@ object TextAnalysis extends QueryModule {
         .select(col("sent"), col("n_docs"), col("n_occ"),
           length(col("sent")).cast("long").as("sent_len"))
         .orderBy(col("n_docs").desc, col("n_occ").desc, col("sent"))
+    }),
+
+    // Flesch reading-ease score as a readability quality cut: words,
+    // sentence-ish spans, and a vowel-group syllable proxy, combined
+    // in milli-points with integer floor division so both engines
+    // agree exactly (the real-valued formula is 206.835 − 1.015·W/S −
+    // 84.6·Syl/W). Shuffle-free per-row expression work off one scan —
+    // the same scan-bound shape as the rest of the quality battery.
+    "text_readability" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("n_sents", greatest(lit(1L), size(expr(
+          "filter(transform(split(text, '\\\\.\\\\s+'), p -> trim(p))," +
+            " p -> p != '')")).cast("long")))
+        .withColumn("n_syll", expr(
+          "aggregate(toks, 0L, (a, w) -> a +" +
+            " greatest(1L, cast(regexp_count(lower(w), '[aeiouy]+')" +
+            " as bigint)))"))
+        .withColumn("flesch_x1000", expr(
+          "206835 - (1015 * n_words) div n_sents" +
+            " - (84600 * n_syll) div n_words"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"),
+          col("n_syll"), col("flesch_x1000"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -896,6 +921,25 @@ object TextAnalysis extends QueryModule {
         |SELECT df.sent, df.n_docs, occ.n_occ,
         |  CAST(len(df.sent) AS BIGINT) AS sent_len
         |FROM df JOIN occ USING (sent)
-        |ORDER BY df.n_docs DESC, occ.n_occ DESC, df.sent""".stripMargin
+        |ORDER BY df.n_docs DESC, occ.n_occ DESC, df.sent""".stripMargin,
+
+    "text_readability" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks,
+         |    greatest(1, len(list_filter(list_transform(
+         |      string_split_regex(text, '\\.\\s+'), p -> trim(p)),
+         |      p -> p != ''))) AS n_sents
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(n_sents AS BIGINT) AS n_sents,
+         |  CAST(list_sum(list_transform(toks, w ->
+         |    greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))))
+         |    AS BIGINT) AS n_syll,
+         |  CAST(206835 - (1015 * len(toks)) // n_sents
+         |    - (84600 * list_sum(list_transform(toks, w ->
+         |        greatest(1, len(regexp_extract_all(lower(w),
+         |          '[aeiouy]+'))))))
+         |      // len(toks) AS BIGINT) AS flesch_x1000
+         |FROM t ORDER BY doc_id""".stripMargin
   )
 }

@@ -40,13 +40,18 @@ class PlanAuditSpec extends SparkSpec {
   //    balance threshold (scalar-aggregate ride-along)
   //  - q_rfm_segments: customers × three broadcast ONE-row quartile
   //    cutoff tables (counting-quantile scalars riding along)
+  //  - q_important_parts: per-part aggregate × the broadcast ONE-row
+  //    mean-value threshold (scalar-aggregate ride-along)
+  //  - corpus_epochs: per-source aggregate × the broadcast ONE-row
+  //    corpus token total (scalar-aggregate ride-along)
   private val nestedLoopOk =
     Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine",
       "dedup_semantic", "emb_kmeans_step", "emb_decontaminate",
       "emb_pca_power", "text_bloom_decon", "sim_hard_negatives",
       "text_zipf", "emb_triplets", "q_idle_customers",
       "q_rfm_segments", "q_triangle_count", "q_kmv_setops",
-      "q_rolling_active_users", "text_source_drift")
+      "q_rolling_active_users", "text_source_drift",
+      "q_important_parts", "corpus_epochs")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
