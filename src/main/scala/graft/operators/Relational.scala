@@ -1266,6 +1266,38 @@ object Relational extends QueryModule {
           col("o_orderdate").cast("date").cast("string")
             .as("o_orderdate"), col("o_totalprice"), col("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    // CUSUM changepoint scan per event type: daily value totals in
+    // exact cents, deviation from the series' integer mean, running
+    // cumulative deviation, and the day where |CUSUM| peaks — the
+    // classic level-shift detector a metrics pipeline runs over every
+    // series. All integer (cents, floor-div mean), so oracle-exact.
+    // Scale shape: the corpus collapses to one (type, day) aggregate
+    // immediately; every window after that runs over the day spine —
+    // bounded by type count x calendar, never by the event count.
+    "q_cusum" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      val wt = Window.partitionBy(col("event_type"))
+      val wrun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("n_days", count(lit(1)).over(wt).cast("long"))
+        .withColumn("mean_c", expr(
+          "sum(c) over (partition by event_type)" +
+            " div count(1) over (partition by event_type)"))
+        .withColumn("cusum", sum(col("c") - col("mean_c")).over(wrun))
+        .withColumn("pk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(abs(col("cusum")).desc, col("day"))))
+        .filter(col("pk") === 1)
+        .select(col("event_type"), col("n_days"),
+          date_format(col("day"), "yyyy-MM-dd").as("peak_day"),
+          abs(col("cusum")).as("peak_cusum"),
+          signum(col("cusum")).cast("long").as("direction"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2011,6 +2043,30 @@ object Relational extends QueryModule {
          |  o_totalprice, total_qty
          |FROM big JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
-         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, c,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+        |    SUM(c) OVER (PARTITION BY event_type)
+        |      // COUNT(*) OVER (PARTITION BY event_type) AS mean_c
+        |  FROM daily),
+        |cs AS (
+        |  SELECT event_type, day, n_days,
+        |    SUM(c - mean_c) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM w)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(day AS VARCHAR) AS peak_day,
+        |  CAST(abs(cusum) AS BIGINT) AS peak_cusum,
+        |  CAST(sign(cusum) AS BIGINT) AS direction
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, day) AS pk FROM cs)
+        |WHERE pk = 1 ORDER BY event_type""".stripMargin
   )
 }

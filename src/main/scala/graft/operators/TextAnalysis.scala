@@ -617,6 +617,29 @@ object TextAnalysis extends QueryModule {
         .select(col("doc_id"), col("n_words"), col("n_sents"),
           col("n_syll"), col("flesch_x1000"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Character-diversity score: Gini impurity of each document's
+    // character distribution — the log-free stand-in for character
+    // entropy (libm-free by design, like the rest of the battery):
+    // gini_ppm = 1e6 − Σ cᵢ² · 1e6 div n². Low values flag
+    // single-character floods and keyboard-mash spam that token-level
+    // repetition rules miss. Two character-keyed aggregates, both
+    // map-side combinable; all integer, oracle-exact.
+    "text_char_gini" -> ((s, d) => {
+      val chars = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("cnt"))
+      chars.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_chars"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+          expr("1000000L - ss * 1000000L div (n_chars * n_chars)")
+            .as("gini_ppm"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -940,6 +963,19 @@ object TextAnalysis extends QueryModule {
          |        greatest(1, len(regexp_extract_all(lower(w),
          |          '[aeiouy]+'))))))
          |      // len(toks) AS BIGINT) AS flesch_x1000
-         |FROM t ORDER BY doc_id""".stripMargin
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_char_gini" ->
+      """WITH ch AS (
+        |  SELECT doc_id, u.ch, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id, list_transform(range(1, len(text) + 1),
+        |      i -> substr(text, i, 1)) AS cs
+        |    FROM documents), UNNEST(cs) u(ch)
+        |  GROUP BY doc_id, u.ch)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(1000000 - SUM(cnt * cnt) * 1000000
+        |    // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS gini_ppm
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
