@@ -50,6 +50,31 @@ class Scd2ParitySpec extends SparkSpec {
     assert(streaming == batch)
   }
 
+  test("streaming e2e: foreachBatch maintains SCD2 history across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scd2-e2e").toString
+    val h = new Scd2History(dir)
+    val in = MemoryStream[(Long, String, Double, Long)]
+    val q = in.toDF().toDF("id", "op", "new_value", "lsn")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        h.applyBatch(b, id); ()
+      }
+      .start()
+    in.addData((1L, "insert", 10.0, 0L), (2L, "insert", 20.0, 1L))
+    q.processAllAvailable()
+    in.addData((1L, "update", 11.0, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val cur = rows(h.current(spark))
+    assert(cur == Set(
+      (1L, 10.0, 0L, Some(2L), 0L),
+      (1L, 11.0, 2L, None, 1L),
+      (2L, 20.0, 1L, None, 1L)))
+  }
+
   test("a key whose last change is a delete ends with no current row") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-scd2-del").toString
