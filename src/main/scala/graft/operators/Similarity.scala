@@ -255,6 +255,37 @@ object Similarity extends QueryModule {
         .select(col("query_id"), col("rank"),
           col("vec_id").as("neighbor_id"), col("adc"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ANN quality report: recall@10 of the sign-LSH index against the
+    // brute-force ground truth, per probe — the acceptance metric an
+    // ANN deployment is tuned by (tables/bits trade recall for
+    // candidate volume). Both sides are the engine's own deterministic
+    // pipelines, so the report itself is oracle-exact: a left join of
+    // truth to the candidate ranking over (query, neighbor), one
+    // 10-row-bounded aggregate. At corpus scale truth comes from a
+    // sampled probe set exactly like this one — the report's cost is
+    // one brute pass over probes x corpus plus the index lookup.
+    "sim_ann_recall" -> ((s, d) => {
+      val c = corpus(s, d)
+      val q = querySet(c)
+      val wb = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
+        .withColumn("rank", row_number().over(wb))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val ann = annTopK(c, 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(col("query_id"), col("n_truth"), col("n_hits"),
+          expr("n_hits * 1000000L div n_truth").as("recall_ppm"))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -633,6 +664,56 @@ object Similarity extends QueryModule {
         |  FROM scored)
         |SELECT query_id, rank, vec_id AS neighbor_id, cosine
         |FROM ranked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ann_recall" -> {
+      val corpusCodes = (0 until NumTables)
+        .map(t => s"${codeSql(t)} AS k$t").mkString(",\n    ")
+      val queryCodes = (0 until NumTables)
+        .map(t => s"k$t AS qk$t").mkString(", ")
+      val anyCollision = (0 until NumTables)
+        .map(t => s"c.k$t = q.qk$t").mkString(" OR ")
+      s"""WITH c0 AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                     CAST(embedding AS DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |c AS MATERIALIZED (
+         |  SELECT vec_id, emb, nrm,
+         |    $corpusCodes
+         |  FROM c0),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+         |        $queryCodes
+         |      FROM c WHERE vec_id < 10),
+         |truth AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, c0.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.q_emb, c0.emb)
+         |          / (sqrt(q.q_nrm) * sqrt(c0.nrm)) DESC, c0.vec_id)
+         |        AS rank
+         |    FROM c0 JOIN q ON c0.vec_id <> q.query_id)
+         |  WHERE rank <= 10),
+         |ann AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY list_dot_product(q_emb, emb)
+         |          / (sqrt(q_nrm) * sqrt(nrm)) DESC, vec_id) AS rank
+         |    FROM (SELECT q.query_id, c.vec_id, c.emb, c.nrm, q.q_emb,
+         |            q.q_nrm
+         |          FROM c JOIN q ON c.vec_id <> q.query_id
+         |            AND ($anyCollision)))
+         |  WHERE rank <= 10)
+         |SELECT t.query_id, COUNT(*) AS n_truth,
+         |  CAST(COALESCE(SUM(CASE WHEN a.vec_id IS NOT NULL
+         |    THEN 1 END), 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(SUM(CASE WHEN a.vec_id IS NOT NULL
+         |    THEN 1 END), 0) * 1000000 // COUNT(*) AS BIGINT)
+         |    AS recall_ppm
+         |FROM truth t LEFT JOIN ann a
+         |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+    }
   )
 }
