@@ -764,6 +764,54 @@ object Pipeline extends QueryModule {
           expr("cast(round(vv * 1000000) as bigint)").as("loading_ppm"),
           col("nrm").as("eigenvalue"))
         .orderBy(col("dim"))
+    }),
+
+    // Second principal component via deflation: run the same
+    // 3-iteration power loop, subtract the PC1 projection from every
+    // centered value (c' = c − ⟨x,v1⟩·v1 — one multiply and one
+    // subtract per cell, IEEE-exact in both engines), and power-
+    // iterate again on the deflated matrix. Same scale shape as
+    // emb_pca_power: everything is (vec,dim)-keyed aggregates with
+    // the 64-row eigenvector broadcast back each iteration; the
+    // corpus-sized table is touched a constant number of times.
+    "emb_pca2" -> ((s, d) => {
+      import graft.Num.{davg, dsum}
+      val e = embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("pos", "val")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          col("val").cast("double").as("v"))
+      val m = e.groupBy(col("dim")).agg(davg(col("v")).as("mean"))
+      val c = e.join(broadcast(m), Seq("dim"))
+        .select(col("vec_id"), col("dim"), (col("v") - col("mean")).as("c"))
+      def power(mat: DataFrame): (DataFrame, DataFrame) = {
+        var vk = mat.select(col("dim")).distinct()
+          .select(col("dim"), lit(1.0).as("vv"))
+        var nk: DataFrame = null
+        for (_ <- 1 to 3) {
+          val dk = mat.join(broadcast(vk), Seq("dim"))
+            .groupBy(col("vec_id")).agg(dsum(col("c") * col("vv")).as("dot"))
+          val wk = mat.join(dk, Seq("vec_id"))
+            .groupBy(col("dim")).agg(dsum(col("dot") * col("c")).as("w"))
+          nk = wk.agg(sqrt(dsum(col("w") * col("w"))).as("nrm"))
+          vk = wk.crossJoin(broadcast(nk))
+            .select(col("dim"), (col("w") / col("nrm")).as("vv"))
+        }
+        (vk, nk)
+      }
+      val (v1, _) = power(c)
+      val d1 = c.join(broadcast(v1), Seq("dim"))
+        .groupBy(col("vec_id")).agg(dsum(col("c") * col("vv")).as("dot"))
+      val c2 = c.join(d1, Seq("vec_id"))
+        .join(broadcast(v1), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          (col("c") - col("dot") * col("vv")).as("c"))
+      val (v2, n2) = power(c2)
+      v2.crossJoin(broadcast(n2))
+        .select(col("dim"),
+          expr("cast(round(vv * 1000000) as bigint)").as("loading_ppm"),
+          col("nrm").as("eigenvalue"))
+        .orderBy(col("dim"))
     })
   )
 
@@ -1159,6 +1207,48 @@ object Pipeline extends QueryModule {
         "\nSELECT dim, CAST(round(vv * 1000000) AS BIGINT) AS loading_ppm," +
         "\n  (SELECT nrm FROM n3) AS eigenvalue" +
         "\nFROM v3 ORDER BY dim"
+    },
+
+    "emb_pca2" -> {
+      import graft.Num.{sqlAvg, sqlSum}
+      val base =
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id, u.i AS dim, emb[u.i] AS v FROM (
+           |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           |    FROM embeddings) t,
+           |  UNNEST(generate_series(1, len(emb))) u(i)),
+           |m AS MATERIALIZED (
+           |  SELECT dim, ${sqlAvg("v")} AS mean FROM e GROUP BY dim),
+           |c AS MATERIALIZED (
+           |  SELECT vec_id, e.dim, v - mean AS c FROM e JOIN m USING (dim)),
+           |v0 AS MATERIALIZED (SELECT dim, 1.0 AS vv FROM m)""".stripMargin
+      def chain(mat: String, pfx: String, v0: String) = (1 to 3).map { k =>
+        val prev = if (k == 1) v0 else s"$pfx-v${k - 1}"
+        s""""$pfx-d$k" AS MATERIALIZED (
+           |  SELECT vec_id, ${sqlSum(s"$mat.c * p.vv")} AS dot
+           |  FROM $mat JOIN "$prev" p USING (dim) GROUP BY vec_id),
+           |"$pfx-w$k" AS MATERIALIZED (
+           |  SELECT $mat.dim, ${sqlSum("dd.dot * " + mat + ".c")} AS w
+           |  FROM $mat JOIN "$pfx-d$k" dd USING (vec_id) GROUP BY $mat.dim),
+           |"$pfx-n$k" AS MATERIALIZED (
+           |  SELECT sqrt(${sqlSum("w * w")}) AS nrm FROM "$pfx-w$k"),
+           |"$pfx-v$k" AS MATERIALIZED (
+           |  SELECT dim, w / (SELECT nrm FROM "$pfx-n$k") AS vv
+           |  FROM "$pfx-w$k")""".stripMargin
+      }.mkString(",\n")
+      val deflate =
+        s"""dproj AS MATERIALIZED (
+           |  SELECT vec_id, ${sqlSum("c.c * p.vv")} AS dot
+           |  FROM c JOIN "p1-v3" p USING (dim) GROUP BY vec_id),
+           |c2 AS MATERIALIZED (
+           |  SELECT c.vec_id, c.dim, c.c - dproj.dot * p.vv AS c
+           |  FROM c JOIN dproj USING (vec_id)
+           |  JOIN "p1-v3" p USING (dim))""".stripMargin
+      base + ",\n" + chain("c", "p1", "v0") + ",\n" + deflate + ",\n" +
+        chain("c2", "p2", "v0") +
+        "\nSELECT dim, CAST(round(vv * 1000000) AS BIGINT) AS loading_ppm," +
+        "\n  (SELECT nrm FROM \"p2-n3\") AS eigenvalue" +
+        "\nFROM \"p2-v3\" ORDER BY dim"
     },
 
     "sample_hash" ->
