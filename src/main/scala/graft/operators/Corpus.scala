@@ -409,6 +409,62 @@ object Corpus extends QueryModule {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("target_tokens"), col("epochs_x100"), col("planned_tokens"))
         .orderBy(col("source"))
+    }),
+
+    // Dataset card: the per-source one-page summary a corpus release
+    // ships with — volume, exact-dup rate, size profile, language
+    // spread and dominant language. Two aggregations over the corpus
+    // (per-source and per-(source, lang)) plus a 25-ish-row argmax
+    // window; everything after the two groupBys is dimension-sized.
+    // The dominant language uses a rank window ordered (count DESC,
+    // lang) so ties break deterministically on both engines.
+    "corpus_card" -> ((s, d) => {
+      val docs = documents(s, d)
+      val per = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      val topLang = docs.groupBy(col("source").as("tl_source"), col("lang"))
+        .agg(count(lit(1)).as("lang_docs"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("tl_source"))
+          .orderBy(col("lang_docs").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("tl_source"), col("lang").as("top_lang"),
+          col("lang_docs").as("top_lang_docs"))
+      per.join(topLang, col("source") === col("tl_source"))
+        .select(col("source"), col("n_docs"), col("n_unique_texts"),
+          (col("n_docs") - col("n_unique_texts")).as("n_dup"),
+          col("total_chars"),
+          expr("total_chars div n_docs").as("avg_chars"),
+          col("n_langs"), col("top_lang"), col("top_lang_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // Pairwise-cosine histogram over a deterministic hash sample of
+    // vectors — the "is my embedding space collapsing?" diagnostic
+    // (a healthy space is spread; mass piling up near 1.0 signals
+    // duplicate-heavy or degenerate embeddings). The md5 gate fixes
+    // the sample before the quadratic step, so the all-pairs join runs
+    // over a bounded set (the modulus is the scale knob: raise it to
+    // hold the sample ~constant as the corpus grows — work stays
+    // O(sample²), independent of corpus size). Bins are floor(10·cos),
+    // exact on both engines for IEEE-identical cosines.
+    "emb_pair_hist" -> ((s, d) => {
+      val sample = corpus(s, d).filter(expr(
+        "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)" +
+          " as bigint) % 4 = 0"))
+      val a = sample.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = sample.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cosine", cosine(col("a_emb"), col("a_nrm"),
+          col("b_emb"), col("b_nrm")))
+        .groupBy(floor(col("cosine") * 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -549,6 +605,39 @@ object Corpus extends QueryModule {
          |    (total_tokens // n_sources) * 100 // n_tokens)) // 100
          |    AS BIGINT) AS planned_tokens
          |FROM per, tot ORDER BY source""".stripMargin
-    }
+    },
+
+    "corpus_card" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT md5(text)) AS n_unique_texts,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    COUNT(DISTINCT lang) AS n_langs
+        |  FROM documents GROUP BY source),
+        |lc AS (
+        |  SELECT source AS tl_source, lang, COUNT(*) AS lang_docs,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY COUNT(*) DESC, lang) AS rk
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, n_docs, n_unique_texts,
+        |  n_docs - n_unique_texts AS n_dup, total_chars,
+        |  total_chars // n_docs AS avg_chars, n_langs,
+        |  lang AS top_lang, lang_docs AS top_lang_docs
+        |FROM per JOIN lc ON source = tl_source AND rk = 1
+        |ORDER BY source""".stripMargin,
+
+    "emb_pair_hist" ->
+      """WITH sample AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                     CAST(embedding AS DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 4 = 0)
+        |SELECT CAST(floor(10 * (list_dot_product(a.emb, b.emb)
+        |    / (sqrt(a.nrm) * sqrt(b.nrm)))) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_pairs
+        |FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+        |GROUP BY 1 ORDER BY bin""".stripMargin
   )
 }

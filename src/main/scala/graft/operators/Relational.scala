@@ -1298,6 +1298,279 @@ object Relational extends QueryModule {
           abs(col("cusum")).as("peak_cusum"),
           signum(col("cusum")).cast("long").as("direction"))
         .orderBy(col("event_type"))
+    }),
+
+    // TPC-H Q7 shape: bilateral trade volume between two nations by
+    // ship year. Both nation dims broadcast (25 rows); the
+    // lineitem→orders→customer chain shuffles on its keys and the
+    // supp/cust-nation filter lands before the aggregate, so at
+    // cluster scale the wide join carries only the two nations' rows.
+    "q_volume_shipping" -> ((s, d) => {
+      val cn = broadcast(nation(s, d).select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      val sn = broadcast(nation(s, d).select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+          col("l_shipdate") < tsLit("1998-01-01"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(cn, col("c_nationkey") === col("c_nk"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("s_nk"))
+        .filter((col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" &&
+            col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape: one supplier-nation's market share inside a
+    // customer region, per order year. The share is a ratio of two
+    // deterministic sums over the same aggregated rows, so the double
+    // division is bit-identical cross-engine.
+    "q_market_share" -> ((s, d) => {
+      val cn = broadcast(nation(s, d).select(
+        col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk")))
+      val sn = broadcast(nation(s, d).select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val reg = broadcast(region(s, d).filter(col("r_name") === "ASIA"))
+      lineitem(s, d)
+        .join(part(s, d).filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(cn, col("c_nationkey") === col("c_nk"))
+        .join(reg, col("c_rk") === col("r_regionkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(sn, col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_8",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))) /
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q9 shape: profit by supplier nation and order year. The
+    // reference schema's ps_supplycost doesn't exist here, so cost is
+    // proxied as 60% of the part's retail price per unit — the join
+    // topology (fact × part × supplier × nation × orders) and the
+    // group-by are the Q9 plan shape being exercised.
+    "q_product_profit" -> ((s, d) => {
+      lineitem(s, d)
+        .join(part(s, d).filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * lit(0.6) * col("l_quantity"))
+          .as("sum_profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
+    // TPC-H Q4 shape: order-priority counts for orders with at least
+    // one late line (shipped >60 days after the order date). Left-semi
+    // join keeps one row per order regardless of how many lines are
+    // late; the inequality rides the l_orderkey equi-join.
+    "q_priority_late" -> ((s, d) => {
+      orders(s, d)
+        .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+          col("o_orderdate") < tsLit("1996-04-01"))
+        .join(lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    // revenue. The max is a 1-row aggregate of the already-aggregated
+    // per-supplier totals (second stage runs over |suppliers| rows,
+    // not the fact table); equality on the deterministic sums is
+    // exact cross-engine.
+    "q_top_supplier" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+          col("l_shipdate") < tsLit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q16 shape: distinct supplier count per part attribute
+    // combo, excluding one brand and suppliers in bad standing. The
+    // distinct (partkey, suppkey) projection collapses the fact table
+    // before the dimension joins; supplier is keyed-unique so the
+    // inner join is semantically a semi join.
+    "q_parts_supplier_cnt" -> ((s, d) => {
+      val pairs = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      pairs
+        .join(supplier(s, d).filter(col("s_acctbal") >= 0)
+          .select(col("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+        .join(part(s, d).filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q17 shape: revenue impact of small-quantity orders for one
+    // brand: lines with quantity below half the part's average
+    // quantity. The per-part average is a groupBy over the brand's
+    // lineitems only (filter pushed through the self-aggregation), and
+    // the threshold compare uses the deterministic average so both
+    // engines cut the same rows.
+    "q_small_qty_revenue" -> ((s, d) => {
+      val brandLines = lineitem(s, d)
+        .join(part(s, d).filter(col("p_brand") === "Brand#12"),
+          col("l_partkey") === col("p_partkey"))
+      val avgQty = brandLines
+        .groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(davg(col("l_quantity")).as("avg_qty"))
+      brandLines
+        .join(avgQty, col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape: disjunction of conjunctive predicate blocks
+    // across the part join. Catalyst extracts the common l_quantity
+    // bounds and the p_brand IN-set toward the scans; the OR itself
+    // evaluates inside the join's generated code.
+    "q_disjunctive" -> ((s, d) => {
+      lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#24" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#10" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    }),
+
+    // TPC-H Q21 shape: suppliers from one nation who were the sole
+    // late shipper on a multi-supplier order ("kept orders waiting").
+    // Per-order supplier/late-supplier counts aggregate the fact table
+    // once each on l_orderkey; the candidate rows then join those two
+    // bounded per-order summaries — no correlated re-scan per row.
+    "q_late_sole_supplier" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      val perOrder = li.groupBy(col("l_orderkey").as("po_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      li.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    // TPC-H Q2 shape: per qualifying part, the best-standing supplier
+    // (max account balance) among the EUROPE suppliers who actually
+    // shipped it. The distinct pair projection replaces partsupp; the
+    // per-part argmax is a rank-1 window over the candidate pairs —
+    // bounded by suppliers-per-part, never a correlated re-scan.
+    "q_regional_best_supplier" -> ((s, d) => {
+      val pairs = lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val eurSupp = supplier(s, d)
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val w = Window.partitionBy(col("p_partkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      pairs
+        .join(part(s, d).filter(col("p_size") === 15 &&
+            col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+        .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"))
+        .orderBy(col("s_acctbal").desc, col("p_partkey"))
+    }),
+
+    // Gaps-and-islands: longest run of consecutive active months per
+    // customer, reported as a streak-length histogram. The classic
+    // row_number-difference trick: within a customer, consecutive
+    // months share (month_idx - rn), so islands fall out of one
+    // groupBy — two window passes over per-customer distinct months
+    // (bounded by the 80-month date span), no self-join.
+    "q_order_streaks" -> ((s, d) => {
+      val months = orders(s, d)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 +
+            month(col("o_orderdate"))).cast("long").as("m"))
+        .distinct()
+      val rn = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+      val streaks = months
+        .withColumn("island", col("m") - row_number().over(rn))
+        .groupBy(col("o_custkey"), col("island"))
+        .agg(count(lit(1)).as("streak_len"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("streak_len")).as("best_streak"))
+      streaks.groupBy(col("best_streak"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("best_streak"))
+    }),
+
+    // Top navigation paths: the most frequent 3-step event-type
+    // sequences across user sessions — the product-analytics "what do
+    // users do" query. Two lead windows per user (ordered ts,
+    // event_id for tie-stability), then a count + top-k; the window
+    // shuffles once on user_id and the aggregate runs over
+    // |event_type|³-bounded path keys.
+    "q_user_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
     })
   )
 
@@ -2067,6 +2340,179 @@ object Relational extends QueryModule {
         |  CAST(sign(cusum) AS BIGINT) AS direction
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
         |    ORDER BY abs(cusum) DESC, day) AS pk FROM cs)
-        |WHERE pk = 1 ORDER BY event_type""".stripMargin
+        |WHERE pk = 1 ORDER BY event_type""".stripMargin,
+
+    "q_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS l_year,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+         |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_market_share" ->
+      s"""SELECT CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+         |    AS o_year,
+         |  ${sqlSum("CASE WHEN sn.n_name = 'NATION_8' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+         |  / (${sqlSum("l_extendedprice * (1 - l_discount)")}) AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_product_profit" ->
+      s"""SELECT n_name,
+         |  CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+         |  ${sqlSum("l_extendedprice * (1 - l_discount) - p_retailprice * 0.6 * l_quantity")}
+         |    AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q_priority_late" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${sqlSum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_parts_supplier_cnt" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_acctbal >= 0
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_small_qty_revenue" ->
+      s"""WITH brand_lines AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#12'),
+         |avg_qty AS (
+         |  SELECT l_partkey AS ap_partkey,
+         |    ${sqlAvg("l_quantity")} AS avg_qty
+         |  FROM brand_lines GROUP BY 1)
+         |SELECT ${sqlSum("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM brand_lines JOIN avg_qty ON l_partkey = ap_partkey
+         |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+
+    "q_disjunctive" ->
+      s"""SELECT ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_late_sole_supplier" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |per_order AS (
+        |  SELECT l_orderkey AS po_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |  FROM li GROUP BY 1)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) c
+        |JOIN per_order ON l_orderkey = po_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_supp >= 2 AND n_late = 1 AND n_name = 'NATION_5'
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q_regional_best_supplier" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |eur AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cand AS (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |    ROW_NUMBER() OVER (PARTITION BY p_partkey
+        |      ORDER BY s_acctbal DESC, s_suppkey) AS rk
+        |  FROM pairs
+        |  JOIN part ON l_partkey = p_partkey
+        |    AND p_size = 15 AND p_type = 'STANDARD'
+        |  JOIN eur ON l_suppkey = s_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        |FROM cand WHERE rk = 1
+        |ORDER BY s_acctbal DESC, p_partkey""".stripMargin,
+
+    "q_order_streaks" ->
+      """WITH months AS (
+        |  SELECT DISTINCT o_custkey,
+        |    CAST(year(CAST(o_orderdate AS TIMESTAMP)) * 12
+        |      + month(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS m
+        |  FROM orders),
+        |islands AS (
+        |  SELECT o_custkey,
+        |    m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m)
+        |      AS island
+        |  FROM months),
+        |best AS (
+        |  SELECT o_custkey, MAX(streak_len) AS best_streak
+        |  FROM (SELECT o_custkey, island, COUNT(*) AS streak_len
+        |        FROM islands GROUP BY o_custkey, island)
+        |  GROUP BY o_custkey)
+        |SELECT best_streak, COUNT(*) AS n_customers
+        |FROM best GROUP BY best_streak ORDER BY best_streak""".stripMargin,
+
+    "q_user_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  COUNT(*) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
   )
 }

@@ -640,6 +640,47 @@ object TextAnalysis extends QueryModule {
           expr("1000000L - ss * 1000000L div (n_chars * n_chars)")
             .as("gini_ppm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-source distinctive keywords: tokens over-represented in one
+    // source vs the whole corpus, by integer lift (source ppm //
+    // corpus ppm — the log-free pointwise-mutual-information stand-in;
+    // staged ppm division keeps every intermediate under ~1e12, so
+    // the arithmetic never overflows bigint even at web scale). One
+    // token-explode aggregation produces both the per-(source, token)
+    // and global counts (the global side re-aggregates the first —
+    // |vocab| rows, not the corpus); the rank window runs over
+    // source-vocab rows only. min-count 5 kills one-off typos.
+    "text_keywords" -> ((s, d) => {
+      val st = documents(s, d)
+        .select(col("source"), explode(expr(toksExpr)).as("t"))
+        .groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c_st"))
+      val sourceTot = st.groupBy(col("source").as("st_source"))
+        .agg(sum(col("c_st")).as("source_total"))
+      val global = st.groupBy(col("t").as("g_t"))
+        .agg(sum(col("c_st")).as("c_t"))
+      val tot = global.agg(sum(col("c_t")).as("corpus_total"))
+      val scored = st
+        .join(sourceTot, col("source") === col("st_source"))
+        .join(global, col("t") === col("g_t"))
+        .crossJoin(broadcast(tot))
+        .filter(col("c_st") >= 5)
+        .withColumn("ppm_source",
+          expr("c_st * 1000000L div source_total"))
+        .withColumn("ppm_corpus",
+          expr("c_t * 1000000L div corpus_total"))
+        .filter(col("ppm_corpus") > 0)
+        .withColumn("lift_x100",
+          expr("ppm_source * 100L div ppm_corpus"))
+      scored
+        .withColumn("rank", row_number().over(Window
+          .partitionBy(col("source"))
+          .orderBy(col("lift_x100").desc, col("t"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("rank"), col("t").as("token"),
+          col("c_st"), col("ppm_source"), col("lift_x100"))
+        .orderBy(col("source"), col("rank"))
     })
   )
 
@@ -976,6 +1017,38 @@ object TextAnalysis extends QueryModule {
         |  COUNT(*) AS n_distinct,
         |  CAST(1000000 - SUM(cnt * cnt) * 1000000
         |    // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS gini_ppm
-        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_keywords" ->
+      s"""WITH st AS (
+         |  SELECT source, t, COUNT(*) AS c_st
+         |  FROM (SELECT source, unnest($sqlToks) AS t FROM documents)
+         |  GROUP BY source, t),
+         |source_tot AS (
+         |  SELECT source AS st_source, CAST(SUM(c_st) AS BIGINT)
+         |    AS source_total FROM st GROUP BY source),
+         |global AS (
+         |  SELECT t AS g_t, CAST(SUM(c_st) AS BIGINT) AS c_t
+         |  FROM st GROUP BY t),
+         |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS corpus_total
+         |  FROM global),
+         |scored AS (
+         |  SELECT source, t, c_st,
+         |    c_st * 1000000 // source_total AS ppm_source,
+         |    c_t * 1000000 // corpus_total AS ppm_corpus
+         |  FROM st
+         |  JOIN source_tot ON source = st_source
+         |  JOIN global ON t = g_t
+         |  CROSS JOIN tot
+         |  WHERE c_st >= 5)
+         |SELECT source, rank, t AS token, c_st, ppm_source, lift_x100
+         |FROM (
+         |  SELECT source, t, c_st, ppm_source,
+         |    ppm_source * 100 // ppm_corpus AS lift_x100,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY ppm_source * 100 // ppm_corpus DESC, t)
+         |      AS BIGINT) AS rank
+         |  FROM scored WHERE ppm_corpus > 0)
+         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
   )
 }
