@@ -782,8 +782,22 @@ object Pipeline extends QueryModule {
         .select(col("vec_id"), (col("pos") + 1).as("dim"),
           col("val").cast("double").as("v"))
       val m = e.groupBy(col("dim")).agg(davg(col("v")).as("mean"))
-      val c = e.join(broadcast(m), Seq("dim"))
-        .select(col("vec_id"), col("dim"), (col("v") - col("mean")).as("c"))
+      // Checkpoint discipline (exempted in PlanAuditSpec's zero-jobs
+      // audit, same reason as the CC/PageRank loops):
+      //  - the centered matrix c (and its deflation c2) is materialized
+      //    ONCE — every subsequent power-iteration job reads the cached
+      //    partitions instead of re-running explode+center per job
+      //    (MEMORY_AND_DISK, so a 100 TB corpus spills rather than
+      //    OOMs; an engine that can't afford the cache re-derives c
+      //    per pass at 2× scan cost, same answer);
+      //  - each iteration's 64-row eigenvector vk is checkpointed:
+      //    without that barrier vk's lineage re-embeds the prior
+      //    iteration several times over and the deflated second chain
+      //    SQUARES the tree — Catalyst analysis goes exponential in
+      //    iterations (measured: minutes at sf0.01).
+      def center(mat: DataFrame): DataFrame = mat.localCheckpoint()
+      val c = center(e.join(broadcast(m), Seq("dim"))
+        .select(col("vec_id"), col("dim"), (col("v") - col("mean")).as("c")))
       def power(mat: DataFrame): (DataFrame, DataFrame) = {
         var vk = mat.select(col("dim")).distinct()
           .select(col("dim"), lit(1.0).as("vv"))
@@ -796,16 +810,17 @@ object Pipeline extends QueryModule {
           nk = wk.agg(sqrt(dsum(col("w") * col("w"))).as("nrm"))
           vk = wk.crossJoin(broadcast(nk))
             .select(col("dim"), (col("w") / col("nrm")).as("vv"))
+            .localCheckpoint()
         }
         (vk, nk)
       }
       val (v1, _) = power(c)
       val d1 = c.join(broadcast(v1), Seq("dim"))
         .groupBy(col("vec_id")).agg(dsum(col("c") * col("vv")).as("dot"))
-      val c2 = c.join(d1, Seq("vec_id"))
+      val c2 = center(c.join(d1, Seq("vec_id"))
         .join(broadcast(v1), Seq("dim"))
         .select(col("vec_id"), col("dim"),
-          (col("c") - col("dot") * col("vv")).as("c"))
+          (col("c") - col("dot") * col("vv")).as("c")))
       val (v2, n2) = power(c2)
       v2.crossJoin(broadcast(n2))
         .select(col("dim"),

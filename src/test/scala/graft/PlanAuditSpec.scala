@@ -47,7 +47,7 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopOk =
     Set("sim_topk_brute", "sim_ann_ivf", "dedup_embedding_cosine",
       "dedup_semantic", "emb_kmeans_step", "emb_decontaminate",
-      "emb_pca_power", "text_bloom_decon", "sim_hard_negatives",
+      "emb_pca_power", "emb_pca2", "text_bloom_decon", "sim_hard_negatives",
       "text_zipf", "emb_triplets", "q_idle_customers",
       "q_rfm_segments", "q_triangle_count", "q_kmv_setops",
       "q_rolling_active_users", "text_source_drift",
@@ -97,7 +97,11 @@ class PlanAuditSpec extends SparkSpec {
       // cluster family
       "corpus_curate",
       // same memoized cluster fixpoint as corpus_curate
-      "corpus_funnel", "dedup_survivors_quality")
+      "corpus_funnel", "dedup_survivors_quality",
+      // per-iteration 64-row eigenvector checkpoints: without them the
+      // deflated second power chain squares the lineage tree and
+      // Catalyst analysis goes exponential (see emb_pca2)
+      "emb_pca2")
     val sc = spark.sparkContext
     @volatile var jobs = 0
     @volatile var lastSite = ""
