@@ -250,6 +250,23 @@ object Dedup extends QueryModule {
         out
       }.toDF("a_id", "b_id", "cosine")
       pairs.orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Prefix-cluster dedup: documents sharing their first 64
+    // characters — the cheap catch for boilerplate-headed pages
+    // (cookie banners, license headers, template openings) that full
+    // near-dup passes pay shingle cost to find. One groupBy on the
+    // prefix hash: the prefix is fixed-width so the shuffle key is
+    // bounded regardless of document length, and the survivor rule
+    // (min doc_id) matches the exact-dedup family.
+    "dedup_prefix" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(md5(substring(col("text"), 1, 64)).as("prefix_md5"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("survivor_id"))
+        .filter(col("n_docs") >= 2)
+        .select(col("prefix_md5"), col("n_docs"), col("survivor_id"))
+        .orderBy(col("survivor_id"))
     })
   )
 
@@ -536,6 +553,13 @@ object Dedup extends QueryModule {
         |                         CAST(a.embedding AS DOUBLE[]))) *
         |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[])))) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_prefix" ->
+      """SELECT md5(substr(text, 1, 64)) AS prefix_md5,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS survivor_id
+        |FROM documents
+        |GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY survivor_id""".stripMargin
   )
 }

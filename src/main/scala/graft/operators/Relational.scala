@@ -1471,8 +1471,8 @@ object Relational extends QueryModule {
           .as("revenue"))
     }),
 
-    // TPC-H Q21 shape: suppliers from one nation who were the sole
-    // late shipper on a multi-supplier order ("kept orders waiting").
+    // TPC-H Q21 shape: suppliers who were the sole late shipper on a
+    // multi-supplier order ("kept orders waiting"), by nation.
     // Per-order supplier/late-supplier counts aggregate the fact table
     // once each on l_orderkey; the candidate rows then join those two
     // bounded per-order summaries — no correlated re-scan per row.
@@ -1490,9 +1490,9 @@ object Relational extends QueryModule {
         .join(perOrder, col("l_orderkey") === col("po_orderkey"))
         .filter(col("n_supp") >= 2 && col("n_late") === 1)
         .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_5")),
+        .join(broadcast(nation(s, d)),
           col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("s_name"))
+        .groupBy(col("s_name"), col("n_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
     }),
@@ -1571,6 +1571,40 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(10)
+    }),
+
+    // 7-day moving median of daily totals per event type — the
+    // robust trend line (moving average exists as q_window_running;
+    // the median shrugs off the spike days that drag a mean). Daily
+    // totals are exact integer centi-units (the q_cusum discipline),
+    // so the counting median — rank (n+1)/2 within each day's
+    // trailing window — is deterministic on both engines. The range
+    // self-join runs AFTER the daily aggregate: at any corpus scale
+    // its input is |event_types| × |days| rows, each joining ≤7
+    // trailing rows, so the quadratic-looking step is calendar-
+    // bounded, never corpus-bounded.
+    "q_moving_median" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      val a = daily.select(col("event_type"), col("day"))
+      val b = daily.select(col("event_type").as("b_type"),
+        col("day").as("b_day"), col("c").as("b_c"))
+      val win = a.join(b, col("event_type") === col("b_type") &&
+        col("b_day") <= col("day") &&
+        col("b_day") >= date_sub(col("day"), 6))
+      val ranked = win
+        .withColumn("n_in_win", count(lit(1)).over(Window
+          .partitionBy(col("event_type"), col("day"))))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("event_type"), col("day"))
+          .orderBy(col("b_c"), col("b_day"))))
+      ranked.filter(col("rn") === expr("(n_in_win + 1) div 2"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_in_win").cast("long").as("n_in_win"),
+          col("b_c").as("med_total_c"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -2454,13 +2488,14 @@ object Relational extends QueryModule {
         |    COUNT(DISTINCT l_suppkey) AS n_supp,
         |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
         |  FROM li GROUP BY 1)
-        |SELECT s_name, COUNT(*) AS numwait
+        |SELECT s_name, n_name, COUNT(*) AS numwait
         |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) c
         |JOIN per_order ON l_orderkey = po_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_supp >= 2 AND n_late = 1 AND n_name = 'NATION_5'
-        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q_regional_best_supplier" ->
       """WITH pairs AS (
@@ -2513,6 +2548,27 @@ object Relational extends QueryModule {
         |SELECT event_type || '>' || e2 || '>' || e3 AS path,
         |  COUNT(*) AS n
         |FROM seq WHERE e3 IS NOT NULL
-        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "q_moving_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT a.event_type, a.day, b.day AS b_day, b.c AS b_c
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type
+        |    AND b.day <= a.day AND b.day >= a.day - INTERVAL 6 DAY),
+        |ranked AS (
+        |  SELECT event_type, day, b_c,
+        |    COUNT(*) OVER (PARTITION BY event_type, day) AS n_in_win,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, day
+        |      ORDER BY b_c, b_day) AS rn
+        |  FROM win)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        |  CAST(n_in_win AS BIGINT) AS n_in_win, b_c AS med_total_c
+        |FROM ranked WHERE rn = (n_in_win + 1) // 2
+        |ORDER BY event_type, day""".stripMargin
   )
 }

@@ -51,7 +51,17 @@ class PlanAuditSpec extends SparkSpec {
       "text_zipf", "emb_triplets", "q_idle_customers",
       "q_rfm_segments", "q_triangle_count", "q_kmv_setops",
       "q_rolling_active_users", "text_source_drift",
-      "q_important_parts", "corpus_epochs")
+      "q_important_parts", "corpus_epochs",
+      // source-vocab aggregate × the broadcast ONE-row corpus token
+      // total (scalar-aggregate ride-along, same as corpus_epochs)
+      "text_keywords",
+      // all-pairs cosine over the md5-gated fixed-size sample — the
+      // quadratic step is bounded by the sample modulus by
+      // construction, never corpus-sized
+      "emb_pair_hist",
+      // recall report embeds sim_topk_brute's ground truth: corpus ×
+      // the broadcast 10-vector probe set, same bounded shape
+      "sim_ann_recall")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
