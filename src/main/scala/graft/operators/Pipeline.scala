@@ -827,6 +827,36 @@ object Pipeline extends QueryModule {
           expr("cast(round(vv * 1000000) as bigint)").as("loading_ppm"),
           col("nrm").as("eigenvalue"))
         .orderBy(col("dim"))
+    }),
+
+    // Per-source contamination report: how much of each source's slice
+    // overlaps the benchmark set — the release-gate summary on top of
+    // text_decontaminate's per-pair detail (a corpus ships with this
+    // number, not the pair list). Same broadcast-benchmark shingle
+    // join; the flagged doc set then left-joins back onto the
+    // per-source counts, so the report side is |sources| rows.
+    "corpus_contamination_report" -> ((s, d) => {
+      val sets = graft.operators.Dedup.shingleSets(documents(s, d))
+      def shingles(df: DataFrame) =
+        df.select(col("doc_id"), explode(col("set")).as("h"))
+      val bench = shingles(sets.filter(col("doc_id") < 20))
+        .withColumnRenamed("doc_id", "bench_id")
+      val flagged = shingles(sets.filter(col("doc_id") >= 20))
+        .join(broadcast(bench), Seq("h"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 8)
+        .select(col("doc_id")).distinct()
+        .withColumn("contaminated", lit(1L))
+      documents(s, d).filter(col("doc_id") >= 20)
+        .select(col("doc_id"), col("source"))
+        .join(flagged, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("contaminated"), lit(0L))).as("n_contaminated"))
+        .withColumn("rate_ppm",
+          expr("n_contaminated * 1000000L div n_docs"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1265,6 +1295,26 @@ object Pipeline extends QueryModule {
         "\n  (SELECT nrm FROM \"p2-n3\") AS eigenvalue" +
         "\nFROM \"p2-v3\" ORDER BY dim"
     },
+
+    "corpus_contamination_report" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20),
+        |c AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+        |flagged AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT c.doc_id, b.bench_id FROM c JOIN b ON c.s = b.s
+        |    GROUP BY 1, 2 HAVING COUNT(*) >= 8))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN flagged.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(CASE WHEN flagged.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS rate_ppm
+        |FROM documents LEFT JOIN flagged USING (doc_id)
+        |WHERE documents.doc_id >= 20
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "sample_hash" ->
       """SELECT doc_id, lang FROM documents

@@ -1605,6 +1605,67 @@ object Relational extends QueryModule {
           col("n_in_win").cast("long").as("n_in_win"),
           col("b_c").as("med_total_c"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Spend deciles: NTILE over per-customer totals, rolled up to one
+    // row per decile — the marketing "value segment" cut. NTILE's
+    // equal-fill-remainder-first semantics are identical across
+    // engines given a total order, so the (total_spent DESC, custkey)
+    // tie-break makes bucket membership deterministic. The window
+    // input is the per-customer aggregate — orders of magnitude
+    // smaller than the fact table — but it IS a global window
+    // (WindowExec single-partitions an unpartitioned NTILE); past
+    // driver-friendly |customers|, the production swap is a
+    // range-partitioned sort + per-partition offsets (distributed
+    // positional rank, same answer) or the q_rfm_segments
+    // counting-quantile cutoffs (value-based deciles).
+    "q_ntile_spend" -> ((s, d) => {
+      val spend = orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("total_spent"))
+      spend
+        .withColumn("decile", ntile(10).over(Window
+          .orderBy(col("total_spent").desc, col("o_custkey")))
+          .cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("total_spent")).as("decile_spend"),
+          min(col("total_spent")).as("floor_spend"))
+        .orderBy(col("decile"))
+    }),
+
+    // Time-to-convert: per user, the gap from first view to first
+    // subsequent purchase, summarized as counting quantiles over the
+    // integer seconds grid (the q_interarrival discipline — the
+    // ranking runs over distinct gap values, bounded by the time
+    // domain). Two per-user min aggregates and a join on user_id:
+    // one shuffle each, all corpus-scale-safe.
+    "q_conversion_time" -> ((s, d) => {
+      val ev = events(s, d)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val firstPurchase = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val gaps = firstView
+        .join(firstPurchase, Seq("user_id"))
+        .filter(col("p_ts") >= col("v_ts"))
+        .select(expr("(unix_micros(cast(p_ts as timestamp))" +
+          " - unix_micros(cast(v_ts as timestamp))) div 1000000")
+          .as("gap_s"))
+      val counts = gaps.groupBy(col("gap_s")).agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy(col("gap_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+        .agg(max(col("n")).as("n_users"),
+          min(when(col("cum") * 4 >= col("n"), col("gap_s")))
+            .as("p25_s"),
+          min(when(col("cum") * 2 >= col("n"), col("gap_s")))
+            .as("median_s"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("gap_s")))
+            .as("p90_s"),
+          max(col("gap_s")).as("max_s"))
     })
   )
 
@@ -2569,6 +2630,45 @@ object Relational extends QueryModule {
         |SELECT event_type, CAST(day AS VARCHAR) AS day,
         |  CAST(n_in_win AS BIGINT) AS n_in_win, b_c AS med_total_c
         |FROM ranked WHERE rn = (n_in_win + 1) // 2
-        |ORDER BY event_type, day""".stripMargin
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_ntile_spend" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, ${sqlSum("o_totalprice")} AS total_spent
+         |  FROM orders GROUP BY o_custkey),
+         |tiled AS (
+         |  SELECT o_custkey, total_spent,
+         |    CAST(NTILE(10) OVER (ORDER BY total_spent DESC, o_custkey)
+         |      AS BIGINT) AS decile
+         |  FROM spend)
+         |SELECT decile, COUNT(*) AS n_customers,
+         |  ${sqlSum("total_spent")} AS decile_spend,
+         |  MIN(total_spent) AS floor_spend
+         |FROM tiled GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q_conversion_time" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fp AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS p_ts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |gaps AS (
+        |  SELECT (epoch_us(p_ts) - epoch_us(v_ts)) // 1000000 AS gap_s
+        |  FROM fv JOIN fp USING (user_id) WHERE p_ts >= v_ts),
+        |counts AS (
+        |  SELECT gap_s, COUNT(*) AS cnt FROM gaps GROUP BY gap_s),
+        |cum AS (
+        |  SELECT gap_s, cnt,
+        |    SUM(cnt) OVER (ORDER BY gap_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER () AS n
+        |  FROM counts)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+        |  MIN(CASE WHEN cum * 4 >= n THEN gap_s END) AS p25_s,
+        |  MIN(CASE WHEN cum * 2 >= n THEN gap_s END) AS median_s,
+        |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS p90_s,
+        |  MAX(gap_s) AS max_s
+        |FROM cum""".stripMargin
   )
 }
