@@ -119,6 +119,22 @@ object CdcQueries extends QueryModule {
         .orderBy(col("event_id"), col("valid_from_lsn"))
     }),
 
+    // Replication digest: per-operation accounting of the change
+    // stream (volume, distinct keys touched, LSN span) — the
+    // monitoring rollup a CDC consumer publishes per flush window
+    // (the batch face of A3's running metrics). One groupBy over the
+    // change feed; three report rows.
+    "cdc_change_stats" -> ((s, d) => {
+      val base = events(s, d).select(col("event_id"), col("value"))
+      syntheticChanges(base)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n_changes"),
+          countDistinct(col("event_id")).as("n_keys"),
+          min(col("lsn")).as("min_lsn"),
+          max(col("lsn")).as("max_lsn"))
+        .orderBy(col("op"))
+    }),
+
     // P2/P4/J1/F1: wal2json parse round-trip; oracle = identity.
     "cdc_wal2json_roundtrip" -> ((s, d) => {
       Cdc.parseWal2Json(wal2jsonPayloads(s, d), "payload", catalog(s))
@@ -353,6 +369,26 @@ object CdcQueries extends QueryModule {
         |    AS BIGINT) AS is_current
         |FROM v2 WHERE op <> 'delete'
         |ORDER BY event_id, valid_from_lsn""".stripMargin,
+
+    "cdc_change_stats" ->
+      """WITH base AS (SELECT event_id, value FROM events),
+        |changes AS (
+        |  SELECT event_id, 'update' AS op, value * 2 AS new_value,
+        |    event_id * 2 AS lsn
+        |  FROM base WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT event_id, 'delete', NULL, event_id * 2
+        |  FROM base WHERE event_id % 3 = 1
+        |  UNION ALL
+        |  SELECT -event_id - 1, 'insert', value, event_id * 2
+        |  FROM base WHERE event_id % 3 = 2
+        |  UNION ALL
+        |  SELECT event_id, 'update', value + 7, event_id * 2 + 1
+        |  FROM base WHERE event_id % 9 = 0)
+        |SELECT op, COUNT(*) AS n_changes,
+        |  COUNT(DISTINCT event_id) AS n_keys,
+        |  MIN(lsn) AS min_lsn, MAX(lsn) AS max_lsn
+        |FROM changes GROUP BY op ORDER BY op""".stripMargin,
 
     "cdc_apply" ->
       """WITH base AS (SELECT event_id, value FROM events),

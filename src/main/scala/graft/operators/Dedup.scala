@@ -252,6 +252,31 @@ object Dedup extends QueryModule {
       pairs.orderBy(col("a_id"), col("b_id"))
     }),
 
+    // LSH bucket-size histogram — the skew diagnostic every banded
+    // dedup deployment needs BEFORE running the candidate self-join:
+    // candidates scale as sum(bucket²), so one hot bucket (a
+    // boilerplate-dominated band) is what turns a linear banding pass
+    // into an accidental quadratic. Runs on the SimHash chunk banding
+    // (md5-derived, so the oracle recomputes identical buckets);
+    // linear scan + one groupBy on (band, key), report is
+    // |distinct sizes| rows.
+    "dedup_simhash_buckets" -> ((s, d) => {
+      import graft.expressions.SimHash64.simhash64
+      import graft.expressions.TokenMd5.token_md5_60
+      val sigs = documents(s, d).select(col("doc_id"),
+        simhash64(token_md5_60(col("text"))).as("sig"))
+      val banded = sigs.select(col("doc_id"),
+        explode(array((0 until 4).map(i => struct(lit(i).as("band"),
+          shiftrightunsigned(col("sig"), i * 15).bitwiseAND(lit(0x7FFFL))
+            .as("key"))): _*)).as("e"))
+        .select(col("e.band").as("band"), col("e.key").as("key"))
+      banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("bucket_size"))
+        .groupBy(col("bucket_size"))
+        .agg(count(lit(1)).as("n_buckets"))
+        .orderBy(col("bucket_size"))
+    }),
+
     // Prefix-cluster dedup: documents sharing their first 64
     // characters — the cheap catch for boilerplate-headed pages
     // (cookie banners, license headers, template openings) that full
@@ -554,6 +579,26 @@ object Dedup extends QueryModule {
         |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[])))) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash_buckets" -> {
+      val bitSum = (0 until 60).map { i =>
+        s"(CASE WHEN 2 * COALESCE(list_sum(list_transform(th, x -> (x >> $i) & 1)), 0) > len(th) THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_transform(
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t != ''),
+         |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+         |  FROM documents),
+         |s AS (SELECT doc_id, $bitSum AS sig FROM t),
+         |banded AS (
+         |  SELECT u.band, (s.sig >> (u.band * 15)) & 32767 AS key
+         |  FROM s, UNNEST([0, 1, 2, 3]) u(band)),
+         |buckets AS (
+         |  SELECT band, key, COUNT(*) AS bucket_size
+         |  FROM banded GROUP BY band, key)
+         |SELECT bucket_size, COUNT(*) AS n_buckets
+         |FROM buckets GROUP BY bucket_size ORDER BY bucket_size""".stripMargin
+    },
 
     "dedup_prefix" ->
       """SELECT md5(substr(text, 1, 64)) AS prefix_md5,
