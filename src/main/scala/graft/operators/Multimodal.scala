@@ -199,6 +199,26 @@ object Multimodal extends QueryModule {
           sum(col("n_bytes")).as("total_bytes"),
           max(col("n_bytes")).as("max_item_bytes"))
         .orderBy(col("shard"))
+    }),
+
+    // Blob-size profile: power-of-two size histogram over the media
+    // payloads — the storage-planning report (row-group sizing, shard
+    // byte budgets, "do we have a long tail of megablobs") every
+    // binary-column table needs. Integer log2 via length(bin(n)) - 1:
+    // both engines print identical minimal binary strings, so the
+    // bucketing is exact without touching libm log2. Pure scan +
+    // one groupBy on ≤64 bucket keys.
+    "mm_size_hist" -> ((s, d) => {
+      documents(s, d)
+        .select(octet_length(col("text")).cast("long").as("n_bytes"))
+        .withColumn("log2_bucket",
+          (length(bin(col("n_bytes"))) - 1).cast("long"))
+        .groupBy(col("log2_bucket"))
+        .agg(count(lit(1)).as("n_blobs"),
+          sum(col("n_bytes")).as("total_bytes"),
+          min(col("n_bytes")).as("min_bytes"),
+          max(col("n_bytes")).as("max_bytes"))
+        .orderBy(col("log2_bucket"))
     })
   )
 
@@ -299,6 +319,15 @@ object Multimodal extends QueryModule {
         |  COUNT(*) AS n_items,
         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(MAX(n_bytes) AS BIGINT) AS max_item_bytes
-        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "mm_size_hist" ->
+      """WITH b AS (
+        |  SELECT CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents)
+        |SELECT CAST(length(bin(n_bytes)) - 1 AS BIGINT) AS log2_bucket,
+        |  COUNT(*) AS n_blobs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  MIN(n_bytes) AS min_bytes, MAX(n_bytes) AS max_bytes
+        |FROM b GROUP BY 1 ORDER BY log2_bucket""".stripMargin
   )
 }

@@ -1666,6 +1666,30 @@ object Relational extends QueryModule {
           min(when(col("cum") * 10 >= col("n") * 9, col("gap_s")))
             .as("p90_s"),
           max(col("gap_s")).as("max_s"))
+    }),
+
+    // ANALYZE-style column statistics — the stats collection pass a
+    // cost-based optimizer (and any data-quality monitor) runs over a
+    // table: per key column, cardinality, null count and value range.
+    // Long format via one explode (4× row multiply, then a single
+    // shuffle on 4 group keys) rather than four countDistincts in one
+    // aggregate — Catalyst's multi-distinct rewrite expands the input
+    // once per distinct aggregate anyway, and the long format keeps
+    // the result schema fixed as columns are added.
+    "q_column_stats" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber")
+      val long = lineitem(s, d).select(
+        explode(array(cols.map(c => struct(lit(c).as("col_name"),
+          col(c).cast("long").as("v"))): _*)).as("e"))
+        .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      long.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("v")).as("ndv"),
+          sum(col("v").isNull.cast("long")).as("n_null"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -2669,6 +2693,19 @@ object Relational extends QueryModule {
         |  MIN(CASE WHEN cum * 2 >= n THEN gap_s END) AS median_s,
         |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS p90_s,
         |  MAX(gap_s) AS max_s
-        |FROM cum""".stripMargin
+        |FROM cum""".stripMargin,
+
+    "q_column_stats" ->
+      """WITH long AS (
+        |  SELECT 'l_orderkey' AS col_name, l_orderkey AS v FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS BIGINT)
+        |    FROM lineitem)
+        |SELECT col_name, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS ndv,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null,
+        |  MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM long GROUP BY col_name ORDER BY col_name""".stripMargin
   )
 }

@@ -44,6 +44,33 @@ object EventAnalytics {
       .select(col("window.start").as("window_start"), col("n"),
         col("sum_value"))
 
+  /** Windowed distinct users via the bounded KMV sketch — the
+    * streaming face of q_kmv_distinct. A streaming
+    * `approx_count_distinct`-class aggregate must hold O(k) state per
+    * window in the state store no matter how many distinct users the
+    * window sees, and must merge correctly across micro-batches and
+    * shuffle partitions; KmvSmallest's TypedImperativeAggregate
+    * buffer gives exactly that (k smallest distinct hashes commute
+    * with any batch/partition split — the same proof NativeExprSpec
+    * pins for batch). Below k distinct the estimate is EXACT (the
+    * sketch holds the whole hash set), which the spec asserts
+    * against a batch countDistinct on the same feed. */
+  def windowedDistinct(events: DataFrame, window: String = "1 hour",
+      watermark: String = "10 minutes", k: Int = 128): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10)" +
+          " as double) / 4294967296.0"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(graft.expressions.KmvSmallest.kmv_smallest(col("h"), k).as("hs"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        when(size(col("hs")) >= k,
+          lit((k - 1).toDouble) / element_at(col("hs"), k))
+          .otherwise(size(col("hs")).cast("double"))
+          .as("distinct_users_est"))
+
   /** Streaming heavy hitters: the bounded SpaceSaving summary as a
     * streaming aggregate — O(capacity) state for the WHOLE stream
     * regardless of distinct-key cardinality, where a plain

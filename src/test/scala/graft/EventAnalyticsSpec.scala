@@ -41,6 +41,37 @@ class EventAnalyticsSpec extends SparkSpec {
       s"first window wrong or missing: $rows")
   }
 
+  test("windowed KMV distinct: sketch state merges across batches, exact below k") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventAnalytics
+      .windowedDistinct(in.toDF(), window = "10 minutes",
+        watermark = "5 minutes", k = 128)
+      .writeStream.format("memory").queryName("kmv_win")
+      .outputMode(OutputMode.Append).start()
+    // window [10:00,10:10): users 1..4 arrive split across TWO
+    // micro-batches (with a repeat), so the KMV buffer must survive a
+    // state-store round-trip and merge with the second batch's partial
+    in.addData(Event(1, ts(1), 1.0), Event(2, ts(2), 1.0),
+      Event(1, ts(3), 1.0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(4), 1.0), Event(4, ts(5), 1.0),
+      Event(2, ts(6), 1.0))
+    q.processAllAvailable()
+    // advance the watermark past the window => it finalizes and emits
+    in.addData(Event(9, ts(40), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("kmv_win").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 1, s"exactly one finalized window: ${rows.toSeq}")
+    val (start, nEvents, est) = rows.head
+    assert(start == "2024-01-01 10:00:00.0")
+    assert(nEvents == 6L)
+    // 4 distinct users < k=128 => the small-set branch is EXACT
+    assert(est == 4.0, s"estimate $est != exact 4")
+  }
+
   test("streaming heavy hitters: bounded sketch, exact counts across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[String]
