@@ -59,8 +59,29 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     replicate(Tables.embeddings(spark, d), Seq("vec_id"), n)
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    replicate(Tables.lineitem(spark, d), Seq("l_orderkey"), n)
+    // the full star schema, FK-consistent: every key column shifts by
+    // the same per-copy offset, so copy i's lineitem joins copy i's
+    // orders/customer/part/supplier and never copy j's — an n-times
+    // corpus with the same join selectivities, which is what makes
+    // the multi-join TPC-H-shape ratios meaningful. nation/region are
+    // genuine fixed-size dimensions and stay as-is.
+    replicate(Tables.lineitem(spark, d),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"), n)
       .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    replicate(Tables.orders(spark, d), Seq("o_orderkey", "o_custkey"), n)
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    replicate(Tables.customer(spark, d), Seq("c_custkey"), n)
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    replicate(Tables.part(spark, d), Seq("p_partkey"), n)
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    replicate(Tables.supplier(spark, d), Seq("s_suppkey"), n)
+      .write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
+    replicate(Tables.events(spark, d), Seq("event_id", "user_id"), n)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    Tables.nation(spark, d)
+      .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    Tables.region(spark, d)
+      .write.mode("overwrite").parquet(s"$tmp/region.parquet")
 
     // dedup_semantic / dedup_embedding_cosine are deliberately absent:
     // embeddings replicate UNperturbed, so every copy is an exact
@@ -84,7 +105,24 @@ object ScaleProbe {
       // is ~zero), PQ's linear code-assignment + ADC scan, and the
       // triplet miner's scored-pass windows (both pure scans +
       // bounded-output top-k over unperturbed embeddings)
-      "dedup_minhash_words", "sim_ann_pq", "emb_triplets")
+      "dedup_minhash_words", "sim_ann_pq", "emb_triplets",
+      // round-7 second-session additions. The TPC-H shapes ride the
+      // FK-consistent star replication (multi-join plans over n-times
+      // facts with unchanged dim selectivity); the event-analytics
+      // trio measures window/aggregate scaling on n-times events with
+      // a fixed calendar; the text/corpus reports are single-pass
+      // aggregations over perturbed text. emb_pair_hist is
+      // deliberately absent: its sample gate is a fixed modulus, so a
+      // 10x corpus means a 10x sample and ~100x pairs BY DESIGN (the
+      // modulus is the documented scale knob) — its ratio would
+      // measure the knob, not the pipeline.
+      "q_volume_shipping", "q_market_share", "q_product_profit",
+      "q_late_sole_supplier", "q_parts_supplier_cnt",
+      "q_regional_best_supplier", "q_ntile_spend", "q_column_stats",
+      "q_order_streaks", "q_user_paths", "q_moving_median",
+      "q_conversion_time", "dedup_prefix", "dedup_simhash_buckets",
+      "text_keywords", "corpus_card", "corpus_contamination_report",
+      "cdc_change_stats", "mm_size_hist")
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
