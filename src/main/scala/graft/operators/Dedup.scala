@@ -277,6 +277,31 @@ object Dedup extends QueryModule {
         .orderBy(col("bucket_size"))
     }),
 
+    // Detector-agreement report: how the corpus's two cheap near-dup
+    // detectors (SimHash Hamming<=3, exact char-shingle Jaccard>=0.8)
+    // overlap on the same corpus — the calibration readout for
+    // choosing a production detector (SimHash is linear and
+    // order-robust; Jaccard is the semantic yardstick). A full outer
+    // join of the two pair sets, reduced to the three-way count
+    // split; both inputs are the already-bounded candidate-verified
+    // pair sets, so the report join is pair-count sized.
+    "dedup_agreement" -> ((s, d) => {
+      val sim = simhashPairs(documents(s, d))
+        .select(col("a_id"), col("b_id"), lit(1L).as("in_simhash"))
+      val jac = minhashPairs(documents(s, d))
+        .select(col("a_id"), col("b_id"), lit(1L).as("in_jaccard"))
+      sim.join(jac, Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          sum(when(col("in_simhash").isNotNull &&
+            col("in_jaccard").isNotNull, 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("in_simhash").isNotNull &&
+            col("in_jaccard").isNull, 1L).otherwise(0L))
+            .as("n_simhash_only"),
+          sum(when(col("in_simhash").isNull &&
+            col("in_jaccard").isNotNull, 1L).otherwise(0L))
+            .as("n_jaccard_only"))
+    }),
+
     // Prefix-cluster dedup: documents sharing their first 64
     // characters — the cheap catch for boilerplate-headed pages
     // (cookie banners, license headers, template openings) that full
@@ -579,6 +604,44 @@ object Dedup extends QueryModule {
         |   sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[])))) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_agreement" -> {
+      val bitSum = (0 until 60).map { i =>
+        s"(CASE WHEN 2 * COALESCE(list_sum(list_transform(th, x -> (x >> $i) & 1)), 0) > len(th) THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(
+         |    list_filter(string_split_regex(text, '\\s+'), t -> t != ''),
+         |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+         |  FROM documents),
+         |sgs AS MATERIALIZED (SELECT doc_id, $bitSum AS sig FROM t),
+         |simp AS MATERIALIZED (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sgs a JOIN sgs b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |sh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, u.s FROM documents,
+         |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+         |    i -> substr(text, i, 8))) u(s)),
+         |sz AS MATERIALIZED (
+         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |jacp AS MATERIALIZED (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+         |    FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |    GROUP BY 1, 2) p
+         |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+         |  WHERE inter * 5 >= (a.n + b.n - inter) * 4)
+         |SELECT
+         |  CAST(SUM(CASE WHEN s.a_id IS NOT NULL AND j.a_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN s.a_id IS NOT NULL AND j.a_id IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only,
+         |  CAST(SUM(CASE WHEN s.a_id IS NULL AND j.a_id IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_jaccard_only
+         |FROM simp s FULL OUTER JOIN jacp j
+         |  ON s.a_id = j.a_id AND s.b_id = j.b_id""".stripMargin
+    },
 
     "dedup_simhash_buckets" -> {
       val bitSum = (0 until 60).map { i =>

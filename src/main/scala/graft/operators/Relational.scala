@@ -1690,6 +1690,39 @@ object Relational extends QueryModule {
           min(col("v")).as("min_v"),
           max(col("v")).as("max_v"))
         .orderBy(col("col_name"))
+    }),
+
+    // Revenue concentration (the 80/20 report): the share of total
+    // revenue held by the top 1% / 10% / 20% of customers. The
+    // cumulative sum runs in quantized decimal (the q_window_running
+    // discipline) so the running total is reassociation-exact, and
+    // the percentile cut rows are exact integer ceilings. Same
+    // global-window caveat-and-swap as q_ntile_spend: the window
+    // input is the per-customer aggregate, and past driver-friendly
+    // |customers| the positional scan becomes a range-partitioned
+    // sort with per-partition offsets.
+    "q_revenue_pareto" -> ((s, d) => {
+      val spend = orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spent"))
+      val w = Window.orderBy(col("spent").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = spend.agg(count(lit(1)).as("n_customers"),
+        dsum(col("spent")).as("total_revenue"))
+      spend
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("spent").desc, col("o_custkey"))).cast("long"))
+        .withColumn("cum",
+          (sum(dsumExpr(col("spent"))).over(w).cast("double") / 1e8))
+        .crossJoin(broadcast(tot))
+        .agg(max(col("n_customers")).as("n_customers"),
+          max(col("total_revenue")).as("total_revenue"),
+          (max(when(col("rn") <= expr("(n_customers + 99) div 100"),
+            col("cum"))) / max(col("total_revenue"))).as("share_top1"),
+          (max(when(col("rn") <= expr("(n_customers + 9) div 10"),
+            col("cum"))) / max(col("total_revenue"))).as("share_top10"),
+          (max(when(col("rn") <= expr("(n_customers + 4) div 5"),
+            col("cum"))) / max(col("total_revenue"))).as("share_top20"))
     })
   )
 
@@ -2706,6 +2739,31 @@ object Relational extends QueryModule {
         |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_null,
         |  MIN(v) AS min_v, MAX(v) AS max_v
-        |FROM long GROUP BY col_name ORDER BY col_name""".stripMargin
+        |FROM long GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    "q_revenue_pareto" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, ${sqlSum("o_totalprice")} AS spent
+         |  FROM orders GROUP BY o_custkey),
+         |tot AS (SELECT COUNT(*) AS n_customers,
+         |  ${sqlSum("spent")} AS total_revenue FROM spend),
+         |cum AS (
+         |  SELECT o_custkey, spent,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY spent DESC, o_custkey)
+         |      AS BIGINT) AS rn,
+         |    CAST(SUM(CAST(round(spent * 1e8) AS HUGEINT)) OVER (
+         |      ORDER BY spent DESC, o_custkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS DOUBLE) / 1e8 AS cum
+         |  FROM spend)
+         |SELECT MAX(n_customers) AS n_customers,
+         |  MAX(total_revenue) AS total_revenue,
+         |  MAX(CASE WHEN rn <= (n_customers + 99) // 100 THEN cum END)
+         |    / MAX(total_revenue) AS share_top1,
+         |  MAX(CASE WHEN rn <= (n_customers + 9) // 10 THEN cum END)
+         |    / MAX(total_revenue) AS share_top10,
+         |  MAX(CASE WHEN rn <= (n_customers + 4) // 5 THEN cum END)
+         |    / MAX(total_revenue) AS share_top20
+         |FROM cum CROSS JOIN tot""".stripMargin
   )
 }

@@ -61,7 +61,10 @@ class PlanAuditSpec extends SparkSpec {
       "emb_pair_hist",
       // recall report embeds sim_topk_brute's ground truth: corpus ×
       // the broadcast 10-vector probe set, same bounded shape
-      "sim_ann_recall")
+      "sim_ann_recall",
+      // per-customer aggregate × the broadcast ONE-row total
+      // (scalar-aggregate ride-along, same as q_important_parts)
+      "q_revenue_pareto")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
