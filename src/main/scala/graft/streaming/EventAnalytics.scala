@@ -44,6 +44,32 @@ object EventAnalytics {
       .select(col("window.start").as("window_start"), col("n"),
         col("sum_value"))
 
+  /** Stream-static enrichment: the workhorse pattern for joining a
+    * stream against a slowly-changing dimension snapshot — Spark
+    * replans the static side per micro-batch, so a broadcast hint
+    * keeps every batch a map-side hash join (no stream shuffle, no
+    * state store: unlike stream-stream joins this is stateless).
+    * Unmatched events keep flowing with a null segment (left join) —
+    * dropping them silently is how pipelines lose late-registered
+    * users. Aggregated per (window, segment) under a watermark.
+    * At 100 TB-of-stream the static side is whatever fits broadcast
+    * (dimension tables by definition); a fact-sized static side
+    * would drop the hint and let AQE shuffle — same code path.
+    * For dimensions that CHANGE mid-stream, MaterializedTable.enrich
+    * is the CDC-maintained variant of this join. */
+  def enrichAndRollup(events: DataFrame, dim: DataFrame,
+      window: String = "1 hour", watermark: String = "10 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), events("user_id") === dim("dim_user_id"),
+        "left_outer")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("segment"),
+        col("n"), col("sum_value"))
+
   /** Windowed distinct users via the bounded KMV sketch — the
     * streaming face of q_kmv_distinct. A streaming
     * `approx_count_distinct`-class aggregate must hold O(k) state per

@@ -41,6 +41,29 @@ class EventAnalyticsSpec extends SparkSpec {
       s"first window wrong or missing: $rows")
   }
 
+  test("stream-static enrichment: broadcast dim join, unmatched events survive") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER"))
+      .toDF("dim_user_id", "segment")
+    val in = MemoryStream[Event]
+    val q = EventAnalytics
+      .enrichAndRollup(in.toDF(), dim, window = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    // user 3 has no dim row — must come through as UNKNOWN, not drop
+    in.addData(Event(1, ts(1), 10.0), Event(2, ts(2), 20.0),
+      Event(1, ts(3), 5.0), Event(3, ts(4), 7.0))
+    q.processAllAvailable()
+    in.addData(Event(1, ts(40), 1.0)) // advance watermark, finalize
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(("GOLD", 2L, 15.0), ("SILVER", 1L, 20.0),
+      ("UNKNOWN", 1L, 7.0)), s"got $rows")
+  }
+
   test("windowed KMV distinct: sketch state merges across batches, exact below k") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Event]
