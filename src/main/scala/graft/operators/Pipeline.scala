@@ -829,6 +829,53 @@ object Pipeline extends QueryModule {
         .orderBy(col("dim"))
     }),
 
+    // Quantization-quality gate: recall@10 of int8-reconstructed
+    // cosine ranking vs full precision — the acceptance metric for
+    // shipping a quantized index (emb_quantize reports per-vector
+    // error; THIS reports what that error does to retrieval). Both
+    // rankings run the same probe-broadcast scan; reconstruction is
+    // q·scale per element, so the whole comparison is deterministic
+    // double arithmetic on both engines.
+    "emb_quantize_recall" -> ((s, d) => {
+      val v = embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val recon = v
+        .withColumn("scale", expr(
+          "array_max(transform(v, x -> abs(x))) / 127.0D"))
+        .withColumn("r", expr(
+          "CASE WHEN scale = 0.0D THEN transform(v, x -> 0.0D)" +
+            " ELSE transform(v, x -> cast(round(x / scale) as bigint)" +
+            " * scale) END"))
+        .select(col("vec_id"), col("v"), col("r"))
+      def dot(a: String, b: String) =
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y)," +
+          " 0D, (acc, t) -> acc + t)")
+      val base = recon
+        .withColumn("vn", dot("v", "v")).withColumn("rn", dot("r", "r"))
+      val probes = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("r").as("qr"), col("vn").as("qvn"), col("rn").as("qrn"))
+      val scored = base.join(broadcast(probes),
+          col("vec_id") =!= col("query_id"))
+        .withColumn("cos_full",
+          expr("aggregate(zip_with(qv, v, (x, y) -> x * y)," +
+            " 0D, (acc, t) -> acc + t)") / sqrt(col("qvn") * col("vn")))
+        .withColumn("cos_q",
+          expr("aggregate(zip_with(qr, r, (x, y) -> x * y)," +
+            " 0D, (acc, t) -> acc + t)") / sqrt(col("qrn") * col("rn")))
+      def top(c: String) = scored
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col(c).desc, col("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      top("cos_full").join(top("cos_q"), Seq("query_id", "vec_id"),
+          "left_semi")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits10"))
+        .orderBy(col("query_id"))
+    }),
+
     // Per-source contamination report: how much of each source's slice
     // overlaps the benchmark set — the release-gate summary on top of
     // text_decontaminate's per-pair detail (a corpus ships with this
@@ -1295,6 +1342,48 @@ object Pipeline extends QueryModule {
         "\n  (SELECT nrm FROM \"p2-n3\") AS eigenvalue" +
         "\nFROM \"p2-v3\" ORDER BY dim"
     },
+
+    "emb_quantize_recall" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |recon AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) / 127.0 = 0.0
+        |      THEN list_transform(v, x -> 0.0)
+        |      ELSE list_transform(v, x ->
+        |        round(x / (list_max(list_transform(v, y -> abs(y))) / 127.0))
+        |        * (list_max(list_transform(v, y -> abs(y))) / 127.0)) END
+        |      AS r
+        |  FROM v),
+        |base AS MATERIALIZED (
+        |  SELECT vec_id, v, r, list_dot_product(v, v) AS vn,
+        |    list_dot_product(r, r) AS rn
+        |  FROM recon),
+        |probes AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, v AS qv, r AS qr, vn AS qvn,
+        |    rn AS qrn
+        |  FROM base WHERE vec_id < 10),
+        |scored AS MATERIALIZED (
+        |  SELECT p.query_id, b.vec_id,
+        |    list_dot_product(p.qv, b.v) / sqrt(p.qvn * b.vn) AS cos_full,
+        |    list_dot_product(p.qr, b.r) / sqrt(p.qrn * b.rn) AS cos_q
+        |  FROM base b JOIN probes p ON b.vec_id <> p.query_id),
+        |top_full AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cos_full DESC, vec_id) AS rk
+        |    FROM scored) t WHERE rk <= 10),
+        |top_q AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY cos_q DESC, vec_id) AS rk
+        |    FROM scored) t WHERE rk <= 10)
+        |SELECT f.query_id, COUNT(*) AS n_hits10
+        |FROM top_full f
+        |WHERE EXISTS (SELECT 1 FROM top_q q
+        |  WHERE q.query_id = f.query_id AND q.vec_id = f.vec_id)
+        |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin,
 
     "corpus_contamination_report" ->
       """WITH sh AS (

@@ -1723,6 +1723,30 @@ object Relational extends QueryModule {
             col("cum"))) / max(col("total_revenue"))).as("share_top10"),
           (max(when(col("rn") <= expr("(n_customers + 4) div 5"),
             col("cum"))) / max(col("total_revenue"))).as("share_top20"))
+    }),
+
+    // Join-key skew report: per candidate shuffle key, the heaviest
+    // key's row count against the mean — the diagnostic that decides
+    // between a plain shuffle join, AQE skew splitting, and salting
+    // (a skew_x100 in the thousands on a key you're about to join on
+    // is the 100 TB straggler forecast). Same long-format explode as
+    // q_column_stats; skew is exact integer arithmetic.
+    "q_skew_report" -> ((s, d) => {
+      val keys = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag")
+      val long = lineitem(s, d).select(
+        explode(array(keys.map(c => struct(lit(c).as("key_col"),
+          col(c).cast("string").as("v"))): _*)).as("e"))
+        .select(col("e.key_col").as("key_col"), col("e.v").as("v"))
+      long.groupBy(col("key_col"), col("v"))
+        .agg(count(lit(1)).as("per_key"))
+        .groupBy(col("key_col"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("per_key")).as("total_rows"),
+          max(col("per_key")).as("max_per_key"))
+        .withColumn("skew_x100",
+          expr("max_per_key * n_keys * 100L div total_rows"))
+        .orderBy(col("key_col"))
     })
   )
 
@@ -2764,6 +2788,25 @@ object Relational extends QueryModule {
          |    / MAX(total_revenue) AS share_top10,
          |  MAX(CASE WHEN rn <= (n_customers + 4) // 5 THEN cum END)
          |    / MAX(total_revenue) AS share_top20
-         |FROM cum CROSS JOIN tot""".stripMargin
+         |FROM cum CROSS JOIN tot""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH long AS (
+        |  SELECT 'l_orderkey' AS key_col, CAST(l_orderkey AS VARCHAR) AS v
+        |    FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem),
+        |per AS (
+        |  SELECT key_col, v, COUNT(*) AS per_key
+        |  FROM long GROUP BY key_col, v)
+        |SELECT key_col, COUNT(*) AS n_keys,
+        |  CAST(SUM(per_key) AS BIGINT) AS total_rows,
+        |  CAST(MAX(per_key) AS BIGINT) AS max_per_key,
+        |  CAST(MAX(per_key) * COUNT(*) * 100 // SUM(per_key) AS BIGINT)
+        |    AS skew_x100
+        |FROM per GROUP BY key_col ORDER BY key_col""".stripMargin
   )
 }

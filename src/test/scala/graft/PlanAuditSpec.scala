@@ -64,7 +64,10 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ann_recall",
       // per-customer aggregate × the broadcast ONE-row total
       // (scalar-aggregate ride-along, same as q_important_parts)
-      "q_revenue_pareto")
+      "q_revenue_pareto",
+      // corpus × the broadcast 10-probe set, twice-scored (full and
+      // int8-reconstructed) — same bounded shape as sim_topk_brute
+      "emb_quantize_recall")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
