@@ -22,15 +22,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Bounded query-level parallelism: most declared queries are small
+    // sequential jobs whose wall cost is scheduling, not CPU, so
+    // running a few concurrently nearly divides the wall time (the
+    // Spark scheduler interleaves their stages). Queries are
+    // independent; the one shared mutable (the CC cluster memo) is a
+    // computeIfAbsent. Keep the pool small so heavyweight queries
+    // can't starve each other's executors. SPARK_GRAFT_VERIFY_PAR=1
+    // restores strictly sequential behavior.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "3").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val tasks = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .map { case (name, fn) =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+        })
       }
-    }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

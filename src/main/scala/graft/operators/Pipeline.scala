@@ -287,6 +287,45 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // PII exposure report: the per-source rollup of the scrub pass —
+    // what a privacy review actually reads (which slices leak, how
+    // much, what fraction is clean), where text_pii_scrub is the
+    // per-document action. Same single-scan regex counting, one
+    // |sources|-row aggregate.
+    "text_pii_report" -> ((s, d) => {
+      piiCorpus(s, d)
+        .withColumn("n_email",
+          size(expr(s"regexp_extract_all(aug, '$emailPat', 0)")).cast("long"))
+        .withColumn("n_card",
+          size(expr(s"regexp_extract_all(aug, '$cardPat', 0)")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("n_email") > 0).cast("long")).as("docs_with_email"),
+          sum(col("n_email")).as("n_emails"),
+          sum((col("n_card") > 0).cast("long")).as("docs_with_card"),
+          sum(col("n_card")).as("n_cards"),
+          sum((col("n_email") === 0 && col("n_card") === 0).cast("long"))
+            .as("clean_docs"))
+        .withColumn("clean_ppm",
+          expr("clean_docs * 1000000L div n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // Duplicate-clique size histogram: how big the near-dup clusters
+    // actually are — the report that distinguishes "pairwise dups"
+    // (size-2 cliques, cheap survivors) from "boilerplate galaxies"
+    // (giant cliques that dominate removal and deserve a template
+    // rule instead). Rides the memoized CC fixpoint; two
+    // cluster-count-sized aggregates after it.
+    "dedup_cluster_hist" -> ((s, d) => {
+      clusters(s, d)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // Benchmark decontamination: corpus documents sharing >= 8 distinct
     // character 8-grams with any "benchmark" document (here: doc_id <
     // 20 stands in for the eval set). The benchmark side is tiny by
@@ -1450,6 +1489,61 @@ object Pipeline extends QueryModule {
         |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
         |    '[0-9]{12,19}', '<CARD>', 'g')) AS scrubbed_len
         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "text_pii_report" ->
+      """WITH aug AS (
+        |  SELECT source, text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         WHEN doc_id % 4 = 1 THEN ' card 4111111111111111'
+        |         ELSE '' END AS aug
+        |  FROM documents),
+        |counted AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_email,
+        |    CAST(len(regexp_extract_all(aug, '[0-9]{12,19}')) AS BIGINT) AS n_card
+        |  FROM aug)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_email,
+        |  CAST(SUM(n_email) AS BIGINT) AS n_emails,
+        |  CAST(SUM(CASE WHEN n_card > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_card,
+        |  CAST(SUM(n_card) AS BIGINT) AS n_cards,
+        |  CAST(SUM(CASE WHEN n_email = 0 AND n_card = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS clean_docs,
+        |  CAST(SUM(CASE WHEN n_email = 0 AND n_card = 0 THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS clean_ppm
+        |FROM counted GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_cluster_hist" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |np AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
+        |edges(a, b) AS (
+        |  SELECT a_id, b_id FROM np UNION SELECT b_id, a_id FROM np),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |cc AS (
+        |  SELECT node AS doc_id, MIN(r) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |sizes AS (
+        |  SELECT cluster_id, COUNT(*) AS cluster_size
+        |  FROM cc GROUP BY cluster_id)
+        |SELECT cluster_size, COUNT(*) AS n_clusters
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "corpus_mix" ->
       """SELECT source, lang, COUNT(*) AS n_docs,

@@ -113,7 +113,7 @@ class PlanAuditSpec extends SparkSpec {
       // cluster family
       "corpus_curate",
       // same memoized cluster fixpoint as corpus_curate
-      "corpus_funnel", "dedup_survivors_quality",
+      "corpus_funnel", "dedup_survivors_quality", "dedup_cluster_hist",
       // per-iteration 64-row eigenvector checkpoints: without them the
       // deflated second power chain squares the lineage tree and
       // Catalyst analysis goes exponential (see emb_pca2)
