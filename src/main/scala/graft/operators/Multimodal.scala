@@ -201,6 +201,39 @@ object Multimodal extends QueryModule {
         .orderBy(col("shard"))
     }),
 
+    // A/V alignment plan: map each sampled video frame to the STFT
+    // window that contains its timestamp — the pairing step an
+    // audio-visual training pipeline runs before emitting co-aligned
+    // examples (frame at 25 fps → sample position → hop-quantized
+    // window, clamped to the last real window). Every step is integer
+    // division on the two per-doc plans; the explode is bounded by
+    // the sampled-frame count.
+    "mm_av_align" -> ((s, d) => {
+      val plan = decoded(s, d)
+        .withColumn("sample_rate", expr("8000 + (n_bytes % 3) * 4000"))
+        .withColumn("n_samples", expr("n_bytes * 64 div 2"))
+        .withColumn("hop_len", expr("sample_rate div 100"))
+        .withColumn("win_len", expr("sample_rate div 40"))
+        .withColumn("n_windows", expr(
+          "CASE WHEN n_samples >= win_len" +
+            " THEN 1 + (n_samples - win_len) div hop_len" +
+            " ELSE CAST(0 AS BIGINT) END"))
+        .filter(col("n_frames") > 0 && col("n_windows") > 0)
+      plan
+        .select(col("doc_id"), col("sample_rate"), col("hop_len"),
+          col("n_windows"),
+          explode(sequence(lit(0L), col("n_frames") - 1L, lit(10L)))
+            .as("frame_idx"))
+        .withColumn("w", least(
+          expr("frame_idx * sample_rate div 25 div hop_len"),
+          col("n_windows") - 1L))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames_sampled"),
+          countDistinct(col("w")).as("n_windows_used"),
+          max(col("w")).as("last_window"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Blob-size profile: power-of-two size histogram over the media
     // payloads — the storage-planning report (row-group sizing, shard
     // byte budgets, "do we have a long tail of megablobs") every
@@ -320,6 +353,35 @@ object Multimodal extends QueryModule {
         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(MAX(n_bytes) AS BIGINT) AS max_item_bytes
         |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "mm_av_align" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
+        |    CAST(len(text) // 100 AS BIGINT) AS n_frames,
+        |    8000 + (len(text) % 3) * 4000 AS sample_rate,
+        |    CAST(len(text) AS BIGINT) * 64 // 2 AS n_samples
+        |  FROM documents),
+        |plan AS (
+        |  SELECT doc_id, sample_rate, n_frames,
+        |    sample_rate // 100 AS hop_len,
+        |    CASE WHEN n_samples >= sample_rate // 40
+        |      THEN 1 + (n_samples - sample_rate // 40)
+        |        // (sample_rate // 100)
+        |      ELSE CAST(0 AS BIGINT) END AS n_windows
+        |  FROM p
+        |  WHERE n_frames > 0 AND n_samples >= sample_rate // 40),
+        |frames AS (
+        |  SELECT doc_id, sample_rate, hop_len, n_windows, u.f AS frame_idx
+        |  FROM plan, UNNEST(range(0, n_frames, 10)) u(f)),
+        |aligned AS (
+        |  SELECT doc_id,
+        |    least(frame_idx * sample_rate // 25 // hop_len,
+        |      n_windows - 1) AS w
+        |  FROM frames)
+        |SELECT doc_id, COUNT(*) AS n_frames_sampled,
+        |  COUNT(DISTINCT w) AS n_windows_used,
+        |  MAX(w) AS last_window
+        |FROM aligned GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "mm_size_hist" ->
       """WITH b AS (
