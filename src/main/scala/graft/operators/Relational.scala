@@ -1747,6 +1747,24 @@ object Relational extends QueryModule {
         .withColumn("skew_x100",
           expr("max_per_key * n_keys * 100L div total_rows"))
         .orderBy(col("key_col"))
+    }),
+
+    // Benford leading-digit profile of order totals — the classic
+    // anomaly screen on financial columns (organically-generated
+    // amounts lean hard on low leading digits; a flat profile flags
+    // synthetic or manipulated data). The digit comes from the
+    // INTEGER part's decimal string — integer-to-string formatting is
+    // identical across engines, where double formatting is not.
+    "q_benford" -> ((s, d) => {
+      orders(s, d)
+        .select(expr(
+          "cast(substring(cast(cast(o_totalprice as bigint) as string)," +
+            " 1, 1) as bigint)").as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("ppm", expr(
+          "n * 1000000L div sum(n) over ()"))
+        .orderBy(col("digit"))
     })
   )
 
@@ -2807,6 +2825,17 @@ object Relational extends QueryModule {
         |  CAST(MAX(per_key) AS BIGINT) AS max_per_key,
         |  CAST(MAX(per_key) * COUNT(*) * 100 // SUM(per_key) AS BIGINT)
         |    AS skew_x100
-        |FROM per GROUP BY key_col ORDER BY key_col""".stripMargin
+        |FROM per GROUP BY key_col ORDER BY key_col""".stripMargin,
+
+    "q_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |counts AS (
+        |  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit)
+        |SELECT digit, n,
+        |  CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS ppm
+        |FROM counts ORDER BY digit""".stripMargin
   )
 }

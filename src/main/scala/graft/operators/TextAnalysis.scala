@@ -681,6 +681,39 @@ object TextAnalysis extends QueryModule {
         .select(col("source"), col("rank"), col("t").as("token"),
           col("c_st"), col("ppm_source"), col("lift_x100"))
         .orderBy(col("source"), col("rank"))
+    }),
+
+    // Vocabulary growth curve (Heaps' law readout): distinct BIGRAMS
+    // accumulated per corpus decile — flattening growth means more
+    // data is repeating itself; unabated growth means the corpus is
+    // still adding diversity. Bigrams, not unigrams: a small closed
+    // unigram vocabulary saturates in the first slice of any corpus
+    // (the curve degenerates to one row), while the combinatorial
+    // bigram space keeps discriminating. Each bigram contributes its
+    // FIRST decile (a min aggregate over the gram stream), so the
+    // curve is one groupBy + a 10-row running sum — no per-decile
+    // rescans.
+    "text_vocab_growth" -> ((s, d) => {
+      val nd = documents(s, d)
+        .agg((max(col("doc_id")) + 1).as("n_docs"))
+      val firstBucket = documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> concat_ws(' ', toks[i - 1], toks[i]))")).as("t"))
+        .crossJoin(broadcast(nd))
+        .select(col("t"),
+          expr("least(9L, doc_id * 10 div n_docs)").as("bucket"))
+        .groupBy(col("t")).agg(min(col("bucket")).as("first_bucket"))
+      firstBucket.groupBy(col("first_bucket"))
+        .agg(count(lit(1)).as("n_new_tokens"))
+        .withColumn("vocab_size", sum(col("n_new_tokens")).over(
+          Window.orderBy(col("first_bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select((col("first_bucket") + 1).as("decile"),
+          col("n_new_tokens"), col("vocab_size"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -1049,6 +1082,27 @@ object TextAnalysis extends QueryModule {
          |      ORDER BY ppm_source * 100 // ppm_corpus DESC, t)
          |      AS BIGINT) AS rank
          |  FROM scored WHERE ppm_corpus > 0)
-         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "text_vocab_growth" ->
+      s"""WITH nd AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+         |toks AS (
+         |  SELECT doc_id, $sqlToks AS tk FROM documents),
+         |grams AS (
+         |  SELECT doc_id, tk[u.i] || ' ' || tk[u.i + 1] AS t
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) u(i)
+         |  WHERE len(tk) >= 2),
+         |fb AS (
+         |  SELECT t, MIN(least(9, doc_id * 10 // n_docs)) AS first_bucket
+         |  FROM grams CROSS JOIN nd GROUP BY t),
+         |curve AS (
+         |  SELECT first_bucket, COUNT(*) AS n_new_tokens
+         |  FROM fb GROUP BY first_bucket)
+         |SELECT CAST(first_bucket + 1 AS BIGINT) AS decile,
+         |  n_new_tokens,
+         |  CAST(SUM(n_new_tokens) OVER (ORDER BY first_bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS vocab_size
+         |FROM curve ORDER BY decile""".stripMargin
   )
 }

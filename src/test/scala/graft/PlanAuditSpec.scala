@@ -67,7 +67,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_revenue_pareto",
       // corpus × the broadcast 10-probe set, twice-scored (full and
       // int8-reconstructed) — same bounded shape as sim_topk_brute
-      "emb_quantize_recall")
+      "emb_quantize_recall",
+      // gram stream × the broadcast ONE-row doc count (scalar
+      // ride-along, same as corpus_epochs)
+      "text_vocab_growth")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
