@@ -26,11 +26,23 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val tmp = s"/tmp/graft_scale$n"
+    // Per-copy key offset. One shared constant across ALL tables (not
+    // per-table maxes) so FK consistency holds: copy i's l_orderkey
+    // and o_orderkey shift identically. Guarded below — a key column
+    // at or above the offset would make copies silently collide and
+    // corrupt every ratio built on the replicated data.
+    val offset = 10000000L
     def replicate(df: DataFrame, idCols: Seq[String], copies: Int,
-        perturb: Option[String] = None): DataFrame =
+        perturb: Option[String] = None): DataFrame = {
+      // greatest() needs >=2 args; reduce handles 1-column tables
+      val maxes = df.agg(idCols.map(c => max(col(c).cast("long")))
+        .reduce((a, b) => greatest(a, b))).head()
+      require(maxes.isNullAt(0) || maxes.getLong(0) < offset,
+        s"replicate: max(${idCols.mkString(",")}) = ${maxes.get(0)} >= " +
+          s"$offset — copies would collide; raise the shared offset")
       (0 until copies).map { i =>
         val shifted = idCols.foldLeft(df) { (acc, c) =>
-          acc.withColumn(c, col(c) + lit(i.toLong * 10000000L))
+          acc.withColumn(c, col(c) + lit(i.toLong * offset))
         }
         perturb match {
           // per-copy character substitution: a bijective char mapping
@@ -54,6 +66,7 @@ object ScaleProbe {
           case _ => shifted
         }
       }.reduce(_ unionByName _)
+    }
 
     replicate(Tables.documents(spark, d), Seq("doc_id"), n, Some("text"))
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")

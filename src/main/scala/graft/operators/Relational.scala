@@ -503,14 +503,19 @@ object Relational extends QueryModule {
     }),
 
     // Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface.
+    // Thread-safety contract: Verify runs queries concurrently against
+    // one shared SparkSession, so SQL-surface queries must register
+    // per-invocation-unique view names — a fixed name would race if two
+    // queries (or two runs of one) ever touched it.
     "q_grouping_sets" -> ((s, d) => {
-      orders(s, d).createOrReplaceTempView("orders_gs")
+      val v = "orders_gs_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      orders(s, d).createOrReplaceTempView(v)
       s.sql(
         s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            |  COALESCE(o_orderpriority, 'ALL') AS priority,
            |  COUNT(*) AS n,
            |  ${Num.sqlSumSpark("o_totalprice")} AS sum_price
-           |FROM orders_gs
+           |FROM $v
            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
            |ORDER BY status, priority""".stripMargin)
     }),
@@ -568,16 +573,18 @@ object Relational extends QueryModule {
 
     // Correlated scalar subquery via the SQL surface: orders priced
     // above their customer's average. Catalyst decorrelates this into
-    // an aggregate + join — no per-row subquery execution.
+    // an aggregate + join — no per-row subquery execution. View name is
+    // per-invocation unique (see q_grouping_sets' thread-safety note).
     "q_sql_correlated" -> ((s, d) => {
-      orders(s, d).createOrReplaceTempView("orders_v")
+      val v = "orders_v_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      orders(s, d).createOrReplaceTempView(v)
       s.sql(
-        """SELECT o_orderkey, o_custkey, o_totalprice
-          |FROM orders_v o
-          |WHERE o_totalprice > 1.5 * (
-          |  SELECT AVG(o2.o_totalprice) FROM orders_v o2
-          |  WHERE o2.o_custkey = o.o_custkey)
-          |ORDER BY o_orderkey""".stripMargin)
+        s"""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM $v o
+           |WHERE o_totalprice > 1.5 * (
+           |  SELECT AVG(o2.o_totalprice) FROM $v o2
+           |  WHERE o2.o_custkey = o.o_custkey)
+           |ORDER BY o_orderkey""".stripMargin)
     }),
 
     // ---- scalar functions ----------------------------------------------
@@ -1744,8 +1751,13 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("n_keys"),
           sum(col("per_key")).as("total_rows"),
           max(col("per_key")).as("max_per_key"))
+        // decimal(38,0) product: max_per_key * n_keys can pass 2^63 on
+        // a web-scale fact table (1e11 rows x 1e9 keys) and long
+        // multiplication wraps silently; div returns bigint so the
+        // output type is unchanged
         .withColumn("skew_x100",
-          expr("max_per_key * n_keys * 100L div total_rows"))
+          expr("cast(max_per_key as decimal(38,0)) * n_keys * 100" +
+            " div total_rows"))
         .orderBy(col("key_col"))
     }),
 

@@ -644,9 +644,12 @@ object TextAnalysis extends QueryModule {
 
     // Per-source distinctive keywords: tokens over-represented in one
     // source vs the whole corpus, by integer lift (source ppm //
-    // corpus ppm — the log-free pointwise-mutual-information stand-in;
-    // staged ppm division keeps every intermediate under ~1e12, so
-    // the arithmetic never overflows bigint even at web scale). One
+    // corpus ppm — the log-free pointwise-mutual-information stand-in).
+    // The count*1e6 products run in decimal(38,0): at web scale a
+    // per-source token count can reach ~1e12, and long multiplication
+    // would WRAP SILENTLY where DuckDB's BIGINT errors — decimal keeps
+    // the two engines value-identical at any scale. `div` brings the
+    // ppm back to bigint (<=1e6), so output types are unchanged. One
     // token-explode aggregation produces both the per-(source, token)
     // and global counts (the global side re-aggregates the first —
     // |vocab| rows, not the corpus); the rank window runs over
@@ -667,9 +670,9 @@ object TextAnalysis extends QueryModule {
         .crossJoin(broadcast(tot))
         .filter(col("c_st") >= 5)
         .withColumn("ppm_source",
-          expr("c_st * 1000000L div source_total"))
+          expr("cast(c_st as decimal(38,0)) * 1000000 div source_total"))
         .withColumn("ppm_corpus",
-          expr("c_t * 1000000L div corpus_total"))
+          expr("cast(c_t as decimal(38,0)) * 1000000 div corpus_total"))
         .filter(col("ppm_corpus") > 0)
         .withColumn("lift_x100",
           expr("ppm_source * 100L div ppm_corpus"))

@@ -33,6 +33,14 @@ trait PutClient extends Serializable {
   def put(seq: Long, data: Array[Byte]): Unit
   /** Number of records already delivered (for sequence numbering). */
   def deliveredCount(): Long
+  /** Called once per micro-batch before any put, with the foreachBatch
+    * batchId. Clients that can key deliveries on (batchId, position)
+    * use it to make foreachBatch REPLAYS idempotent (a re-run of the
+    * same batch overwrites byte-identical records instead of appending
+    * duplicates). Default no-op: real Kinesis has no such key, so the
+    * AWS path keeps the reference's at-least-once contract
+    * (README.rst:15-18) unchanged. */
+  def beginBatch(batchId: Long): Unit = ()
 }
 
 class ThrottlingException(msg: String) extends RuntimeException(msg)
@@ -75,11 +83,26 @@ object StreamLifecycle {
 }
 
 /** Local-filesystem stand-in for the Kinesis shard: one file per
-  * aggregated record, named by sequence number. failFirstAttemptEvery
+  * aggregated record. Once [[beginBatch]] has been observed, files are
+  * keyed `rec-<batchId>-<posInBatch>` — a foreachBatch REPLAY of the
+  * same batch regenerates the same (deterministically ordered) records
+  * and overwrites the same paths with identical bytes, so replays are
+  * idempotent on this client (the real-Kinesis path stays
+  * at-least-once; see PutClient.beginBatch). Before any beginBatch the
+  * legacy global `rec-<seq>` naming applies. failFirstAttemptEvery
   * injects a ThrottlingException on the first attempt of every Nth
   * put to exercise the backoff path. */
 class LocalFilePutClient(dir: String, failFirstAttemptEvery: Int = 0)
     extends PutClient {
+  // Task-local (the client is serialized into each foreachPartition
+  // closure); the sink is a single coalesced lane so one task owns
+  // the whole batch's position sequence.
+  @transient private var curBatch: Long = -1L
+  @transient private var posInBatch: Long = 0L
+  override def beginBatch(batchId: Long): Unit = {
+    curBatch = batchId
+    posInBatch = 0L
+  }
   override def put(seq: Long, data: Array[Byte]): Unit = {
     if (failFirstAttemptEvery > 0 && seq % failFirstAttemptEvery == 0 &&
         LocalFilePutClient.attempted.putIfAbsent(s"$dir/$seq", true) == null) {
@@ -87,11 +110,20 @@ class LocalFilePutClient(dir: String, failFirstAttemptEvery: Int = 0)
     }
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    Files.write(d.resolve(f"rec-$seq%09d"), data)
+    val name = if (curBatch >= 0) f"rec-$curBatch%09d-$posInBatch%06d"
+               else f"rec-$seq%09d"
+    Files.write(d.resolve(name), data)
+    posInBatch += 1
   }
   override def deliveredCount(): Long = {
     val d = Paths.get(dir)
-    if (Files.exists(d)) Files.list(d).count() else 0L
+    if (!Files.exists(d)) 0L
+    else {
+      // Files.list must be closed or the directory stream's file
+      // handle leaks (one per micro-batch per sink).
+      val s = Files.list(d)
+      try s.count() finally s.close()
+    }
   }
 }
 
@@ -152,6 +184,7 @@ class OrderedAggregatingWriter(client: PutClient,
       .sortWithinPartitions("lsn")
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val agg = new RecordAggregator(maxB)
+        c.beginBatch(batchId)
         var seq = c.deliveredCount()
         def send(data: Array[Byte]): Unit = {
           var backoff = base

@@ -137,6 +137,41 @@ class StreamingSpec extends SparkSpec {
     assert(sinkRecords(s"$dir/sink").size == 6)
   }
 
+  test("foreachBatch replay is idempotent on the local file client") {
+    // A failed/restarted foreachBatch re-runs the SAME batchId with
+    // the same (deterministically sorted) rows. The file client keys
+    // deliveries on (batchId, position-in-batch), so the replay
+    // overwrites the same paths with identical bytes — no duplicate
+    // records. (The real-Kinesis path has no such key and stays
+    // at-least-once, the reference's own contract.)
+    import graft.streaming.OrderedAggregatingWriter
+    import spark.implicits._
+    val dir = tmp()
+    val client = new LocalFilePutClient(s"$dir/sink")
+    val writer = new OrderedAggregatingWriter(client, maxAggBytes = 64)
+    val batch = (0 until 6).map(i =>
+      (i.toLong, s"$i,CDC,${100 + i},public.t,insert,$i", (100 + i).toLong))
+      .toDF("lsn", "fmt_msg", "xid")
+    writer.writeBatch(batch, 7L)
+    def shard(): Map[String, Seq[Byte]] = {
+      val d = Paths.get(s"$dir/sink")
+      Files.list(d).iterator().asScala.toSeq
+        .map(f => f.getFileName.toString -> Files.readAllBytes(f).toSeq)
+        .toMap
+    }
+    val first = shard()
+    assert(first.nonEmpty)
+    assert(first.keySet.forall(_.startsWith("rec-000000007-")),
+      s"files must be batchId-keyed, got ${first.keySet}")
+    writer.writeBatch(batch, 7L) // replay of the same epoch
+    assert(shard() == first,
+      "replaying batch 7 must leave the shard byte-identical")
+    // a NEW batch id appends, it does not overwrite
+    writer.writeBatch(batch.limit(2), 8L)
+    assert(shard().size > first.size)
+    assert(sinkRecords(s"$dir/sink").size == 8, "6 originals + 2 new")
+  }
+
   test("throttling: backoff exhaustion hard-fails like the reference") {
     // reference stream.py:73-74: when the backoff budget is spent the
     // exception propagates and the job halts — delivery must never
