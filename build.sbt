@@ -3,6 +3,38 @@ ThisBuild / version := "0.1.0"
 name := "pg2kinesisspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+
+// Root project made explicit so the live-transport adapters compile in
+// CI. `compile`/`test` aggregate into `adapters`; `run`/`runMain` must
+// NOT (the driver invokes `runMain graft.Bench` etc. at root, and an
+// aggregated runMain would also fire in adapters, which has no mains).
+lazy val root = (project in file("."))
+  .aggregate(adapters)
+  .settings(
+    run / aggregate := false,
+    Compile / runMain / aggregate := false,
+  )
+
+// Production transports for a real Postgres walsender (pgjdbc) and real
+// AWS Kinesis. The runtime deps (org.postgresql:postgresql,
+// software.amazon.awssdk:kinesis) are unresolvable offline, so the
+// sources compile against compile-only shims of exactly the API slice
+// they touch (extras/shims/ — package/method mirrors that never run).
+// Deploying for real: drop the shims directory from
+// unmanagedSourceDirectories and add the two real jars. The shim
+// classes live only on this subproject's classpath — the library
+// artifact stays clean of fake org.postgresql/software.amazon classes.
+lazy val adapters = (project in file("extras"))
+  .dependsOn(LocalProject("root"))
+  .settings(
+    name := "graft-adapters",
+    unmanagedBase := file("/opt/spark/jars"),
+    Compile / unmanagedSourceDirectories := Seq(
+      baseDirectory.value / "shims",
+      baseDirectory.value / "pgjdbc-adapter",
+      baseDirectory.value / "kinesis-adapter",
+    ),
+  )
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

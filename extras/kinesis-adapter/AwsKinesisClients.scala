@@ -1,11 +1,12 @@
-// NOT COMPILED BY THE DEFAULT BUILD: this adapter needs the AWS SDK v2
-// Kinesis client (software.amazon.awssdk:kinesis), which the offline
-// build cannot resolve. To enable it, add the dependency and move this
-// file under src/main/scala/graft/streaming/ — see README "Shipping to
-// real Kinesis". Everything it plugs into (KinesisLikeSink's ordered
-// put + bounded backoff, StreamLifecycle.ensureActive's waiter
-// schedule, the KPL wire format) is compiled and tested in-tree; this
-// file is only the transport.
+// Compiled by CI in the `adapters` subproject against compile-only
+// shims of the AWS SDK v2 Kinesis surface (extras/shims/ — the real
+// software.amazon.awssdk:kinesis is unresolvable in this offline
+// build; at deploy time swap the shims for the real SDK jar, see
+// README "Shipping to real Kinesis"). Everything it plugs into
+// (KinesisLikeSink's ordered put + bounded backoff,
+// StreamLifecycle.ensureActive's waiter schedule, the KPL wire format)
+// is compiled and tested in the main build; this file is only the
+// transport.
 package graft.streaming
 
 import software.amazon.awssdk.core.SdkBytes

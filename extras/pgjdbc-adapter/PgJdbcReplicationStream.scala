@@ -1,10 +1,11 @@
-// NOT COMPILED BY THE DEFAULT BUILD: this adapter needs the pgjdbc
-// driver (org.postgresql:postgresql), which the offline build cannot
-// resolve. To enable it, add the dependency and move this file under
-// src/main/scala/graft/sources/ — see README "Connecting to a real
-// Postgres". Everything it plugs into (PgReplicationSource, the
-// LSN-offset/commit/backpressure contract, CdcSourceContractSpec) is
-// compiled and tested in-tree; this file is only the transport.
+// Compiled by CI in the `adapters` subproject against compile-only
+// shims of the pgjdbc replication API (extras/shims/ — the real
+// org.postgresql:postgresql is unresolvable in this offline build; at
+// deploy time swap the shims for the real driver jar, see README
+// "Connecting to a real Postgres"). Everything it plugs into
+// (PgReplicationSource, the LSN-offset/commit/backpressure contract,
+// CdcSourceContractSpec) is compiled and tested in the main build;
+// this file is only the transport.
 package graft.sources
 
 import java.nio.charset.StandardCharsets

@@ -36,11 +36,13 @@ case class WalRecord(lsn: Long, payload: String)
   *    standby status update / `send_feedback(flush_lsn=...)` ack
   *    (reference __main__.py:101-104, K2).
   *
-  * A production adapter wraps a real `PGReplicationStream` behind this
-  * trait (the sandbox has no Postgres driver or server, so that
-  * adapter is not compiled here); specs fake it to prove the source
-  * honors the identical offset/commit/backpressure contract as the
-  * file-backed source — the contract suite is shared between both.
+  * The production adapter wrapping a real `PGReplicationStream` behind
+  * this trait is `extras/pgjdbc-adapter/PgJdbcReplicationStream.scala`,
+  * compiled by CI in the `adapters` subproject against API shims (the
+  * sandbox has no Postgres driver or server to run it against); specs
+  * fake the trait to prove the source honors the identical
+  * offset/commit/backpressure contract as the file-backed source — the
+  * contract suite (CdcSourceContractSpec) is shared between both.
   */
 trait ReplicationStream extends AutoCloseable {
   def headLsn(): Long
