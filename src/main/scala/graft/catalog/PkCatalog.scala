@@ -45,6 +45,20 @@ object PkCatalog {
     collapse(items.toDF())
   }
 
+  /** File path for the CLI's local-replay mode: a parquet or JSON-lines
+    * dump of [[PrimaryKeyMapItem]] rows (table_name, col_name,
+    * col_type, col_ord_pos) — the catalog snapshot exported once from a
+    * live database, replayed without a connection. */
+  def fromFile(spark: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.Encoders.product[PrimaryKeyMapItem]
+      .schema
+    val raw =
+      if (path.endsWith(".json") || path.endsWith(".jsonl"))
+        spark.read.schema(schema).json(path)
+      else spark.read.schema(schema).parquet(path)
+    collapse(raw)
+  }
+
   /** Composite-PK collapse: the reference's dict build keeps only the
     * LAST PK column by ordinal position (slot.py:88-94 — ORDER BY
     * ordinal_position feeding dict insertion; SURVEY.md §3.3 quirk).

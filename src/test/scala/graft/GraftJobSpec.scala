@@ -182,6 +182,88 @@ class GraftJobSpec extends SparkSpec {
     assert(sleptMs == 10000L * 17, "boto3 waiter schedule: 18 x 10 s polls")
   }
 
+  test("CLI: every reference flag parses one-to-one into GraftConfig") {
+    val o = Main.parse(Seq(
+      "--pg-dbname", "mydb", "-h", "db.example", "-p", "5433",
+      "-u", "repl", "--pg-sslmode", "require",
+      "-s", "myslot", "--pg-slot-output-plugin", "wal2json",
+      "-k", "mystream", "-f", "CSV", "--table-pat", "public\\.sp.*",
+      "--full-change", "--create-slot",
+      "--operations", "insert", "--operations", "update",
+      "--send-window-secs", "5", "--max-records-per-trigger", "100"))
+      .fold(e => fail(e), identity)
+    assert(o.pgDbname.contains("mydb") && o.pgHost == "db.example" &&
+      o.pgPort == "5433" && o.pgUser.contains("repl") &&
+      o.pgSslmode == "require")
+    assert(o.jdbcUrl ==
+      "jdbc:postgresql://db.example:5433/mydb?sslmode=require")
+    val cfg = o.toConfig
+    assert(cfg.slotName == "myslot" && cfg.plugin == "wal2json" &&
+      cfg.sinkDir == "mystream" && cfg.formatter == "CSV" &&
+      cfg.tablePat == "public\\.sp.*" && cfg.createSlot &&
+      !cfg.recreateSlot && cfg.fullChange &&
+      cfg.operations == Seq("insert", "update") &&
+      cfg.sendWindowSecs == 5 && cfg.maxRecordsPerTrigger == 100L)
+    // no --source-path: walsender transport under the slot's name
+    assert(cfg.sourcePath == "pg:myslot")
+
+    // reference defaults (__main__.py:21-40): slot+stream pg2kinesis,
+    // plugin test_decoding, formatter CSVPayload, operations all
+    val d = Main.parse(Seq.empty).fold(e => fail(e), identity).toConfig
+    assert(d.slotName == "pg2kinesis" && d.sinkDir == "pg2kinesis" &&
+      d.plugin == "test_decoding" && d.formatter == "CSVPayload" &&
+      d.expandedOps == Seq("insert", "update", "delete", "truncate"))
+
+    // --flag=value form and empty-host default (localhost)
+    val e = Main.parse(Seq("--pg-dbname=db2", "--pg-port=6000"))
+      .fold(e => fail(e), identity)
+    assert(e.jdbcUrl == "jdbc:postgresql://localhost:6000/db2?sslmode=prefer")
+  }
+
+  test("CLI: click.Choice validation and unknown flags are rejected") {
+    assert(Main.parse(Seq("--pg-slot-output-plugin", "pgoutput")).isLeft)
+    assert(Main.parse(Seq("--message-formatter", "JSON")).isLeft)
+    assert(Main.parse(Seq("--operations", "upsert")).isLeft)
+    assert(Main.parse(Seq("--no-such-flag")).isLeft)
+    assert(Main.parse(Seq("--pg-dbname")).isLeft, "missing value")
+    // the --full-change assertion (reference __main__.py:45-47) fires
+    // at job start on a parsed config, same message contract as the
+    // direct-GraftConfig path
+    val o = Main.parse(Seq("--full-change", "-f", "CSV",
+      "--source-path", "/nope")).fold(e => fail(e), identity)
+    intercept[IllegalArgumentException] { GraftJob.transform(spark, o.toConfig, cat) }
+  }
+
+  test("CLI: file-transport pipeline end-to-end from parsed args") {
+    val dir = tmp()
+    val src = Paths.get(dir, "wal.jsonl")
+    Files.write(src, (0 until 4).map(i =>
+      s"""{"xid": $i, "change": [{"kind": "insert", "schema": "public",""" +
+        s""" "table": "species", "columnnames": ["id"],""" +
+        s""" "columntypes": ["integer"], "columnvalues": [$i]}]}""")
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    // connectionless replay: PK catalog from a JSON-lines dump
+    val pk = Paths.get(dir, "pk.jsonl")
+    Files.write(pk,
+      ("""{"table_name":"public.species","col_name":"id",""" +
+        """"col_type":"integer","col_ord_pos":1}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val o = Main.parse(Seq(
+      "--source-path", src.toString,
+      "--stream-name", s"$dir/sink",
+      "--checkpoint-dir", s"$dir/ckpt",
+      "--pk-catalog", pk.toString,
+      "--pg-slot-output-plugin", "wal2json",
+      "--message-formatter", "CSV",
+      "--operations", "insert",
+      "--send-window-secs", "0", "--once")).fold(e => fail(e), identity)
+    assert(o.once)
+    val q = Main.start(spark, o)
+    q.processAllAvailable(); q.stop()
+    assert(records(s"$dir/sink") == (0 until 4).map(i =>
+      s"0,CDC,$i,public.species,insert,$i"))
+  }
+
   test("full-change requires wal2json + CSVPayload, like the reference") {
     intercept[IllegalArgumentException] {
       GraftJob.transform(spark, GraftConfig("/nope", "/nope", "/nope",
