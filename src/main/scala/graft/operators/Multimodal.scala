@@ -18,12 +18,19 @@ import org.apache.spark.sql.functions._
   *  - a typed features schema coming back out, joinable/aggregable
   *    like any other column.
   *
-  * ==== STUB ====
-  * `FakeDecoder.decode` is a clearly-marked deterministic stand-in for
-  * a real image/audio decode (no media libraries in this environment).
-  * Its outputs are pure functions of the byte stream, so the DuckDB
-  * oracle can verify the full plumbing end to end; swap in a real
-  * decoder without touching any Spark code.
+  * The decode seam is [[Multimodal.MediaDecoder]], with two
+  * implementations:
+  *  - [[Multimodal.JdkMediaDecoder]] — a REAL codec path over the
+  *    JDK's built-in media APIs (javax.imageio for PNG/BMP/GIF/JPEG
+  *    headers+frames, javax.sound.sampled for WAV format/frames),
+  *    exercised end-to-end through the identical mapPartitions
+  *    plumbing by MultimodalSpec on real in-memory-encoded media;
+  *  - `FakeDecoder` — a clearly-marked deterministic stand-in used by
+  *    the DECLARED queries, because the test corpus's payload column
+  *    is utf-8 text (not valid media) and the oracle needs outputs
+  *    that are pure functions of the byte stream. Swapping the real
+  *    decoder in is one constructor argument ([[decodeBlobs]]); no
+  *    Spark code changes.
   */
 object Multimodal extends QueryModule {
   import Tables._
@@ -33,50 +40,113 @@ object Multimodal extends QueryModule {
   case class MediaFeatures(doc_id: Long, n_bytes: Long, byte_sum: Long,
       width: Long, height: Long, n_frames: Long)
 
-  /** STUB decoder: deterministic fake "image header parse". */
-  private object FakeDecoder {
+  /** The decode seam: one blob in, typed features out. Implementations
+    * must be Serializable (instances ship to executor tasks); heavy
+    * codec state belongs in lazy/transient fields so it initializes
+    * once per task, not on the driver. */
+  trait MediaDecoder extends Serializable {
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeatures
+  }
+
+  /** STUB decoder: deterministic fake "image header parse" (see the
+    * module note — the declared queries run over text bytes, so their
+    * oracle needs arithmetic, not a codec). */
+  private object FakeDecoder extends MediaDecoder {
     def decode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
-      var sum = 0L
-      var i = 0
-      while (i < bytes.length) {
-        sum += bytes(i) & 0xff
-        i += 1
-      }
       val n = bytes.length.toLong
-      MediaFeatures(docId, n, sum,
+      MediaFeatures(docId, n, byteSum(bytes),
         width = 64 + n % 576,
         height = 64 + (n * 7) % 416,
         n_frames = n / 100)
     }
   }
 
+  private def byteSum(bytes: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      sum += bytes(i) & 0xff
+      i += 1
+    }
+    sum
+  }
+
+  /** REAL decoder over the JDK's built-in codecs — no external media
+    * libraries needed, so the seam is proven with genuine decodes even
+    * in this container. Container sniff by magic bytes:
+    *  - RIFF/WAVE → javax.sound.sampled: width = sample rate (Hz),
+    *    height = channels, n_frames = PCM frame count;
+    *  - else → javax.imageio (PNG/BMP/GIF/JPEG in any stock JVM):
+    *    width/height from the image header (no full pixel decode —
+    *    the metadata pass stays cheap), n_frames = image count
+    *    (animated GIF frames; 1 for stills).
+    * Unknown container → IllegalArgumentException; at pipeline level
+    * route through a lenient dead-letter filter exactly like the CDC
+    * parser's strict/lenient modes. */
+  object JdkMediaDecoder extends MediaDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+      val n = bytes.length.toLong
+      val sum = byteSum(bytes)
+      val isWav = bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+        bytes(10) == 'V' && bytes(11) == 'E'
+      if (isWav) {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          MediaFeatures(docId, n, sum,
+            width = fmt.getSampleRate.toLong,
+            height = fmt.getChannels.toLong,
+            n_frames = in.getFrameLength)
+        } finally in.close()
+      } else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext)
+            throw new IllegalArgumentException(
+              s"doc $docId: no JDK codec recognizes this container")
+          val r = readers.next()
+          r.setInput(iis)
+          try MediaFeatures(docId, n, sum,
+            width = r.getWidth(0).toLong,
+            height = r.getHeight(0).toLong,
+            n_frames = r.getNumImages(true).toLong)
+          finally r.dispose()
+        } finally iis.close()
+      }
+    }
+  }
+
+  /** The per-partition decode pass, decoder-parameterized — the swap
+    * point between the oracle-friendly stub and the real JDK codecs
+    * (or a native decoder at deploy time). The decoder reference is
+    * materialized once per partition before the row loop. */
+  def decodeBlobs(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      decoder: MediaDecoder): org.apache.spark.sql.DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // decoder init happens once per partition, not per row
+      val dec = decoder
+      it.map { case (id, bytes) => dec.decode(id, bytes) }
+    }.toDF()
+  }
+
   override def queries: Map[String, Q] = Map(
     // Binary ingestion + per-partition decode; verified byte-exactly
     // by the oracle since the fake decode is arithmetic on the bytes.
-    "mm_decode_features" -> ((s, d) => {
-      import s.implicits._
-      val blobs = documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      blobs.mapPartitions { it =>
-        // decoder init happens once per partition, not per row
-        val dec = FakeDecoder
-        it.map { case (id, bytes) => dec.decode(id, bytes) }
-      }.toDF().orderBy(col("doc_id"))
-    }),
+    "mm_decode_features" -> ((s, d) =>
+      decoded(s, d).orderBy(col("doc_id"))),
 
     // Frame sampling: every 10th frame of each "video" — the explode
     // pattern that turns one media row into N frame rows for
     // downstream feature extraction.
     "mm_frame_sample" -> ((s, d) => {
-      import s.implicits._
-      val feats = documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          it.map { case (id, bytes) => FakeDecoder.decode(id, bytes) }
-        }.toDF()
-      feats
+      decoded(s, d)
         .filter(col("n_frames") > 0)
         .select(col("doc_id"),
           explode(sequence(lit(0L), col("n_frames") - 1L, lit(10L)))
@@ -255,15 +325,16 @@ object Multimodal extends QueryModule {
     })
   )
 
-  /** Shared decode stage (typed per-partition decoder, see STUB note). */
+  /** Shared decode stage over the test corpus — stub decoder because
+    * the corpus payloads are text bytes (see module note); the real
+    * JDK decoder rides the same [[decodeBlobs]] plumbing. */
   private def decoded(s: SparkSession, d: String) = {
     import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) => FakeDecoder.decode(id, bytes) }
-      }.toDF()
+    decodeBlobs(
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])],
+      FakeDecoder)
   }
 
   override def oracles: Map[String, String] = Map(
