@@ -436,6 +436,19 @@ object Dedup extends QueryModule {
     // intersect over the hash sets, same primitive as ngram-jaccard);
     // candidates are tiny — broadcast them through both joins so the
     // array-carrying sets side streams without a shuffle.
+    verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** Exact-Jaccard verify of an (a_id, b_id) candidate pair set
+    * against a (doc_id, set, n) hash-set table — the shared verify
+    * kernel of the batch LSH pipelines, public so the STREAMING
+    * near-dup candidate stream (StreamingDedup.nearDupPairs) verifies
+    * with byte-identical semantics (StreamingMinhashParitySpec pins
+    * stream == batch on the same corpus). Candidates broadcast through
+    * both joins; the array-carrying sets side streams without a
+    * shuffle. */
+  def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
     val thrNum = math.round(threshold * 100).toInt
     broadcast(candidates)
       .join(sets.select(col("doc_id").as("a_id"), col("set").as("a_set"),

@@ -66,12 +66,14 @@ object StreamingDedup {
         })
   }
 
-  /** MinHash band-bucket candidate stream (16×3 banding by default —
-    * the same miss probability as the batch LSH: ~1e-5 per true pair
-    * at j=0.8). */
-  def nearDupCandidates(docs: DataFrame, bands: Int = 16,
-      rowsPerBand: Int = 3): Dataset[Candidate] = {
-    import docs.sparkSession.implicits._
+  case class Pair(a_id: Long, b_id: Long)
+
+  /** Shared banding front end: (doc_id, band, bandHash) — identical
+    * expressions and banding math to the batch LSH
+    * (operators/Dedup.bandedMinhashPairs), which is what makes
+    * stream/batch parity provable rather than approximate. */
+  private def banded(docs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
     val numPerm = bands * rowsPerBand
     val bandStructs = (0 until bands).map { bi =>
       val slice = (0 until rowsPerBand).map(ri =>
@@ -84,6 +86,15 @@ object StreamingDedup {
           ShingleHashes.shingle_hashes(col("text"), 8), numPerm).as("sig"))
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  /** MinHash band-bucket candidate stream (16×3 banding by default —
+    * the same miss probability as the batch LSH: ~1e-5 per true pair
+    * at j=0.8). */
+  def nearDupCandidates(docs: DataFrame, bands: Int = 16,
+      rowsPerBand: Int = 3): Dataset[Candidate] = {
+    import docs.sparkSession.implicits._
+    banded(docs, bands, rowsPerBand)
       .as[(Long, Int, Long)]
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[Long, Candidate](
@@ -102,6 +113,50 @@ object StreamingDedup {
           }
           state.update(first)
           out.iterator
+        })
+  }
+
+  /** ALL-pairs band-bucket candidate stream — the streaming face of
+    * the batch LSH's candidate join, with cross-batch keyed state:
+    * where [[nearDupCandidates]] pairs each arrival only with the
+    * bucket's first-ever doc (O(1) state, the cheap ingest gate), this
+    * keeps the bucket's full id roster so every co-bucketed pair
+    * surfaces exactly like the batch self-join — feed the emitted
+    * pairs through the IDENTICAL verify kernel
+    * (operators/Dedup.verifyJaccard over the corpus-so-far shingle
+    * sets, the stream-static join pattern) and the verified output
+    * EQUALS batch dedup_minhash_lsh on the same corpus
+    * (StreamingMinhashParitySpec pins this row-for-row).
+    *
+    * Scale contract: state per bucket is the bucket's id list and
+    * emission is quadratic in bucket size — fine for genuine near-dup
+    * buckets (small by nature), degenerate for flood buckets
+    * (boilerplate shingles). `maxBucket` caps both: a bucket past the
+    * cap stops pairing and freezes its roster (the batch side's
+    * dedup_simhash_buckets is the pre-flight diagnostic for the same
+    * pathology). Pairs are emitted (min, max)-normalized; one pair may
+    * surface from several bands and batches, so consumers `distinct`
+    * before verify, same as the batch candidate join. */
+  def nearDupPairs(docs: DataFrame, bands: Int = 16,
+      rowsPerBand: Int = 3, maxBucket: Int = 4096): Dataset[Pair] = {
+    import docs.sparkSession.implicits._
+    banded(docs, bands, rowsPerBand)
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Array[Long], Pair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_, it, state: GroupState[Array[Long]]) => {
+          var roster = state.getOption.getOrElse(Array.empty[Long])
+          val out = Vector.newBuilder[Pair]
+          it.toVector.map(_._1).sorted.foreach { id =>
+            if (!roster.contains(id) && roster.length < maxBucket) {
+              roster.foreach(p =>
+                out += Pair(math.min(id, p), math.max(id, p)))
+              roster = roster :+ id
+            }
+          }
+          state.update(roster)
+          out.result().iterator
         })
   }
 }
