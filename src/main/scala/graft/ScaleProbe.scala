@@ -135,7 +135,15 @@ object ScaleProbe {
       "q_order_streaks", "q_user_paths", "q_moving_median",
       "q_conversion_time", "dedup_prefix", "dedup_simhash_buckets",
       "text_keywords", "corpus_card", "corpus_contamination_report",
-      "cdc_change_stats", "mm_size_hist")
+      "cdc_change_stats", "mm_size_hist",
+      // round-8 completions of the round-7 surface: the remaining
+      // TPC-H shapes (Q4 semi-join, Q15 top-supplier window over a
+      // revenue agg, Q17 small-qty avg subquery, Q19 disjunctive
+      // predicate join), the A/V alignment interval join, the Heaps
+      // vocab curve (perturbed text -> per-copy-disjoint bigram
+      // vocab), and the Benford digit screen (pure one-pass agg)
+      "q_priority_late", "q_top_supplier", "q_small_qty_revenue",
+      "q_disjunctive", "mm_av_align", "text_vocab_growth", "q_benford")
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

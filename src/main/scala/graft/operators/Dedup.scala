@@ -288,6 +288,13 @@ object Dedup extends QueryModule {
     "dedup_agreement" -> ((s, d) => {
       val sim = simhashPairs(documents(s, d))
         .select(col("a_id"), col("b_id"), lit(1L).as("in_simhash"))
+      // Recall contract: the Jaccard side is banded LSH while the
+      // oracle brute-forces exact Jaccard, so this oracle comparison
+      // assumes banding recall is total on the corpus. DedupSpec's
+      // "minhash LSH finds exactly..." diff asserts exactly that (vs
+      // the lossless AllPairs filter) at sf0.001 AND the gate's
+      // sf0.01, so a banding miss fails there with pairs named rather
+      // than as a hash mismatch here.
       val jac = minhashPairs(documents(s, d))
         .select(col("a_id"), col("b_id"), lit(1L).as("in_jaccard"))
       sim.join(jac, Seq("a_id", "b_id"), "full_outer")

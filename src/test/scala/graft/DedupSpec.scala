@@ -10,15 +10,25 @@ class DedupSpec extends SparkSpec {
   test("minhash LSH finds exactly the exact-jaccard >= 0.8 pairs") {
     // The verify step removes all false positives, so equality with the
     // brute-force oracle checks LSH *recall* at the planted-dup level.
-    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
-      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
-    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
-      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
-    assert(exact.nonEmpty, "no planted near-duplicates found at all")
-    assert(lsh == exact,
-      s"missed=${exact -- lsh}, spurious=${lsh -- exact}")
+    // Run at BOTH the spec corpus and the oracle gate's sf0.01: the
+    // 16x3 banding can in principle miss a true pair at the threshold
+    // (~1e-5 per pair), and dedup_minhash_lsh / dedup_agreement both
+    // lean on recall being total on the verification corpora — this
+    // diff against the lossless AllPairs prefix filter turns that
+    // assumption into an asserted invariant, so a corpus change that
+    // defeats the banding fails HERE with the missing pairs named,
+    // not as an opaque oracle hash mismatch.
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty, s"no planted near-duplicates at all in $dir")
+      assert(lsh == exact,
+        s"$dir: missed=${exact -- lsh}, spurious=${lsh -- exact}")
+    }
   }
 
   test("simhash of identical token arrays is identical; near-dups close") {

@@ -97,9 +97,21 @@ def main():
             n_ok += 1
         if time.time() - t_q > 10:
             slow.append((name, time.time() - t_q))
-    print(f"== {n_ok} ok, {n_bad} fail, {time.time() - t_suite:.0f}s total")
+    suite_s = time.time() - t_suite
+    print(f"== {n_ok} ok, {n_bad} fail, {suite_s:.0f}s total")
     for name, dt in slow:
         print(f"SLOW oracle {name}: {dt:.0f}s — check for re-inlined CTEs (use AS MATERIALIZED)")
+    # Runtime guard: an exponential oracle (the round-5 graph_pagerank
+    # incident: a recursive CTE re-inlined per iteration) can eat the
+    # whole verification round while every query still "passes". The
+    # full suite runs ~60-80 s on 4 cpus at sf0.01; 300 s means some
+    # oracle regressed complexity-wise, and that's a FAILURE even at
+    # 0 mismatches. Override (e.g. bigger SF dirs) via ORACLE_BUDGET_S.
+    budget_s = float(__import__("os").environ.get("ORACLE_BUDGET_S", "300"))
+    if suite_s > budget_s and n_bad == 0:
+        print(f"FAIL suite runtime {suite_s:.0f}s > {budget_s:.0f}s budget "
+              f"— an oracle has likely regressed to super-linear; see SLOW lines")
+        sys.exit(1)
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
