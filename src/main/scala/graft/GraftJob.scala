@@ -90,7 +90,9 @@ object GraftJob {
     out.select(col("lsn"), col("xid"), col("fmt_msg"))
       .observe("cdc_metrics",
         count(lit(1)).as("msg_count"),
-        sum(length(col("fmt_msg"))).as("msg_bytes"))
+        sum(length(col("fmt_msg"))).as("msg_bytes"),
+        // the reference's formatter.cur_xact for the progress line
+        max(col("xid")).as("last_xid"))
   }
 
   /** Slot DDL dispatch at job start (reference __main__.py:56-60):

@@ -233,6 +233,9 @@ object Main {
         // spark-submit injects the master; bare `runMain` runs local
         val spark = (if (sys.props.contains("spark.master")) b
                      else b.master("local[*]")).getOrCreate()
+        // the reference's 10 s progress log line (__main__.py:106-115)
+        spark.streams.addListener(new graft.streaming.CdcProgressListener(
+          line => System.err.println(line)))
         val q = start(spark, o)
         if (o.once) { q.processAllAvailable(); q.stop() }
         else q.awaitTermination()

@@ -15,17 +15,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CdcSource {
   def rawStream(spark: SparkSession, sourcePath: String,
-      maxRecordsPerTrigger: Long = Long.MaxValue): DataFrame =
-    if (sourcePath.startsWith("pg:"))
-      spark.readStream
-        .format(classOf[PgReplicationSourceProvider].getName)
-        .option("connection", sourcePath.stripPrefix("pg:"))
-        .option("maxRecordsPerTrigger", maxRecordsPerTrigger.toString)
-        .load()
-    else
-      spark.readStream
-        .format(classOf[CdcFileSourceProvider].getName)
-        .option("path", sourcePath)
-        .option("maxRecordsPerTrigger", maxRecordsPerTrigger.toString)
-        .load()
+      maxRecordsPerTrigger: Long = Long.MaxValue): DataFrame = {
+    val raw =
+      if (sourcePath.startsWith("pg:"))
+        spark.readStream
+          .format(classOf[PgReplicationSourceProvider].getName)
+          .option("connection", sourcePath.stripPrefix("pg:"))
+          .option("maxRecordsPerTrigger", maxRecordsPerTrigger.toString)
+          .load()
+      else
+        spark.readStream
+          .format(classOf[CdcFileSourceProvider].getName)
+          .option("path", sourcePath)
+          .option("maxRecordsPerTrigger", maxRecordsPerTrigger.toString)
+          .load()
+    // Raw-side counters for the reference's 10 s progress line
+    // (__main__.py:88-93: EVERY consumed change ticks count and
+    // data_size, before parsing or gating) — consumed by
+    // streaming.CdcProgressListener from observedMetrics.
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    raw.observe("cdc_raw_metrics",
+      count(lit(1)).as("msg_count"),
+      sum(org.apache.spark.sql.functions.col("data_size")).as("msg_bytes"))
+  }
 }

@@ -39,7 +39,8 @@ object CdcPipeline {
       // same two numbers every 10 s, __main__.py:106-115)
       .observe("cdc_metrics",
         count(lit(1)).as("msg_count"),
-        sum(length(col("fmt_msg"))).as("msg_bytes"))
+        sum(length(col("fmt_msg"))).as("msg_bytes"),
+        max(col("xid")).as("last_xid"))
   }
 
   /** test_decoding mode: the BEGIN-xid carry (P3) must survive

@@ -137,6 +137,59 @@ class StreamingSpec extends SparkSpec {
     assert(sinkRecords(s"$dir/sink").size == 6)
   }
 
+  test("progress window reproduces the reference's 10 s log cadence") {
+    // reference __main__.py:106-115: emit iff int_time % 10 == 0 AND
+    // != the last emission's window; emission resets window counters,
+    // never cumulative ones; xid carries the latest transaction seen.
+    import graft.streaming.ProgressWindow
+    val times = Iterator(9L, 10L, 10L, 11L, 20L)
+    val w = new ProgressWindow(() => times.next())
+    assert(w.record(700, 3, 1048576L).isEmpty, "t=9: gate closed")
+    val l1 = w.record(701, 2, 1048576L)
+    assert(l1.contains("xid:          701 win_count:         5 " +
+      "win_size:    2.0000mb cum_count:         5 cum_size:    2.0000mb"),
+      s"got $l1")
+    assert(w.record(0, 1, 0).isEmpty, "t=10 twice: same window, no re-log")
+    assert(w.record(0, 1, 0).isEmpty, "t=11: gate closed")
+    val l2 = w.record(0, 0, 0)
+    assert(l2.contains("xid:          701 win_count:         2 " +
+      "win_size:    0.0000mb cum_count:         7 cum_size:    2.0000mb"),
+      s"window must reset on emit, cum must not: $l2")
+  }
+
+  test("progress listener logs the reference line from observed metrics") {
+    val lines = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    var t = 0L
+    // clock always lands on a fresh 10 s boundary => every batch logs
+    val listener = new graft.streaming.CdcProgressListener(
+      line => { lines.add(line); () },
+      new graft.streaming.ProgressWindow(() => { t += 10; t }))
+    spark.streams.addListener(listener)
+    try {
+      val dir = tmp()
+      val src = writeSource(dir,
+        (0 until 5).map(i => walLine(600 + i, "insert", i)))
+      val q = CdcPipeline.start(spark, src, cat, Seq("insert"),
+        s"$dir/sink", s"$dir/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      q.processAllAvailable()
+      // listener bus is async: wait for delivery
+      val deadline = System.currentTimeMillis() + 15000
+      while (lines.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val got = lines.iterator().asScala.toSeq
+      assert(got.nonEmpty, "no progress line emitted")
+      assert(got.forall(_.matches(
+        "xid: +\\d+ win_count: +\\d+ win_size: +[\\d.]+mb" +
+          " cum_count: +\\d+ cum_size: +[\\d.]+mb")), s"format drift: $got")
+      assert(got.exists(l => l.contains("xid:          604") &&
+        l.contains("cum_count:         5")),
+        s"expected the 5 raw changes and last xid 604 to surface: $got")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("foreachBatch replay is idempotent on the local file client") {
     // A failed/restarted foreachBatch re-runs the SAME batchId with
     // the same (deterministically sorted) rows. The file client keys
