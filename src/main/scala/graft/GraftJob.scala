@@ -34,7 +34,13 @@ case class GraftConfig(
     createSlot: Boolean = false,
     recreateSlot: Boolean = false) {
   def expandedOps: Seq[String] =
-    if (operations.map(_.toLowerCase) == Seq("all"))
+    // reference __main__.py:42-43: `if 'all' in operations` — 'all'
+    // ANYWHERE in the multi-flag list expands to the four DMLs
+    // (matching only the exact single-element list would allow-list
+    // the literal nonexistent operation 'all' and silently null every
+    // real DML when a user passes `--operations all --operations
+    // insert`, a combination the multi-choice CLI accepts)
+    if (operations.map(_.toLowerCase).contains("all"))
       Seq("insert", "update", "delete", "truncate")
     else operations
 }
@@ -91,8 +97,12 @@ object GraftJob {
       .observe("cdc_metrics",
         count(lit(1)).as("msg_count"),
         sum(length(col("fmt_msg"))).as("msg_bytes"),
-        // the reference's formatter.cur_xact for the progress line
-        max(col("xid")).as("last_xid"))
+        // the reference's formatter.cur_xact for the progress line:
+        // the xid of the LATEST change in WAL order (max_by lsn) —
+        // plain max(xid) would report a high-xid transaction over a
+        // long-running lower-xid one that commits after it, and xid
+        // wraparound would pin it forever
+        max_by(col("xid"), col("lsn")).as("last_xid"))
   }
 
   /** Slot DDL dispatch at job start (reference __main__.py:56-60):

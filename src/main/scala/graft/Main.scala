@@ -174,9 +174,13 @@ object Main {
           case "--pk-catalog" =>
             valued((v, o) => Right(o.copy(pkCatalogPath = Some(v))))
           case "--send-window-secs" =>
-            valued((v, o) => Right(o.copy(sendWindowSecs = v.toInt)))
+            valued((v, o) => v.toIntOption
+              .map(n => o.copy(sendWindowSecs = n))
+              .toRight(s"invalid integer for $flag: $v"))
           case "--max-records-per-trigger" =>
-            valued((v, o) => Right(o.copy(maxRecordsPerTrigger = v.toLong)))
+            valued((v, o) => v.toLongOption
+              .map(n => o.copy(maxRecordsPerTrigger = n))
+              .toRight(s"invalid integer for $flag: $v"))
           case other => Left(s"unknown flag: $other")
         }
     }
@@ -207,16 +211,21 @@ object Main {
     // Slot DDL needs a live statement executor; only wire one when a
     // DDL flag asks for it AND a database is configured (a JDBC driver
     // must be on the classpath at that point — same deploy-time
-    // requirement as the walsender transport).
+    // requirement as the walsender transport). Connection scope is ONE
+    // STATEMENT: the DDL runs once at startup, and holding a
+    // connection open for the life of a streaming job would pin a
+    // server slot for days doing nothing.
     val admin =
-      if ((o.createSlot || o.recreateSlot) && o.pgDbname.isDefined) {
-        val conn = java.sql.DriverManager.getConnection(o.jdbcUrl,
-          jdbcProps(o))
+      if ((o.createSlot || o.recreateSlot) && o.pgDbname.isDefined)
         new SlotAdmin(sql => {
-          val st = conn.createStatement()
-          try { st.execute(sql); () } finally st.close()
+          val conn = java.sql.DriverManager.getConnection(o.jdbcUrl,
+            jdbcProps(o))
+          try {
+            val st = conn.createStatement()
+            try { st.execute(sql); () } finally st.close()
+          } finally conn.close()
         })
-      } else null
+      else null
     GraftJob.start(spark, o.toConfig, cat, slotAdmin = admin)
   }
 

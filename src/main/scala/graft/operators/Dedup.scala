@@ -426,13 +426,8 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("sig"))
       .cache()
     // bands: hash each signature slice, explode to (doc, band, bandHash)
-    val bandStructs = (0 until bands).map { bi =>
-      val slice = (0 until rowsPerBand).map(ri =>
-        element_at(col("sig"), bi * rowsPerBand + ri + 1))
-      struct(lit(bi).as("band"), xxhash64(slice: _*).as("bh"))
-    }
     val banded = perDoc.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("e"))
+      explode(bandStructs(col("sig"), bands, rowsPerBand)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
     val candidates = banded.as("x")
       .join(banded.as("y"), col("x.band") === col("y.band") &&
@@ -445,6 +440,21 @@ object Dedup extends QueryModule {
     // array-carrying sets side streams without a shuffle.
     verifyJaccard(candidates, sets, threshold)
   }
+
+  /** The LSH band-hash expression — ONE definition shared by the batch
+    * candidate self-join (bandedMinhashPairs) and the streaming bucket
+    * state (StreamingDedup.banded), so the banding family cannot drift
+    * between the two faces of the operator (stream/batch parity —
+    * StreamingMinhashParitySpec — depends on them being identical,
+    * and a silent divergence would break production recall, not a
+    * compile). Returns array<struct<band:int, bh:long>> over a MinHash
+    * signature column. */
+  def bandStructs(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { bi =>
+      val slice = (0 until rowsPerBand).map(ri =>
+        element_at(sig, bi * rowsPerBand + ri + 1))
+      struct(lit(bi).as("band"), xxhash64(slice: _*).as("bh"))
+    }: _*)
 
   /** Exact-Jaccard verify of an (a_id, b_id) candidate pair set
     * against a (doc_id, set, n) hash-set table — the shared verify

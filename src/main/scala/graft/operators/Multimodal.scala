@@ -80,11 +80,24 @@ object Multimodal extends QueryModule {
     *    width/height from the image header (no full pixel decode —
     *    the metadata pass stays cheap), n_frames = image count
     *    (animated GIF frames; 1 for stills).
-    * Unknown container → IllegalArgumentException; at pipeline level
-    * route through a lenient dead-letter filter exactly like the CDC
-    * parser's strict/lenient modes. */
+    * Unknown container OR corrupt media → IllegalArgumentException
+    * (the JDK codecs' own failures — UnsupportedAudioFileException,
+    * IIOException on a garbage header — are wrapped so a lenient
+    * dead-letter filter has ONE exception type to key on, exactly
+    * like the CDC parser's strict/lenient modes). */
   object JdkMediaDecoder extends MediaDecoder {
-    def decode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeatures =
+      try decodeUnchecked(docId, bytes)
+      catch {
+        case e: IllegalArgumentException => throw e
+        case e @ (_: java.io.IOException |
+            _: javax.sound.sampled.UnsupportedAudioFileException) =>
+          throw new IllegalArgumentException(
+            s"doc $docId: corrupt or truncated media: ${e.getMessage}", e)
+      }
+
+    private def decodeUnchecked(docId: Long,
+        bytes: Array[Byte]): MediaFeatures = {
       val n = bytes.length.toLong
       val sum = byteSum(bytes)
       val isWav = bytes.length >= 12 &&

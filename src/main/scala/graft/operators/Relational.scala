@@ -36,6 +36,21 @@ object Relational extends QueryModule {
 
   private def tsLit(s: String) = lit(s).cast("timestamp")
 
+  /** SQL-surface queries against a shared SparkSession: register the
+    * input under a per-invocation-unique temp view (Verify runs
+    * queries CONCURRENTLY — a fixed name would race), build the
+    * DataFrame, then drop the view. spark.sql analyzes eagerly, so the
+    * view binding is resolved into the returned plan before the drop;
+    * repeated invocations leave no catalog residue. */
+  private def withTempView(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, prefix: String)(
+      build: String => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val v = prefix + java.util.UUID.randomUUID.toString.replace("-", "")
+    df.createOrReplaceTempView(v)
+    try build(v) finally s.catalog.dropTempView(v)
+  }
+
   /** Co-purchase edges (p1 < p2, support >= 2) — shared by
     * q_basket_pairs and q_triangle_count. Pair generation is bounded
     * by lines-per-order via the l_orderkey equi-join. */
@@ -503,21 +518,15 @@ object Relational extends QueryModule {
     }),
 
     // Explicit GROUPING SETS (beyond rollup/cube) via the SQL surface.
-    // Thread-safety contract: Verify runs queries concurrently against
-    // one shared SparkSession, so SQL-surface queries must register
-    // per-invocation-unique view names — a fixed name would race if two
-    // queries (or two runs of one) ever touched it.
     "q_grouping_sets" -> ((s, d) => {
-      val v = "orders_gs_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      orders(s, d).createOrReplaceTempView(v)
-      s.sql(
+      withTempView(s, orders(s, d), "orders_gs_")(v => s.sql(
         s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
            |  COALESCE(o_orderpriority, 'ALL') AS priority,
            |  COUNT(*) AS n,
            |  ${Num.sqlSumSpark("o_totalprice")} AS sum_price
            |FROM $v
            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-           |ORDER BY status, priority""".stripMargin)
+           |ORDER BY status, priority""".stripMargin))
     }),
 
     // Ordered string aggregation (LISTAGG / string_agg): per region,
@@ -573,18 +582,15 @@ object Relational extends QueryModule {
 
     // Correlated scalar subquery via the SQL surface: orders priced
     // above their customer's average. Catalyst decorrelates this into
-    // an aggregate + join — no per-row subquery execution. View name is
-    // per-invocation unique (see q_grouping_sets' thread-safety note).
+    // an aggregate + join — no per-row subquery execution.
     "q_sql_correlated" -> ((s, d) => {
-      val v = "orders_v_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      orders(s, d).createOrReplaceTempView(v)
-      s.sql(
+      withTempView(s, orders(s, d), "orders_v_")(v => s.sql(
         s"""SELECT o_orderkey, o_custkey, o_totalprice
            |FROM $v o
            |WHERE o_totalprice > 1.5 * (
            |  SELECT AVG(o2.o_totalprice) FROM $v o2
            |  WHERE o2.o_custkey = o.o_custkey)
-           |ORDER BY o_orderkey""".stripMargin)
+           |ORDER BY o_orderkey""".stripMargin))
     }),
 
     // ---- scalar functions ----------------------------------------------

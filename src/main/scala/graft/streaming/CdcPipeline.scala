@@ -40,7 +40,9 @@ object CdcPipeline {
       .observe("cdc_metrics",
         count(lit(1)).as("msg_count"),
         sum(length(col("fmt_msg"))).as("msg_bytes"),
-        max(col("xid")).as("last_xid"))
+        // cur_xact = xid of the latest change in WAL order (see
+        // GraftJob's observe note on max_by vs max)
+        max_by(col("xid"), col("lsn")).as("last_xid"))
   }
 
   /** test_decoding mode: the BEGIN-xid carry (P3) must survive

@@ -96,9 +96,14 @@ class LocalFilePutClient(dir: String, failFirstAttemptEvery: Int = 0)
     extends PutClient {
   // Task-local (the client is serialized into each foreachPartition
   // closure); the sink is a single coalesced lane so one task owns
-  // the whole batch's position sequence.
-  @transient private var curBatch: Long = -1L
-  @transient private var posInBatch: Long = 0L
+  // the whole batch's position sequence. Deliberately NOT @transient:
+  // a transient Long deserializes to 0, which would turn the -1
+  // "no beginBatch yet" sentinel into batch 0 on executors and make
+  // every unbatched put() overwrite batch-0 names; serializing the
+  // driver's -1 keeps the legacy rec-<seq> fallback reachable for
+  // writers that never call beginBatch.
+  private var curBatch: Long = -1L
+  private var posInBatch: Long = 0L
   override def beginBatch(batchId: Long): Unit = {
     curBatch = batchId
     posInBatch = 0L

@@ -10,9 +10,15 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *     message/byte counters (raw payload bytes — psycopg2's
   *     `change.data_size` — NOT formatted output bytes, and counted
   *     before any operation gating, exactly like Consume.__call__),
-  *   - a line is emitted iff the integer epoch second is divisible by
-  *     10 and differs from the last emission's window
-  *     (`not int_time % 10 and int_time != self.cur_window`),
+  *   - a line is emitted once per crossed 10 s boundary: the
+  *     reference's gate (`not int_time % 10 and int_time !=
+  *     self.cur_window`) is evaluated per consumed MESSAGE, so a
+  *     flowing stream observably logs once whenever a boundary
+  *     passes; this port evaluates once per micro-batch completion,
+  *     so the faithful translation is "has a new boundary passed
+  *     since the last emission" — gating on `t % 10 == 0` here would
+  *     fire on only the ~1-in-10 batches whose completion lands
+  *     exactly on a boundary (a 13 s trigger would log every ~130 s),
   *   - emission resets the window counters, never the cumulative ones,
   *   - the xid field reports the latest transaction id seen by the
   *     parser (the reference's `formatter.cur_xact`).
@@ -43,11 +49,12 @@ class ProgressWindow(
       winSize += msgBytes
       if (xid > 0) lastXid = xid
       val t = now()
-      if (t % 10 == 0 && t != curWindow) {
+      val boundary = t / 10 * 10 // latest 10 s boundary at or before t
+      if (boundary > curWindow) {
         val line = f"xid: $lastXid%12d win_count:$winCount%10d " +
           f"win_size:${winSize / 1048576.0}%10.4fmb " +
           f"cum_count:$cumCount%10d cum_size:${cumSize / 1048576.0}%10.4fmb"
-        curWindow = t
+        curWindow = boundary
         winCount = 0L
         winSize = 0L
         Some(line)

@@ -68,23 +68,20 @@ object StreamingDedup {
 
   case class Pair(a_id: Long, b_id: Long)
 
-  /** Shared banding front end: (doc_id, band, bandHash) — identical
-    * expressions and banding math to the batch LSH
-    * (operators/Dedup.bandedMinhashPairs), which is what makes
-    * stream/batch parity provable rather than approximate. */
+  /** Shared banding front end: (doc_id, band, bandHash). The band
+    * hashes come from the ONE shared Dedup.bandStructs definition the
+    * batch LSH also uses, which is what makes stream/batch parity
+    * provable rather than approximate — a banding change lands on both
+    * faces or neither. */
   private def banded(docs: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
     val numPerm = bands * rowsPerBand
-    val bandStructs = (0 until bands).map { bi =>
-      val slice = (0 until rowsPerBand).map(ri =>
-        element_at(col("sig"), bi * rowsPerBand + ri + 1))
-      struct(lit(bi).as("band"), xxhash64(slice: _*).as("bh"))
-    }
     docs
       .select(col("doc_id"),
         MinHashSig.minhash_sig(
           ShingleHashes.shingle_hashes(col("text"), 8), numPerm).as("sig"))
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), explode(graft.operators.Dedup
+        .bandStructs(col("sig"), bands, rowsPerBand)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
   }
 

@@ -226,6 +226,16 @@ class GraftJobSpec extends SparkSpec {
     assert(Main.parse(Seq("--operations", "upsert")).isLeft)
     assert(Main.parse(Seq("--no-such-flag")).isLeft)
     assert(Main.parse(Seq("--pg-dbname")).isLeft, "missing value")
+    assert(Main.parse(Seq("--send-window-secs", "ten")).isLeft,
+      "non-numeric value must be a parse error, not an exception")
+    assert(Main.parse(Seq("--max-records-per-trigger", "1e6")).isLeft)
+    // reference __main__.py:42-43: 'all' ANYWHERE in the multi-flag
+    // list expands — `--operations all --operations insert` must not
+    // allow-list the literal 'all' (which would null every real DML)
+    val mixed = Main.parse(Seq("--operations", "all",
+      "--operations", "insert")).fold(e => fail(e), identity).toConfig
+    assert(mixed.expandedOps ==
+      Seq("insert", "update", "delete", "truncate"))
     // the --full-change assertion (reference __main__.py:45-47) fires
     // at job start on a parsed config, same message contract as the
     // direct-GraftConfig path

@@ -142,7 +142,7 @@ class StreamingSpec extends SparkSpec {
     // != the last emission's window; emission resets window counters,
     // never cumulative ones; xid carries the latest transaction seen.
     import graft.streaming.ProgressWindow
-    val times = Iterator(9L, 10L, 10L, 11L, 20L)
+    val times = Iterator(9L, 10L, 10L, 11L, 20L, 23L, 33L)
     val w = new ProgressWindow(() => times.next())
     assert(w.record(700, 3, 1048576L).isEmpty, "t=9: gate closed")
     val l1 = w.record(701, 2, 1048576L)
@@ -155,6 +155,17 @@ class StreamingSpec extends SparkSpec {
     assert(l2.contains("xid:          701 win_count:         2 " +
       "win_size:    0.0000mb cum_count:         7 cum_size:    2.0000mb"),
       s"window must reset on emit, cum must not: $l2")
+    // t=23: off-boundary completion inside the already-logged window
+    // 20 — accumulates silently
+    assert(w.record(0, 4, 0).isEmpty, "t=23: same window as t=20")
+    // t=33: off-boundary completion, but the 30 s boundary has passed
+    // since the last emission — a 13 s trigger whose batches land at
+    // 13, 26, 39... must still log once per crossed window (the
+    // reference evaluates its gate per message, so a flowing stream
+    // never misses a boundary)
+    val l3 = w.record(0, 1, 0)
+    assert(l3.exists(_.contains("win_count:         5")),
+      s"off-boundary batch after a crossed boundary must log: $l3")
   }
 
   test("progress listener logs the reference line from observed metrics") {
