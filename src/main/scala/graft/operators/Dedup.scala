@@ -456,6 +456,16 @@ object Dedup extends QueryModule {
       struct(lit(bi).as("band"), xxhash64(slice: _*).as("bh"))
     }: _*)
 
+  /** SimHash chunk-band expression — 4 chunks of 15 bits; pigeonhole
+    * guarantees any pair within Hamming distance 3 shares a chunk.
+    * ONE definition shared by the batch self-join (simhashPairs) and
+    * the streaming bucket state (StreamingDedup.simhashNearDups), same
+    * no-drift rationale as [[bandStructs]]. */
+  def simhashBandStructs(sig: Column): Column =
+    array((0 until 4).map(i => struct(lit(i).as("band"),
+      shiftrightunsigned(sig, i * 15).bitwiseAND(lit(0x7FFFL))
+        .as("key"))): _*)
+
   /** Exact-Jaccard verify of an (a_id, b_id) candidate pair set
     * against a (doc_id, set, n) hash-set table — the shared verify
     * kernel of the batch LSH pipelines, public so the STREAMING
@@ -502,9 +512,7 @@ object Dedup extends QueryModule {
     val sigs = docs.select(col("doc_id"),
       simhash64(token_md5_60(col("text"))).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(i => struct(lit(i).as("band"),
-        shiftrightunsigned(col("sig"), i * 15).bitwiseAND(lit(0x7FFFL))
-          .as("key"))): _*)).as("e"))
+      explode(simhashBandStructs(col("sig"))).as("e"))
       .select(col("doc_id"), col("sig"), col("e.band").as("band"),
         col("e.key").as("key"))
     // the Hamming cut rides the join condition: candidates failing it

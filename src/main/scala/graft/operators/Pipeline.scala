@@ -242,6 +242,45 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test split assignment, the leakage-safe
+    // form: the bucket hashes the CONTENT, not the id or position, so
+    // byte-identical duplicates can never straddle splits (the classic
+    // eval-contamination bug when splitting by row order), a document
+    // re-ingested under a new id lands in its original split, and the
+    // assignment reproduces anywhere with zero state. 90/5/5 over a
+    // 0-99 content-hash bucket; one shuffle-free scan pass (the
+    // trailing orderBy is the oracle-compare convention).
+    "corpus_split" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("bucket", expr(
+          "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) % 100"))
+        .withColumn("split", expr("CASE WHEN bucket < 90 THEN 'train'" +
+          " WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+        .select(col("doc_id"), col("source"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratification audit over the split: per-(source, split) doc
+    // counts and integer ppm shares of each source — the pre-flight
+    // report that catches a source whose val/test slice came out empty
+    // or skewed BEFORE a training run bakes the split in. Map-side
+    // combinable aggregate + one small window over (source, split)
+    // rows.
+    "corpus_split_report" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("bucket", expr(
+          "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) % 100"))
+        .withColumn("split", expr("CASE WHEN bucket < 90 THEN 'train'" +
+          " WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share_ppm", expr("n_docs * 1000000L div " +
+          "sum(n_docs) OVER (PARTITION BY source)").cast("long"))
+        .select(col("source"), col("split"), col("n_docs"),
+          col("share_ppm"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     // Exact stratified 10% sample per lang: rank docs within each
     // stratum by a deterministic hash order, keep rn*10 <= stratum
     // size (floor(n/10) rows per stratum, bias-free and reproducible).
@@ -1459,6 +1498,30 @@ object Pipeline extends QueryModule {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5('b' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 20 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_split" ->
+      """SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "corpus_split_report" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    CASE WHEN b < 90 THEN 'train'
+        |         WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT source,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+        |    FROM documents)),
+        |c AS (SELECT source, split, COUNT(*) AS n_docs
+        |  FROM a GROUP BY source, split)
+        |SELECT source, split, n_docs,
+        |  CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY source)
+        |    AS BIGINT) AS share_ppm
+        |FROM c ORDER BY source, split""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang FROM (

@@ -156,4 +156,56 @@ object StreamingDedup {
           out.result().iterator
         })
   }
+
+  case class SimPair(a_id: Long, b_id: Long, hamming: Long)
+
+  /** Streaming SimHash near-dup — the ingest-time face of the batch
+    * dedup_simhash, and the one near-dup tier whose VERIFY runs
+    * entirely in state: a SimHash verify needs only the two 64-bit
+    * fingerprints (bit_count of the xor), so the bucket roster stores
+    * (doc_id, sig) pairs and emits exact verified pairs directly — no
+    * downstream join against a corpus store, unlike the MinHash tier
+    * where the multi-KB shingle sets stay external by design. Banding
+    * is the shared Dedup.simhashBandStructs (4×15-bit chunks;
+    * pigeonhole-exact for Hamming ≤ 3), fingerprints the same native
+    * token_md5_60 → simhash64 expressions — stream output EQUALS batch
+    * dedup_simhash on the same corpus (StreamingMinhashParitySpec).
+    * A pair may surface from several chunks/batches: consumers
+    * `distinct`, same as the batch join. State per bucket: 16 bytes
+    * per resident doc, maxBucket-capped like nearDupPairs. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 4096): Dataset[SimPair] = {
+    import docs.sparkSession.implicits._
+    import graft.expressions.SimHash64.simhash64
+    import graft.expressions.TokenMd5.token_md5_60
+    docs
+      .select(col("doc_id"),
+        simhash64(token_md5_60(col("text"))).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(graft.operators.Dedup.simhashBandStructs(col("sig")))
+          .as("e"))
+      .select(col("doc_id"), col("sig"), col("e.band").as("band"),
+        col("e.key").as("key"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[Seq[(Long, Long)], SimPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_, it, state: GroupState[Seq[(Long, Long)]]) => {
+          var roster = state.getOption.getOrElse(Seq.empty[(Long, Long)])
+          val out = Vector.newBuilder[SimPair]
+          it.toVector.sortBy(_._1).foreach { case (id, sig, _, _) =>
+            if (!roster.exists(_._1 == id) && roster.size < maxBucket) {
+              roster.foreach { case (pid, psig) =>
+                val ham = java.lang.Long.bitCount(sig ^ psig)
+                if (ham <= maxHamming)
+                  out += SimPair(math.min(id, pid), math.max(id, pid),
+                    ham.toLong)
+              }
+              roster = roster :+ ((id, sig))
+            }
+          }
+          state.update(roster)
+          out.result().iterator
+        })
+  }
 }

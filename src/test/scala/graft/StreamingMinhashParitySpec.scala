@@ -57,6 +57,33 @@ class StreamingMinhashParitySpec extends SparkSpec {
       s"stream pairs ${verified.toSeq} != batch pairs ${batch.toSeq}")
   }
 
+  test("streaming simhash (in-state verify) == batch dedup_simhash") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingDedup.SimPair
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup
+      .simhashNearDups(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sh_pairs")
+      .outputMode(OutputMode.Append).start()
+    val batches = docs.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+    batches.foreach { case (_, b) =>
+      in.addData(b.map(_._1)); q.processAllAvailable()
+    }
+    val stream = spark.table("sh_pairs").as[SimPair].collect()
+      .map(p => (p.a_id, p.b_id, p.hamming)).distinct.sorted.toSeq
+    q.stop()
+    val batch = SparkEntry.queries("dedup_simhash")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue())) // bit_count yields int
+      .sorted.toSeq
+    assert(batch.nonEmpty, "corpus must contain simhash near-dups")
+    assert(stream == batch, s"stream $stream != batch $batch")
+  }
+
   test("all-pairs roster emits within-bucket pairs beyond the first doc") {
     // three mutual near-dups arriving in three different batches: the
     // representative-only candidate stream pairs (2,1),(3,1); the
