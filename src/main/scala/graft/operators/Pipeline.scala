@@ -193,6 +193,16 @@ object Pipeline extends QueryModule {
   /** Deterministic PII-bearing corpus: the synthetic documents carry no
     * emails or card numbers, so the scrub operator plants them —
     * deterministically from doc_id, identically in the oracle. */
+  /** Content-hash train/val/test assignment shared by corpus_split,
+    * its stratification report, and the leakage audit: bucket =
+    * first-8-hex of md5(text) mod 100, 90/5/5. */
+  private def splitAssign(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("split", expr("CASE WHEN bucket < 90 THEN 'train'" +
+        " WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+
   private def piiCorpus(s: SparkSession, d: String): DataFrame =
     documents(s, d).withColumn("aug", concat(col("text"),
       when(col("doc_id") % 4 === 0,
@@ -251,13 +261,33 @@ object Pipeline extends QueryModule {
     // 0-99 content-hash bucket; one shuffle-free scan pass (the
     // trailing orderBy is the oracle-compare convention).
     "corpus_split" -> ((s, d) => {
-      documents(s, d)
-        .withColumn("bucket", expr(
-          "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) % 100"))
-        .withColumn("split", expr("CASE WHEN bucket < 90 THEN 'train'" +
-          " WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+      splitAssign(documents(s, d))
         .select(col("doc_id"), col("source"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-split leakage audit: near-dup pairs whose members landed
+    // in DIFFERENT splits. A content-hash split keeps byte-identical
+    // duplicates together by construction, but a NEAR-dup at J>=0.8
+    // hashes differently and can straddle train/test — the silent
+    // eval-inflation the published decontamination pipelines all
+    // screen for, here applied to the corpus's own split. Composes two
+    // verified kernels: sub-quadratic LSH pair generation with exact
+    // verify (Dedup.minhashPairs) and the split assignment; the pair
+    // set is tiny, so it broadcasts through both label joins and the
+    // corpus-size split side never shuffles.
+    "corpus_split_leakage" -> ((s, d) => {
+      val split = splitAssign(documents(s, d))
+        .select(col("doc_id"), col("split"))
+      broadcast(Dedup.minhashPairs(documents(s, d)))
+        .join(split.select(col("doc_id").as("a_id"),
+          col("split").as("a_split")), Seq("a_id"))
+        .join(split.select(col("doc_id").as("b_id"),
+          col("split").as("b_split")), Seq("b_id"))
+        .filter(col("a_split") =!= col("b_split"))
+        .select(col("a_id"), col("b_id"), col("a_split"), col("b_split"),
+          col("inter"), col("union_n"))
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // Stratification audit over the split: per-(source, split) doc
@@ -267,11 +297,7 @@ object Pipeline extends QueryModule {
     // combinable aggregate + one small window over (source, split)
     // rows.
     "corpus_split_report" -> ((s, d) => {
-      documents(s, d)
-        .withColumn("bucket", expr(
-          "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) % 100"))
-        .withColumn("split", expr("CASE WHEN bucket < 90 THEN 'train'" +
-          " WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+      splitAssign(documents(s, d))
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"))
         .withColumn("share_ppm", expr("n_docs * 1000000L div " +
@@ -1507,6 +1533,34 @@ object Pipeline extends QueryModule {
         |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_split_leakage" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |verified AS (
+        |  SELECT a_id, b_id, inter, a.n + b.n - inter AS union_n
+        |  FROM pairs JOIN sz a ON a.doc_id = a_id
+        |  JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN b < 90 THEN 'train'
+        |    WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+        |    FROM documents))
+        |SELECT a_id, b_id, sa.split AS a_split, sb.split AS b_split,
+        |  inter, union_n
+        |FROM verified JOIN sp sa ON sa.doc_id = a_id
+        |JOIN sp sb ON sb.doc_id = b_id
+        |WHERE sa.split != sb.split
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "corpus_split_report" ->
       """WITH a AS (
