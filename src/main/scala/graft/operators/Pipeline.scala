@@ -290,6 +290,36 @@ object Pipeline extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // The FIX for what the leakage audit finds: cluster-aware split
+    // assignment. Every document inherits the content-hash bucket of
+    // its near-dup cluster REPRESENTATIVE (the component's min doc_id;
+    // singletons represent themselves), so an entire near-dup clique
+    // lands in one split and cross-split leakage at the dedup
+    // threshold is zero BY CONSTRUCTION (PipelineSpec asserts it) —
+    // the split-by-cluster discipline published decontamination
+    // pipelines converge on. Costs: the cluster map is output-sized
+    // (clustered docs only, a small fraction of any sane corpus) so
+    // both label joins broadcast; the corpus-size side never shuffles.
+    "corpus_split_safe" -> ((s, d) => {
+      val h = splitAssign(documents(s, d))
+        .select(col("doc_id"), col("bucket").as("own_bucket"))
+      val cl = clusters(s, d) // (doc_id, cluster_id), output-sized
+      val repBucket = h
+        .join(broadcast(cl.select(col("cluster_id")).distinct()),
+          col("doc_id") === col("cluster_id"))
+        .select(col("cluster_id").as("rep_cl"),
+          col("own_bucket").as("rep_bucket"))
+      h.join(broadcast(cl), Seq("doc_id"), "left")
+        .join(broadcast(repBucket), col("cluster_id") === col("rep_cl"),
+          "left")
+        .withColumn("rep_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("bucket", coalesce(col("rep_bucket"), col("own_bucket")))
+        .withColumn("split", expr("CASE WHEN bucket < 90 THEN 'train'" +
+          " WHEN bucket < 95 THEN 'val' ELSE 'test' END"))
+        .select(col("doc_id"), col("rep_id"), col("bucket"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stratification audit over the split: per-(source, split) doc
     // counts and integer ppm shares of each source — the pre-flight
     // report that catches a source whose val/test slice came out empty
@@ -1561,6 +1591,39 @@ object Pipeline extends QueryModule {
         |JOIN sp sb ON sb.doc_id = b_id
         |WHERE sa.split != sb.split
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "corpus_split_safe" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |np AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
+        |edges(a, b) AS (
+        |  SELECT a_id, b_id FROM np UNION SELECT b_id, a_id FROM np),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |h AS (SELECT doc_id,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b0
+        |  FROM documents),
+        |j AS (SELECT h.doc_id, COALESCE(cl.cluster_id, h.doc_id) AS rep_id,
+        |  h.b0 FROM h LEFT JOIN cl ON cl.doc_id = h.doc_id)
+        |SELECT j.doc_id, j.rep_id, rh.b0 AS bucket,
+        |  CASE WHEN rh.b0 < 90 THEN 'train'
+        |       WHEN rh.b0 < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM j JOIN h rh ON rh.doc_id = j.rep_id
+        |ORDER BY j.doc_id""".stripMargin,
 
     "corpus_split_report" ->
       """WITH a AS (

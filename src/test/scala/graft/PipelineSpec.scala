@@ -469,4 +469,27 @@ class PipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("cluster-aware split: zero near-dup leakage by construction") {
+    // corpus_split_safe assigns every doc its near-dup cluster
+    // representative's content-hash bucket, so NO verified near-dup
+    // pair may straddle splits — the invariant corpus_split_leakage
+    // audits for and the naive content-hash split cannot guarantee
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      val safe = SparkEntry.queries("corpus_split_safe")(spark, dir)
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val pairs = graft.operators.Dedup
+        .minhashPairs(Tables.documents(spark, dir))
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty, s"no near-dup pairs in $dir")
+      pairs.foreach { case (a, b) =>
+        assert(safe(a) == safe(b),
+          s"$dir: pair ($a, $b) straddles ${safe(a)}/${safe(b)}")
+      }
+      // every doc keeps an assignment (left joins lose nobody)
+      assert(safe.size == Tables.documents(spark, dir).count())
+    }
+  }
 }
