@@ -141,6 +141,8 @@ class CdcFileMicroBatchStream(path: String, maxPerTrigger: Long)
     Files.write(Paths.get(path + ".feedback"),
       s"$lsn\n".getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    // reference __main__.py:103-104: every feedback ack logs its LSN
+    PgReplicationSource.logFlushed(lsn)
   }
 
   override def deserializeOffset(json: String): Offset = {

@@ -81,6 +81,14 @@ object PgReplicationSource {
   private val registry =
     new ConcurrentHashMap[String, () => ReplicationStream]()
 
+  /** The reference's per-ack log line (__main__.py:103-104:
+    * `logger.info('Flushed LSN: {}')`) — injectable so specs can
+    * capture it; default goes to stderr like graft.Main's progress
+    * lines. Volatile: the driver's commit thread and a spec's
+    * assertion thread may race on the swap. */
+  @volatile var logFlushed: Long => Unit =
+    lsn => System.err.println(s"Flushed LSN: $lsn")
+
   /** Register a connection factory under a name referenced by the
     * `connection` option. */
   def registerConnection(name: String, f: () => ReplicationStream): Unit =
@@ -143,8 +151,12 @@ class PgReplicationMicroBatchStream(connection: String, maxPerTrigger: Long)
     * durably committed; maps to the standby status update, so the
     * server may discard WAL below this point. Trails the sink by one
     * epoch (engine behavior) — replay-only lag, at-least-once kept. */
-  override def commit(end: Offset): Unit =
-    conn.flushed(end.asInstanceOf[LsnOffset].lsn)
+  override def commit(end: Offset): Unit = {
+    val lsn = end.asInstanceOf[LsnOffset].lsn
+    conn.flushed(lsn)
+    // reference __main__.py:103-104: every feedback ack logs its LSN
+    PgReplicationSource.logFlushed(lsn)
+  }
 
   override def deserializeOffset(json: String): Offset =
     LsnOffset(json.replaceAll("[^0-9]", "").toLong)

@@ -279,4 +279,50 @@ class PropertySpec extends SparkSpec {
       got == want && got.forall(v => v >= 0 && v < (1L << 32))
     })
   }
+
+  // ---- progress-window accounting --------------------------------------
+  private val genTicks: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(1, 60)
+    deltas <- Gen.listOfN(n, Gen.choose(0L, 25L)) // clock steps, may stall
+    counts <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    xids <- Gen.listOfN(n, Gen.choose(0L, 5000L))
+  } yield deltas.scanLeft(5L)(_ + _).tail.zip(counts).zip(xids)
+    .map { case ((t, c), x) => (t, c, x) }
+
+  test("progress window: emitted counters reconcile under any schedule") {
+    // Against a direct simulation of the reference's accounting: the
+    // window counters emitted across all lines plus whatever is still
+    // buffered must equal the cumulative total (no tick lost or
+    // double-counted, however the clock stalls or jumps), each line's
+    // cumulative field is the running total at emission, at most one
+    // line per 10 s window, and windows emit in increasing order.
+    check(Prop.forAll(genTicks) { ticks =>
+      // clock serves the generated schedule, then one far-future tick
+      // for the flush call below
+      val it = (ticks.map(_._1) :+ (ticks.last._1 + 100)).iterator
+      val w = new graft.streaming.ProgressWindow(() => it.next())
+      val winRe = "win_count: *(\\d+)".r
+      val cumRe = "cum_count: *(\\d+)".r
+      var cum = 0L
+      var emittedWin = 0L
+      var ok = true
+      var lastBoundary = Long.MinValue
+      def absorb(t: Long, line: String): Unit = {
+        emittedWin += winRe.findFirstMatchIn(line).get.group(1).toLong
+        ok &&= cumRe.findFirstMatchIn(line).get.group(1).toLong == cum
+        val boundary = t / 10 * 10
+        ok &&= boundary > lastBoundary
+        lastBoundary = boundary
+      }
+      ticks.foreach { case (t, c, x) =>
+        cum += c
+        w.record(x, c, 0L).foreach(absorb(t, _))
+      }
+      // flush the residual window: total emitted must now reconcile
+      // exactly with the cumulative count — nothing lost, nothing
+      // double-counted, regardless of clock stalls and jumps
+      w.record(0L, 0L, 0L).foreach(absorb(ticks.last._1 + 100, _))
+      ok && emittedWin == cum
+    })
+  }
 }

@@ -137,6 +137,39 @@ class StreamingSpec extends SparkSpec {
     assert(sinkRecords(s"$dir/sink").size == 6)
   }
 
+  test("every feedback ack logs its LSN, like the reference") {
+    // reference __main__.py:103-104: logger.info('Flushed LSN: {}') on
+    // each send_feedback — the graft ack path (MicroBatchStream.commit
+    // → flushed) emits the same line through the injectable hook
+    import graft.sources.PgReplicationSource
+    val logged = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val orig = PgReplicationSource.logFlushed
+    PgReplicationSource.logFlushed = lsn => { logged.add(lsn); () }
+    try {
+      val dir = tmp()
+      val src = writeSource(dir,
+        (0 until 4).map(i => walLine(800 + i, "insert", i)))
+      val q = CdcPipeline.start(spark, src, cat, Seq("insert"),
+        s"$dir/sink", s"$dir/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      q.processAllAvailable()
+      // the ack trails by one epoch: append more WAL so a later batch
+      // commits the earlier one (same at-least-once lag as production)
+      Files.write(Paths.get(src),
+        (4 until 6).map(i => walLine(800 + i, "insert", i))
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
+      q.processAllAvailable(); q.stop()
+      import scala.jdk.CollectionConverters._
+      val acks = logged.iterator().asScala.toSeq
+      assert(acks.nonEmpty, "no Flushed LSN lines")
+      // the logged LSNs are exactly the feedback-file acks, in order
+      val feedback = Files.readAllLines(Paths.get(s"$src.feedback"))
+        .asScala.map(_.trim.toLong).toSeq
+      assert(acks == feedback, s"log $acks != feedback $feedback")
+    } finally PgReplicationSource.logFlushed = orig
+  }
+
   test("progress window reproduces the reference's 10 s log cadence") {
     // reference __main__.py:106-115: emit iff int_time % 10 == 0 AND
     // != the last emission's window; emission resets window counters,
