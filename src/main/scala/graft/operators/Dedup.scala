@@ -466,6 +466,31 @@ object Dedup extends QueryModule {
       shiftrightunsigned(sig, i * 15).bitwiseAND(lit(0x7FFFL))
         .as("key"))): _*)
 
+  /** The SCALE path for SimHash banding — the Manku-et-al wide-key
+    * layout: 6 blocks of 10 bits, one key per C(6,3) = 20 three-block
+    * combination. Pigeonhole: ≤ 3 flipped bits hit ≤ 3 blocks, so ≥ 3
+    * blocks are clean and at least one of the 20 combinations is
+    * untouched — the same full-recall guarantee at Hamming ≤ 3 as the
+    * 4×15 chunks, but over a 2^30 key space instead of 2^15. Trade:
+    * 20 band rows per doc instead of 4, for ~32 000× lower expected
+    * bucket occupancy — per-bucket work is quadratic in occupancy (in
+    * the batch join's match loop AND the streaming roster), so beyond
+    * ~10^7 docs the 15-bit buckets saturate and this layout is the
+    * one that survives. DedupSpec pins wide == narrow pair-for-pair.
+    */
+  def simhashBandStructsWide(sig: Column): Column = {
+    val combos = (0 until 6).combinations(3).toSeq
+    array(combos.zipWithIndex.map { case (blocks, bi) =>
+      val key = blocks.zipWithIndex
+        .map { case (b, pos) =>
+          shiftleft(shiftrightunsigned(sig, b * 10)
+            .bitwiseAND(lit(0x3FFL)), pos * 10)
+        }
+        .reduce((a, c) => a.bitwiseOR(c))
+      struct(lit(bi).as("band"), key.as("key"))
+    }: _*)
+  }
+
   /** Exact-Jaccard verify of an (a_id, b_id) candidate pair set
     * against a (doc_id, set, n) hash-set table — the shared verify
     * kernel of the batch LSH pipelines, public so the STREAMING
@@ -501,7 +526,8 @@ object Dedup extends QueryModule {
     * guarantees every pair within Hamming distance 3 shares a chunk,
     * so candidates stay linear in docs and the verify is exact.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      wide: Boolean = false): DataFrame = {
     import graft.expressions.SimHash64.simhash64
     import graft.expressions.TokenMd5.token_md5_60
     // token_md5_60 = native one-pass replacement for
@@ -511,8 +537,12 @@ object Dedup extends QueryModule {
     // per-token string allocations of the composed form
     val sigs = docs.select(col("doc_id"),
       simhash64(token_md5_60(col("text"))).as("sig"))
+    // wide = the Manku 6x10/C(6,3) layout for corpora past ~1e7 docs
+    // (see simhashBandStructsWide); identical verified output either way
+    val bandExpr = if (wide) simhashBandStructsWide(col("sig"))
+                   else simhashBandStructs(col("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(simhashBandStructs(col("sig"))).as("e"))
+      explode(bandExpr).as("e"))
       .select(col("doc_id"), col("sig"), col("e.band").as("band"),
         col("e.key").as("key"))
     // the Hamming cut rides the join condition: candidates failing it

@@ -174,16 +174,21 @@ object StreamingDedup {
     * `distinct`, same as the batch join. State per bucket: 16 bytes
     * per resident doc, maxBucket-capped like nearDupPairs. */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = 4096): Dataset[SimPair] = {
+      maxBucket: Int = 4096, wide: Boolean = false): Dataset[SimPair] = {
     import docs.sparkSession.implicits._
     import graft.expressions.SimHash64.simhash64
     import graft.expressions.TokenMd5.token_md5_60
+    val sigCol = simhash64(token_md5_60(col("text"))).as("sig")
+    // wide = the Manku 6x10/C(6,3) key layout (Dedup
+    // .simhashBandStructsWide): 2^30 buckets, which is what keeps the
+    // per-bucket roster — quadratic work, maxBucket-capped — near-dup-
+    // sized past ~1e7 docs; identical verified output either way
+    val bandExpr =
+      if (wide) graft.operators.Dedup.simhashBandStructsWide(col("sig"))
+      else graft.operators.Dedup.simhashBandStructs(col("sig"))
     docs
-      .select(col("doc_id"),
-        simhash64(token_md5_60(col("text"))).as("sig"))
-      .select(col("doc_id"), col("sig"),
-        explode(graft.operators.Dedup.simhashBandStructs(col("sig")))
-          .as("e"))
+      .select(col("doc_id"), sigCol)
+      .select(col("doc_id"), col("sig"), explode(bandExpr).as("e"))
       .select(col("doc_id"), col("sig"), col("e.band").as("band"),
         col("e.key").as("key"))
       .as[(Long, Long, Int, Long)]

@@ -31,6 +31,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash wide banding (Manku 6x10/C(6,3)) finds the identical pairs") {
+    // Both layouts carry the same pigeonhole guarantee at Hamming <= 3
+    // (narrow: >=1 clean 15-bit chunk; wide: >=1 untouched 3-block
+    // combination), so the verified pair set must be IDENTICAL — the
+    // wide layout buys 2^30 buckets (the per-bucket-quadratic scale
+    // path) with zero recall change. Pinned at both the spec corpus
+    // and the gate's sf0.01.
+    Seq(sf, "/root/testdata/sf0.01").foreach { dir =>
+      def pairs(wide: Boolean) =
+        Dedup.simhashPairs(Tables.documents(spark, dir), wide = wide)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            r.getAs[Number](2).longValue())).toSet
+      val narrow = pairs(wide = false)
+      val wide = pairs(wide = true)
+      assert(narrow.nonEmpty, s"no simhash near-dups in $dir")
+      assert(wide == narrow,
+        s"$dir: wide-only=${wide -- narrow}, narrow-only=${narrow -- wide}")
+    }
+  }
+
   test("simhash of identical token arrays is identical; near-dups close") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -64,8 +64,10 @@ class StreamingMinhashParitySpec extends SparkSpec {
       .select("doc_id", "text").as[(Long, String)]
       .collect().toSeq.sortBy(_._1)
     val in = MemoryStream[(Long, String)]
+    // wide = the Manku scale layout — parity must hold for the banding
+    // actually deployed at scale, not just the 4x15 test default
     val q = StreamingDedup
-      .simhashNearDups(in.toDF().toDF("doc_id", "text"))
+      .simhashNearDups(in.toDF().toDF("doc_id", "text"), wide = true)
       .writeStream.format("memory").queryName("sh_pairs")
       .outputMode(OutputMode.Append).start()
     val batches = docs.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
