@@ -143,7 +143,15 @@ object ScaleProbe {
       // vocab curve (perturbed text -> per-copy-disjoint bigram
       // vocab), and the Benford digit screen (pure one-pass agg)
       "q_priority_late", "q_top_supplier", "q_small_qty_revenue",
-      "q_disjunctive", "mm_av_align", "text_vocab_growth", "q_benford")
+      "q_disjunctive", "mm_av_align", "text_vocab_growth", "q_benford",
+      // round-8 third-session additions: the Q10 narrow-key join
+      // rollup, the two bounded-histogram quantile operators (their
+      // cutoff tables must stay bounded as the corpus grows — exactly
+      // what the ratio checks), and DSIR's 1024-bucket scoring (the
+      // lift table is constant-size by construction; the ratio should
+      // be pure scan growth)
+      "q_returned_items", "text_ccnet_buckets", "text_curriculum",
+      "text_dsir")
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

@@ -274,6 +274,35 @@ object Relational extends QueryModule {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q10 shape (returned-item reporting): revenue lost to
+    // returns per customer over one quarter, top 20. The orderdate
+    // filter and the returnflag filter both push to the parquet scans
+    // BEFORE the 3-way join; lineitem-orders shuffles on orderkey,
+    // the customer join flips to broadcast under AQE at small SF and
+    // shuffled-hash at cluster scale, nation is an explicit broadcast.
+    // Aggregating on custkey alone (name/acctbal/n_name ride along via
+    // the post-agg customer join) keeps the shuffle key narrow — the
+    // canonical Q10 groups by all four, paying a wide composite key.
+    "q_returned_items" -> ((s, d) => {
+      val lost = lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+              col("o_orderdate") < tsLit("1996-04-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      lost
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Top-k by aggregate: biggest customers by lifetime spend.
     "q_top_customers" -> ((s, d) => {
       orders(s, d)
@@ -1856,6 +1885,19 @@ object Relational extends QueryModule {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name, revenue
+         |FROM (SELECT o_custkey,
+         |        ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |      WHERE l_returnflag = 'R'
+         |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |        AND o_orderdate < TIMESTAMP '1996-04-01'
+         |      GROUP BY o_custkey) t
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_top_customers" ->
       s"""SELECT c_custkey, c_name, total_spent, n_orders

@@ -116,6 +116,32 @@ object Similarity extends QueryModule {
     "sim_ann_ivf" -> ((s, d) =>
       ivfTopK(corpus(s, d), 10).orderBy(col("query_id"), col("rank"))),
 
+    // IVF posting-list balance — the index-ops diagnostic you run
+    // BEFORE trusting IVF latency numbers (the ANN counterpart of
+    // dedup_simhash_buckets' banding-skew check): per-centroid list
+    // size, corpus share in ppm, and the max/mean skew ratio riding
+    // every row as the headline number. A skew_x100 of ~100 means
+    // probes touch nProbe/nCentroids of the corpus as designed; a hot
+    // list means the centroid set (here the deterministic first-32;
+    // production kmeans||) has collapsed and probe cost is unbounded.
+    // Every centroid appears: each centroid's own vector assigns to
+    // itself (cosine 1), so no empty-list row can be silently absent.
+    // One linear assignment pass + a 32-row aggregate; the totals ride
+    // a broadcast 1-row cross join (bounded — PlanAuditSpec
+    // exemption). skew magnitudes: mx·3200 ≤ 3.2e15 at a 1e12-vector
+    // corpus — inside long on both engines.
+    "sim_ivf_balance" -> ((s, d) => {
+      val sizes = ivfAssign(corpus(s, d), corpus(s, d), "vec_id", 1, 32)
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      val tot = sizes.agg(sum(col("n_vecs")).as("total"),
+        max(col("n_vecs")).as("mx"))
+      sizes.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_vecs"),
+          expr("n_vecs * 1000000L div total").as("share_ppm"),
+          expr("mx * 3200L div total").as("skew_x100"))
+        .orderBy(col("cid"))
+    }),
+
     // k-NN GRAPH construction — every vector's top-4 neighbors, the
     // building block under graph ANN (HNSW layer 0), SemDeDup-style
     // cluster refinement, and label propagation. Candidates come from
@@ -352,26 +378,33 @@ object Similarity extends QueryModule {
   }
 
   /** IVF candidate generation + exact scoring. */
-  def ivfTopK(c: DataFrame, k: Int, nCentroids: Int = 32,
-      nProbe: Int = 8): DataFrame = {
+  /** Nearest-centroid assignment against the deterministic first-N
+    * centroids: each row of `df` (which must carry `embedding`/`nrm`)
+    * gets its `topn` nearest centroid ids. The linear pass under both
+    * IVF list building and query probing — corpus × broadcast-32
+    * (bounded small side by construction). */
+  def ivfAssign(c: DataFrame, df: DataFrame, idCol: String, topn: Int,
+      nCentroids: Int): DataFrame = {
     val cent = c.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    def assign(df: DataFrame, idCol: String, topn: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("c_sim").desc, col("cid"))
-      df.crossJoin(broadcast(cent))
-        .withColumn("c_sim", cosine(col("embedding"), col("nrm"),
-          col("c_emb"), col("c_nrm")))
-        .withColumn("c_rk", row_number().over(w))
-        .filter(col("c_rk") <= topn)
-        .select(col(idCol), col("cid"))
-    }
-    val lists = assign(c, "vec_id", 1)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c_sim").desc, col("cid"))
+    df.crossJoin(broadcast(cent))
+      .withColumn("c_sim", cosine(col("embedding"), col("nrm"),
+        col("c_emb"), col("c_nrm")))
+      .withColumn("c_rk", row_number().over(w))
+      .filter(col("c_rk") <= topn)
+      .select(col(idCol), col("cid"))
+  }
+
+  def ivfTopK(c: DataFrame, k: Int, nCentroids: Int = 32,
+      nProbe: Int = 8): DataFrame = {
+    val lists = ivfAssign(c, c, "vec_id", 1, nCentroids)
     val q = querySet(c)
-    val probes = assign(
+    val probes = ivfAssign(c,
       q.select(col("query_id"), col("q_emb").as("embedding"),
-        col("q_nrm").as("nrm")), "query_id", nProbe)
+        col("q_nrm").as("nrm")), "query_id", nProbe, nCentroids)
     val candidates = probes.join(lists, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
@@ -619,6 +652,31 @@ object Similarity extends QueryModule {
         |SELECT query_id, rank, vec_id AS neighbor_id, cosine
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ivf_balance" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                     CAST(embedding AS DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+        |         FROM c WHERE vec_id < 32),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT c.vec_id, cent.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_dot_product(c.emb, cent.c_emb)
+        |                   / (sqrt(c.nrm) * sqrt(cent.c_nrm)) DESC,
+        |          cent.cid) AS rk
+        |    FROM c CROSS JOIN cent) t WHERE rk = 1),
+        |sizes AS (SELECT cid, COUNT(*) AS n_vecs
+        |          FROM assigned GROUP BY cid),
+        |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+        |          CAST(MAX(n_vecs) AS BIGINT) AS mx FROM sizes)
+        |SELECT cid, n_vecs,
+        |  CAST(n_vecs * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(mx * 3200 // total AS BIGINT) AS skew_x100
+        |FROM sizes, tot ORDER BY cid""".stripMargin,
 
     "sim_hard_negatives" ->
       """WITH c AS (

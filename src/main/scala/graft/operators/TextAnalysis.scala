@@ -93,6 +93,39 @@ object TextAnalysis extends QueryModule {
       |    j -> list_min(hs[j:j+7]))) AS fps
       |  FROM t)""".stripMargin
 
+  /** Per-document bigram-LM fluency (doc_id, n_bigrams, mean_p) —
+    * shared by text_bigram_lm (which just sorts it) and
+    * text_ccnet_buckets (which quantile-buckets it per language).
+    * mean_p = mean over the doc's bigrams of P(w2|w1) = c(w1 w2)/c(w1 ·)
+    * under the corpus's own counts; each p is one exact IEEE division
+    * and the mean goes through Num's decimal quantization, so the score
+    * is bit-identical across engines (ln-perplexity is avoided: libm
+    * differs). The prob table joins on the bigram key with no broadcast
+    * hint — bigram vocabulary at web scale is billions of rows, AQE
+    * decides (same contract as text_tfidf). */
+  private def bigramFluency(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val bg = documents(s, d)
+      .withColumn("toks", expr(toksExpr))
+      // Spark's sequence(1, 0) generates a DESCENDING [1, 0], not an
+      // empty array — docs under 2 tokens (no bigrams) are filtered,
+      // not special-cased
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(toks[i - 1] as w1," +
+          " concat(toks[i - 1], ' ', toks[i]) as big))")).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.big").as("big"))
+    val c2 = bg.groupBy(col("big"), col("w1")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val probs = c2.join(c1, Seq("w1"))
+      .select(col("big"), (col("c2").cast("double") / col("c1")).as("p"))
+    bg.join(probs, Seq("big"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.Num.davg(col("p")).as("mean_p"))
+  }
+
   override def queries: Map[String, Q] = Map(
     // Token statistics per document + corpus rollup.
     "text_token_stats" -> ((s, d) => {
@@ -407,27 +440,162 @@ object TextAnalysis extends QueryModule {
     // table joins on the bigram key with no broadcast hint — bigram
     // vocabulary at web scale is billions of rows, AQE decides (same
     // contract as text_tfidf).
-    "text_bigram_lm" -> ((s, d) => {
-      val bg = documents(s, d)
-        .withColumn("toks", expr(toksExpr))
-        // Spark's sequence(1, 0) generates a DESCENDING [1, 0], not an
-        // empty array — docs under 2 tokens (no bigrams) are filtered,
-        // not special-cased
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1)," +
-            " i -> struct(toks[i - 1] as w1," +
-            " concat(toks[i - 1], ' ', toks[i]) as big))")).as("e"))
-        .select(col("doc_id"), col("e.w1").as("w1"), col("e.big").as("big"))
-      val c2 = bg.groupBy(col("big"), col("w1")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val probs = c2.join(c1, Seq("w1"))
-        .select(col("big"), (col("c2").cast("double") / col("c1")).as("p"))
-      bg.join(probs, Seq("big"))
+    "text_bigram_lm" -> ((s, d) =>
+      bigramFluency(s, d).orderBy(col("doc_id"))),
+
+    // CCNet-style quality bucketing (Wenzek et al. 2020 §4.3): split
+    // each language's documents into head/middle/tail thirds by LM
+    // fluency. CCNet assigns buckets by comparing each doc's score to
+    // per-language perplexity CUTOFFS — not by a global rank — and so
+    // does this: the fluency score is quantized to 1e-6 buckets, the
+    // per-(lang, bucket) histogram is aggregated (bounded: ≤1e6+1
+    // distinct buckets per language regardless of corpus size), tertile
+    // cutoffs come from a descending cumulative count over that bounded
+    // table, and docs join the tiny per-lang cutoff row to get their
+    // bucket. No global window over the corpus, no per-lang ntile whose
+    // partition would be "all of English" at 100 TB — the only wide
+    // shuffles are the histogram groupBy and the lang-keyed cutoff
+    // join (broadcast: one row per language). Ties at a cutoff all land
+    // in the same (higher) bucket, exactly as a threshold comparison
+    // must — bucket sizes are ~n/3, not exactly n/3, which is CCNet's
+    // actual behavior. Docs under 2 tokens are unscorable and excluded
+    // (CCNet likewise drops docs its LM cannot score).
+    "text_ccnet_buckets" -> ((s, d) => {
+      val scored = bigramFluency(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("lang"),
+          col("n_chars")), Seq("doc_id"))
+        // floor of an exact-identical IEEE double: same bucket on both
+        // engines; mean_p ∈ [0,1] so q ∈ [0, 1e6], bounded domain.
+        .withColumn("q", floor(col("mean_p") * lit(1000000.0)).cast("long"))
+      val hist = scored.groupBy(col("lang"), col("q"))
+        .agg(count(lit(1)).as("cnt"))
+      val wDesc = Window.partitionBy(col("lang")).orderBy(col("q").desc)
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(wDesc))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      // head cutoff: the highest q whose descending-cumulative count
+      // reaches n/3 (integer cross-multiplied — no division); middle
+      // cutoff likewise at 2n/3. One row per language.
+      val cuts = cum.groupBy(col("lang")).agg(
+        max(when(col("cum") * 3 >= col("n"), col("q"))).as("q_head"),
+        max(when(col("cum") * 3 >= col("n") * 2, col("q"))).as("q_mid"))
+      scored.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("q") >= col("q_head"), lit("head"))
+            .when(col("q") >= col("q_mid"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("q")).as("q_lo"),
+          max(col("q")).as("q_hi"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
+    // Competence-based curriculum staging (Platanios et al. 2019: order
+    // training data easy→hard by sentence rarity). Their rarity is
+    // -Σ log p(w); the log-free integer stand-in is mean INVERSE corpus
+    // frequency — each token contributes 1e6 div c(token), so rare
+    // words (small c) dominate exactly as -log p would, and every
+    // intermediate is an exact integer on both engines. Docs are cut
+    // into 4 curriculum stages by difficulty QUARTILE — assigned via
+    // the same bounded-histogram cutoff pattern as text_ccnet_buckets
+    // (difficulty_ppm ≤ 1e6 has a bounded distinct domain no matter
+    // the corpus size, so the cumulative window runs over a bounded
+    // table, never over the corpus; docs then compare against a
+    // broadcast 1-row cutoff — no global ntile). Magnitudes: each
+    // per-token term ≤ 1e6, a pathological 1e9-token doc sums to 1e15
+    // — safely inside long on both engines (the decimal(38,0)
+    // escalation text_keywords needs for CORPUS-level products is not
+    // needed for per-DOC sums). The cutoff row rides a broadcast cross
+    // join (bounded by construction — PlanAuditSpec exemption).
+    // Zero-token docs have no explode rows and are excluded, as
+    // unscorable.
+    "text_curriculum" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(expr(toksExpr)).as("t"))
+      val tc = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val pd = tok.join(tc, Seq("t"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          graft.Num.davg(col("p")).as("mean_p"))
-        .orderBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(expr("1000000L div c")).as("rarity_sum"))
+        .withColumn("difficulty_ppm",
+          expr("rarity_sum div n_tokens"))
+      val hist = pd.groupBy(col("difficulty_ppm"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy(col("difficulty_ppm"))))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      val cuts = cum.agg(
+        min(when(col("cum") * 4 >= col("n"), col("difficulty_ppm")))
+          .as("q1"),
+        min(when(col("cum") * 4 >= col("n") * 2, col("difficulty_ppm")))
+          .as("q2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("difficulty_ppm")))
+          .as("q3"))
+      pd.crossJoin(broadcast(cuts))
+        .withColumn("stage",
+          when(col("difficulty_ppm") <= col("q1"), lit(1L))
+            .when(col("difficulty_ppm") <= col("q2"), lit(2L))
+            .when(col("difficulty_ppm") <= col("q3"), lit(3L))
+            .otherwise(lit(4L)))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("rarity_sum")).as("sum_rarity"),
+          min(col("difficulty_ppm")).as("d_lo"),
+          max(col("difficulty_ppm")).as("d_hi"))
+        .orderBy(col("stage"))
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): select raw-corpus
+    // docs that look like a target domain by importance weight over a
+    // HASHED feature space — the hashing is what makes DSIR scale-free
+    // (the feature table is 1024 buckets regardless of vocabulary, so
+    // the per-bucket lift table broadcasts at any corpus size; an
+    // unhashed vocabulary table would be billions of rows). Target
+    // domain = source 'src0'; features = md5-bucketed unigrams (the
+    // engine-portable hash — same bytes both engines). DSIR's
+    // log-ratio sum becomes the log-free integer analog: per-bucket
+    // Laplace-smoothed probability lift in ppm, per-doc weight = mean
+    // bucket lift, with the standard importance-weight CLIP (1e3×) to
+    // bound variance — clipping is what importance-sampling practice
+    // does anyway, and here it also bounds every per-doc sum:
+    // lift_ppm ≤ 1e9 and doc tokens ≤ ~1e8, so lsum ≤ 1e17 < long.
+    // The corpus-level ratio products run in decimal(38,0)
+    // (c_t·N_r·1e6 reaches ~1e32 at web scale — the text_keywords
+    // overflow contract). ONE token aggregation produces both the raw
+    // and target bucket counts (no second corpus pass); the totals
+    // ride a broadcast 1-row cross join (bounded — PlanAuditSpec
+    // exemption); scoring joins the broadcast 1024-row lift table.
+    "text_dsir" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(expr(toksExpr)).as("t"))
+        .withColumn("b", expr(
+          "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint) % 1024"))
+      val byB = tok.groupBy(col("b"))
+        .agg(count(lit(1)).as("c_r"),
+          sum(when(col("source") === "src0", lit(1L)).otherwise(lit(0L)))
+            .as("c_t"))
+      val tots = byB.agg(sum(col("c_r")).as("n_r"),
+        sum(col("c_t")).as("n_t"))
+      val lifts = byB.crossJoin(broadcast(tots))
+        .withColumn("lift_ppm", least(expr(
+          "cast(c_t + 1 as decimal(38,0)) * (n_r + 1024) * 1000000" +
+            " div ((cast(c_r as decimal(38,0)) + 1) * (n_t + 1024))"),
+          lit(1000000000L)))
+        .select(col("b").as("lb"), col("lift_ppm"))
+      tok.join(broadcast(lifts), col("b") === col("lb"))
+        .groupBy(col("doc_id"), col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lift_ppm")).as("lsum"))
+        .withColumn("weight_ppm", expr("lsum div n_tokens"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_tokens"), col("weight_ppm"))
+        .orderBy(col("weight_ppm").desc, col("doc_id"))
+        .limit(100)
     }),
 
     // Gopher-style rule battery (Rae et al. 2021 §A1.1): the five
@@ -913,6 +1081,110 @@ object TextAnalysis extends QueryModule {
          |SELECT doc_id, COUNT(*) AS n_bigrams, ${sqlAvg("p")} AS mean_p
          |FROM bg JOIN probs USING (big)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "text_ccnet_buckets" -> {
+      s"""WITH bg AS MATERIALIZED (
+         |  SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS big
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents),
+         |  UNNEST(generate_series(1, len(toks) - 1)) u(i)
+         |  WHERE len(toks) >= 2),
+         |c2 AS (SELECT big, w1, COUNT(*) AS c2 FROM bg GROUP BY big, w1),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+         |probs AS (
+         |  SELECT big, CAST(c2 AS DOUBLE) / c1 AS p
+         |  FROM c2 JOIN c1 USING (w1)),
+         |score AS (
+         |  SELECT doc_id, ${sqlAvg("p")} AS mean_p
+         |  FROM bg JOIN probs USING (big) GROUP BY doc_id),
+         |scored AS (
+         |  SELECT s.doc_id, d.lang, d.n_chars,
+         |    CAST(floor(mean_p * 1000000.0) AS BIGINT) AS q
+         |  FROM score s JOIN documents d USING (doc_id)),
+         |hist AS (
+         |  SELECT lang, q, COUNT(*) AS cnt FROM scored GROUP BY lang, q),
+         |cum AS (
+         |  SELECT lang, q,
+         |    SUM(cnt) OVER (PARTITION BY lang ORDER BY q DESC) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY lang) AS n
+         |  FROM hist),
+         |cuts AS (
+         |  SELECT lang,
+         |    MAX(CASE WHEN cum * 3 >= n THEN q END) AS q_head,
+         |    MAX(CASE WHEN cum * 3 >= n * 2 THEN q END) AS q_mid
+         |  FROM cum GROUP BY lang)
+         |SELECT s.lang,
+         |  CASE WHEN q >= q_head THEN 'head'
+         |       WHEN q >= q_mid THEN 'middle' ELSE 'tail' END AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  MIN(q) AS q_lo, MAX(q) AS q_hi
+         |FROM scored s JOIN cuts USING (lang)
+         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+    },
+
+    "text_curriculum" -> {
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+         |tc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+         |pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(1000000 // c) AS BIGINT) AS rarity_sum,
+         |    CAST(CAST(SUM(1000000 // c) AS BIGINT) // COUNT(*)
+         |      AS BIGINT) AS difficulty_ppm
+         |  FROM tok JOIN tc USING (t) GROUP BY doc_id),
+         |hist AS (
+         |  SELECT difficulty_ppm AS q, COUNT(*) AS cnt FROM pd GROUP BY 1),
+         |cum AS (
+         |  SELECT q, SUM(cnt) OVER (ORDER BY q) AS cum,
+         |    SUM(cnt) OVER () AS n
+         |  FROM hist),
+         |cuts AS (
+         |  SELECT
+         |    MIN(CASE WHEN cum * 4 >= n THEN q END) AS q1,
+         |    MIN(CASE WHEN cum * 4 >= n * 2 THEN q END) AS q2,
+         |    MIN(CASE WHEN cum * 4 >= n * 3 THEN q END) AS q3
+         |  FROM cum)
+         |SELECT CAST(CASE WHEN difficulty_ppm <= q1 THEN 1
+         |    WHEN difficulty_ppm <= q2 THEN 2
+         |    WHEN difficulty_ppm <= q3 THEN 3 ELSE 4 END AS BIGINT)
+         |    AS stage,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(rarity_sum) AS BIGINT) AS sum_rarity,
+         |  MIN(difficulty_ppm) AS d_lo, MAX(difficulty_ppm) AS d_hi
+         |FROM pd, cuts
+         |GROUP BY 1 ORDER BY stage""".stripMargin
+    },
+
+    "text_dsir" -> {
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, source, lang,
+         |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS b
+         |  FROM (SELECT doc_id, source, lang, unnest($sqlToks) AS t
+         |        FROM documents)),
+         |byb AS (
+         |  SELECT b, COUNT(*) AS c_r,
+         |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c_t
+         |  FROM tok GROUP BY b),
+         |tots AS (
+         |  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+         |    CAST(SUM(c_t) AS BIGINT) AS n_t FROM byb),
+         |lifts AS (
+         |  SELECT b, least(
+         |    CAST(c_t + 1 AS HUGEINT) * (n_r + 1024) * 1000000
+         |      // ((CAST(c_r AS HUGEINT) + 1) * (n_t + 1024)),
+         |    1000000000) AS lift_ppm
+         |  FROM byb, tots),
+         |per AS (
+         |  SELECT doc_id, source, lang, COUNT(*) AS n_tokens,
+         |    CAST(SUM(lift_ppm) AS BIGINT) AS lsum
+         |  FROM tok JOIN lifts USING (b)
+         |  GROUP BY doc_id, source, lang)
+         |SELECT doc_id, source, lang, n_tokens,
+         |  CAST(lsum // n_tokens AS BIGINT) AS weight_ppm
+         |FROM per ORDER BY weight_ppm DESC, doc_id LIMIT 100""".stripMargin
     },
 
     "text_gopher_rules" ->

@@ -70,7 +70,17 @@ class PlanAuditSpec extends SparkSpec {
       "emb_quantize_recall",
       // gram stream × the broadcast ONE-row doc count (scalar
       // ride-along, same as corpus_epochs)
-      "text_vocab_growth")
+      "text_vocab_growth",
+      // per-doc difficulty × the broadcast ONE-row quartile-cutoff
+      // table (histogram-quantile scalars riding along, same shape as
+      // q_rfm_segments)
+      "text_curriculum",
+      // 1024-bucket table × the broadcast ONE-row token totals
+      // (scalar-aggregate ride-along, same as corpus_epochs)
+      "text_dsir",
+      // corpus × 32 broadcast centroids (the sim_ann_ivf coarse
+      // quantizer) + 32-row sizes × broadcast ONE-row totals
+      "sim_ivf_balance")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:

@@ -73,4 +73,70 @@ class ReportInvariantsSpec extends SparkSpec {
         "distinct windows cannot exceed sampled frames")
     }
   }
+
+  test("text_ccnet_buckets: per-lang tertiles ordered and mass-bounded") {
+    val rows = SparkEntry.queries("text_ccnet_buckets")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val by = rs.map(r => r.getString(1) -> r).toMap
+      val total = rs.map(_.getLong(2)).sum
+      // score ranges are strictly disjoint: head q >= q_head > middle q
+      for ((hi, lo) <- Seq(("head", "middle"), ("middle", "tail"))
+           if by.contains(hi) && by.contains(lo))
+        assert(by(hi).getLong(4) > by(lo).getLong(5),
+          s"$lang: $hi q_lo must exceed $lo q_hi")
+      // cutoff construction guarantees head >= n/3, head+middle >= 2n/3
+      by.get("head").foreach(h =>
+        assert(h.getLong(2) * 3 >= total, s"$lang head under a third"))
+      if (by.contains("head") && by.contains("middle"))
+        assert((by("head").getLong(2) + by("middle").getLong(2)) * 3
+          >= total * 2, s"$lang head+middle under two thirds")
+    }
+  }
+
+  test("text_curriculum: stages difficulty-disjoint and quartile-bounded") {
+    val rows = SparkEntry.queries("text_curriculum")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    val total = rows.map(_.getLong(1)).sum
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(5) < b.getLong(4),
+          s"stage ${a.getLong(0)} d_hi must stay below next stage's d_lo")
+      case _ =>
+    }
+    // cumulative mass: stages 1..k hold at least k/4 of the docs
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getLong(1)
+      assert(cum * 4 >= total * r.getLong(0),
+        s"stages 1..${r.getLong(0)} hold less than their quartile share")
+    }
+  }
+
+  test("text_dsir weights rank the target domain above the rest") {
+    val rows = SparkEntry.queries("text_dsir")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val w = rows.map(_.getLong(4))
+    assert(w.sameElements(w.sortBy(-_)), "weights must be non-increasing")
+    w.foreach(x => assert(x >= 0))
+    // the target corpus scores itself: src0 docs must average a higher
+    // importance weight than the rest of the selection
+    val (tgt, rest) = rows.partition(_.getString(1) == "src0")
+    if (tgt.nonEmpty && rest.nonEmpty) {
+      val mt = tgt.map(_.getLong(4)).sum.toDouble / tgt.length
+      val mr = rest.map(_.getLong(4)).sum.toDouble / rest.length
+      assert(mt > mr, s"target mean weight $mt not above rest $mr")
+    }
+  }
+
+  test("sim_ivf_balance conserves corpus mass across 32 lists") {
+    val rows = SparkEntry.queries("sim_ivf_balance")(spark, sf).collect()
+    assert(rows.length == 32, s"expected 32 lists, got ${rows.length}")
+    val nVecs = rows.map(_.getLong(1)).sum
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(nVecs == corpus, s"list mass $nVecs != corpus $corpus")
+    val ppm = rows.map(_.getLong(2)).sum
+    assert(ppm > 1000000L - 32 && ppm <= 1000000L, s"share ppm=$ppm")
+    rows.foreach(r => assert(r.getLong(3) >= 100,
+      "skew_x100 below its own floor of 100 is impossible"))
+  }
 }
