@@ -151,7 +151,16 @@ object ScaleProbe {
       // lift table is constant-size by construction; the ratio should
       // be pure scan growth)
       "q_returned_items", "text_ccnet_buckets", "text_curriculum",
-      "text_dsir")
+      "text_dsir",
+      // unperturbed embeddings are fine here: list sizes just grow
+      // n-fold per centroid, which is exactly the linear pass probed
+      "sim_ivf_balance")
+      // optional focus: probe only a comma-separated subset (fast
+      // re-probe of newly added ops without re-timing the full set)
+      .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {
+        case Some(csv) => csv.split(',').map(_.trim).toSet
+        case None => (_: String) => true
+      })
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
