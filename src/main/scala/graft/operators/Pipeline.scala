@@ -575,6 +575,31 @@ object Pipeline extends QueryModule {
     // same constants.
     "pack_sequences" -> ((s, d) => packSequences(documents(s, d))),
 
+    // Packing-efficiency report over the same greedy pack: per shard,
+    // bins used, token mass, utilization ppm against the 512 budget,
+    // and the ceil(total/512) lower bound — the number a packing
+    // change is judged against (bins close to lb_bins = little to
+    // gain from a smarter packer; util far under 1e6 = fragmentation).
+    // An oversized (> budget) doc sits alone in one overflowing bin,
+    // so util_ppm CAN exceed 1e6 and n_bins can undercut lb_bins —
+    // both readings flag sequences that need splitting before
+    // packing, which is exactly what the report is for. One aggregate
+    // over the pack assignment; sum_tokens·1e6 reaches ~1e19 per
+    // shard at warehouse scale, so the ratio runs in decimal(38,0).
+    "pack_efficiency" -> ((s, d) => {
+      packSequences(documents(s, d))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          (max(col("pack_id")) + 1).as("n_bins"),
+          sum(col("tokens")).as("sum_tokens"))
+        .withColumn("util_ppm", expr(
+          "cast(sum_tokens as decimal(38,0)) * 1000000 div (n_bins * 512)"))
+        .withColumn("lb_bins", expr("(sum_tokens + 511L) div 512L"))
+        .select(col("shard"), col("n_docs"), col("n_bins"),
+          col("sum_tokens"), col("util_ppm"), col("lb_bins"))
+        .orderBy(col("shard"))
+    }),
+
     // Survivor selection: drop every near-dup cluster member except
     // the min-id representative — the decision a dedup pipeline
     // actually ships. Anti-join of the corpus against the non-survivor
@@ -1129,6 +1154,36 @@ object Pipeline extends QueryModule {
         |  FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
         |SELECT shard, doc_id, tokens, pack_id FROM p
         |ORDER BY shard, doc_id""".stripMargin,
+
+    "pack_efficiency" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 8 AS shard,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY
+        |      ('0x' || substr(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, rn, doc_id, tokens, tokens AS acc,
+        |    CAST(0 AS BIGINT) AS pack_id
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.rn, t.doc_id, t.tokens,
+        |    CASE WHEN p.acc + t.tokens > 512 THEN t.tokens
+        |      ELSE p.acc + t.tokens END,
+        |    CASE WHEN p.acc + t.tokens > 512 THEN p.pack_id + 1
+        |      ELSE p.pack_id END
+        |  FROM t JOIN p ON t.shard = p.shard AND t.rn = p.rn + 1)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(MAX(pack_id) + 1 AS BIGINT) AS n_bins,
+        |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(CAST(SUM(tokens) AS HUGEINT) * 1000000
+        |    // ((MAX(pack_id) + 1) * 512) AS BIGINT) AS util_ppm,
+        |  CAST((SUM(tokens) + 511) // 512 AS BIGINT) AS lb_bins
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     // Every CTE here is AS MATERIALIZED: each pr{i} references pr{i-1}
     // TWICE (rank row + in_sum subjoin), and DuckDB re-inlines plain

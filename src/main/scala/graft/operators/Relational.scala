@@ -1041,6 +1041,52 @@ object Relational extends QueryModule {
       basketPairs(s, d).orderBy(col("support").desc, col("p1"),
         col("p2"))),
 
+    // Association rules (Agrawal-Srikant level 2): confidence and lift
+    // for directed co-purchase rules a→b at ORDER granularity (the
+    // distinct() collapses duplicate part lines within an order, so
+    // supports are order counts — q_basket_pairs' edges deliberately
+    // stay at line granularity, which is why this does not reuse
+    // them). The pair join is the bounded-fan-out basket self-join;
+    // the two support lookups shuffle on partkey (dimension-sized,
+    // AQE may broadcast); the order total rides a broadcast 1-row
+    // cross join (bounded — PlanAuditSpec exemption). Lift's
+    // sup_ab·N·1e6 product reaches ~1e28 at warehouse scale, so the
+    // ratio arithmetic runs in decimal(38,0) (the text_keywords
+    // overflow contract); conf/lift land back in bigint ppm.
+    "q_assoc_rules" -> ((s, d) => {
+      val items = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = items.agg(
+        count_distinct(col("l_orderkey")).as("n_orders"))
+      val sup = items.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("sup"))
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("sup_ab"))
+        .filter(col("sup_ab") >= 2)
+      val rules = pairs.select(col("p1").as("antecedent"),
+          col("p2").as("consequent"), col("sup_ab"))
+        .union(pairs.select(col("p2"), col("p1"), col("sup_ab")))
+      rules
+        .join(sup.select(col("l_partkey").as("antecedent"),
+          col("sup").as("sup_a")), Seq("antecedent"))
+        .join(sup.select(col("l_partkey").as("consequent"),
+          col("sup").as("sup_b")), Seq("consequent"))
+        .crossJoin(broadcast(nOrders))
+        .withColumn("conf_ppm",
+          expr("cast(sup_ab as decimal(38,0)) * 1000000 div sup_a"))
+        .withColumn("lift_ppm", expr(
+          "cast(sup_ab as decimal(38,0)) * n_orders * 1000000" +
+            " div (cast(sup_a as decimal(38,0)) * sup_b)"))
+        .select(col("antecedent"), col("consequent"), col("sup_ab"),
+          col("conf_ppm"), col("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("antecedent"),
+          col("consequent"))
+        .limit(50)
+    }),
+
     // Triangle count + global clustering coefficient over the
     // co-purchase graph (edges = basket pairs with support >= 2).
     // The wedge join uses the classic DEGREE ORIENTATION: each edge
@@ -2438,6 +2484,34 @@ object Relational extends QueryModule {
         |  AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY support DESC, p1, p2""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+        |        AS n_orders FROM items),
+        |sup AS (SELECT l_partkey, COUNT(*) AS sup
+        |        FROM items GROUP BY l_partkey),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    COUNT(*) AS sup_ab
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |rules AS (
+        |  SELECT p1 AS antecedent, p2 AS consequent, sup_ab FROM pairs
+        |  UNION ALL
+        |  SELECT p2, p1, sup_ab FROM pairs)
+        |SELECT antecedent, consequent, sup_ab,
+        |  CAST(CAST(sup_ab AS HUGEINT) * 1000000 // sa.sup AS BIGINT)
+        |    AS conf_ppm,
+        |  CAST(CAST(sup_ab AS HUGEINT) * n_orders * 1000000
+        |    // (CAST(sa.sup AS HUGEINT) * sb.sup) AS BIGINT) AS lift_ppm
+        |FROM rules
+        |JOIN sup sa ON sa.l_partkey = antecedent
+        |JOIN sup sb ON sb.l_partkey = consequent, n
+        |ORDER BY lift_ppm DESC, antecedent, consequent
+        |LIMIT 50""".stripMargin,
 
     "q_rolling_active_users" ->
       """WITH ud AS (

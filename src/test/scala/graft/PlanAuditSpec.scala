@@ -80,7 +80,10 @@ class PlanAuditSpec extends SparkSpec {
       "text_dsir",
       // corpus × 32 broadcast centroids (the sim_ann_ivf coarse
       // quantizer) + 32-row sizes × broadcast ONE-row totals
-      "sim_ivf_balance")
+      "sim_ivf_balance",
+      // rule set × the broadcast ONE-row order total (scalar-aggregate
+      // ride-along, same as corpus_epochs)
+      "q_assoc_rules")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:

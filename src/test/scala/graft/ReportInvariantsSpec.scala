@@ -128,6 +128,31 @@ class ReportInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_assoc_rules: confidence bounded, support floored") {
+    val rows = SparkEntry.queries("q_assoc_rules")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 2, "min support is 2 by construction")
+      val conf = r.getLong(3)
+      assert(conf > 0 && conf <= 1000000L,
+        s"conf_ppm $conf outside (0, 1e6]: sup_ab cannot exceed sup_a")
+      assert(r.getLong(4) > 0, "lift must be positive")
+    }
+  }
+
+  test("pack_efficiency conserves document mass across shards") {
+    val rows = SparkEntry.queries("pack_efficiency")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf).count(), "per-shard docs must sum to corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(4) > 0)
+      // no synthetic doc exceeds the 512 budget, so the greedy can
+      // never use fewer bins than the token-mass lower bound
+      assert(r.getLong(2) >= r.getLong(5),
+        s"bins ${r.getLong(2)} below lower bound ${r.getLong(5)}")
+    }
+  }
+
   test("sim_ivf_balance conserves corpus mass across 32 lists") {
     val rows = SparkEntry.queries("sim_ivf_balance")(spark, sf).collect()
     assert(rows.length == 32, s"expected 32 lists, got ${rows.length}")
