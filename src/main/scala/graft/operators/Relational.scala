@@ -1087,6 +1087,36 @@ object Relational extends QueryModule {
         .limit(50)
     }),
 
+    // Customer-cohort lifetime-value curves: cohort = month of first
+    // order, k = whole months since cohort (integer y*12+m arithmetic
+    // — months_between is fractional and engine-specific), per
+    // (cohort, k) the order count, revenue, and the cumulative LTV
+    // curve. Two aggregations: per-customer first order (shuffle on
+    // custkey, reused by the orders self-join on the same key — AQE
+    // may broadcast the first-order side), then the (cohort, k)
+    // rollup. The running-sum window runs over the AGGREGATED table —
+    // ≤ cohorts × months rows, bounded by the CALENDAR, not the
+    // corpus — with decimal accumulation (q_window_running contract:
+    // DuckDB's segment-tree window reorders additions).
+    "q_cohort_ltv" -> ((s, d) => {
+      val first = orders(s, d).groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_dt"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d).join(first, Seq("o_custkey"))
+        .withColumn("cohort", date_format(col("first_dt"), "yyyy-MM"))
+        .withColumn("k",
+          ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) -
+            (year(col("first_dt")) * 12 + month(col("first_dt"))))
+            .cast("long"))
+        .groupBy(col("cohort"), col("k"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("cum_revenue",
+          sum(dsumExpr(col("revenue"))).over(w).cast("double") / 1e8)
+        .orderBy(col("cohort"), col("k"))
+    }),
+
     // Triangle count + global clustering coefficient over the
     // co-purchase graph (edges = basket pairs with support >= 2).
     // The wedge join uses the classic DEGREE ORIENTATION: each edge
@@ -2512,6 +2542,29 @@ object Relational extends QueryModule {
         |JOIN sup sb ON sb.l_partkey = consequent, n
         |ORDER BY lift_ppm DESC, antecedent, consequent
         |LIMIT 50""".stripMargin,
+
+    "q_cohort_ltv" ->
+      s"""WITH f AS (
+         |  SELECT o_custkey, MIN(o_orderdate) AS first_dt
+         |  FROM orders GROUP BY o_custkey),
+         |j AS (
+         |  SELECT strftime(f.first_dt, '%Y-%m') AS cohort,
+         |    CAST((date_part('year', o.o_orderdate) * 12
+         |        + date_part('month', o.o_orderdate))
+         |      - (date_part('year', f.first_dt) * 12
+         |        + date_part('month', f.first_dt)) AS BIGINT) AS k,
+         |    o.o_totalprice
+         |  FROM orders o JOIN f USING (o_custkey)),
+         |g AS (
+         |  SELECT cohort, k, COUNT(*) AS n_orders,
+         |    ${sqlSum("o_totalprice")} AS revenue
+         |  FROM j GROUP BY cohort, k)
+         |SELECT cohort, k, n_orders, revenue,
+         |  CAST(SUM(CAST(round(revenue * 1e8) AS HUGEINT)) OVER (
+         |    PARTITION BY cohort ORDER BY k
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / 1e8 AS cum_revenue
+         |FROM g ORDER BY cohort, k""".stripMargin,
 
     "q_rolling_active_users" ->
       """WITH ud AS (

@@ -126,6 +126,44 @@ object TextAnalysis extends QueryModule {
         graft.Num.davg(col("p")).as("mean_p"))
   }
 
+  /** The Gopher rule battery's per-document flags (doc_id, counts,
+    * r_* bits, pass) — shared by text_gopher_rules (which just
+    * projects and sorts it) and text_score_calibration (which joins
+    * the pass bit against the classifier score). */
+  private def gopherFlags(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    documents(s, d)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("tok_chars",
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+      .withColumn("n_alpha", size(expr(
+        "filter(toks, t -> t rlike '[a-zA-Z]')")).cast("long"))
+      .withColumn("n_sym",
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+          .cast("long"))
+      .withColumn("n_stop", size(expr(
+        s"filter(toks, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))"))
+        .cast("long"))
+      .withColumn("mean_tok_len",
+        col("tok_chars").cast("double") / col("n_tokens"))
+      .withColumn("r_count",
+        (col("n_tokens") >= 10 && col("n_tokens") <= 1000)
+          .cast("long"))
+      .withColumn("r_mean_len",
+        (col("mean_tok_len") >= 2.0 && col("mean_tok_len") <= 8.0)
+          .cast("long"))
+      .withColumn("r_symbol",
+        (col("n_sym").cast("double") / length(col("text")) < 0.1)
+          .cast("long"))
+      .withColumn("r_alpha",
+        (col("n_alpha").cast("double") / col("n_tokens") > 0.8)
+          .cast("long"))
+      .withColumn("r_stop", (col("n_stop") >= 2).cast("long"))
+      .withColumn("pass",
+        (col("r_count") + col("r_mean_len") + col("r_symbol") +
+          col("r_alpha") + col("r_stop") === 5).cast("long"))
+
   override def queries: Map[String, Q] = Map(
     // Token statistics per document + corpus rollup.
     "text_token_stats" -> ((s, d) => {
@@ -607,42 +645,38 @@ object TextAnalysis extends QueryModule {
     // single opaque score. Pure per-row expression work off one scan
     // (no shuffle but the final sort); each ratio is one IEEE divide
     // of exact integers, so both engines agree bit-for-bit.
-    "text_gopher_rules" -> ((s, d) => {
-      documents(s, d)
-        .withColumn("toks", expr(toksExpr))
-        .withColumn("n_tokens", size(col("toks")).cast("long"))
-        .withColumn("tok_chars",
-          expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
-        .withColumn("n_alpha", size(expr(
-          "filter(toks, t -> t rlike '[a-zA-Z]')")).cast("long"))
-        .withColumn("n_sym",
-          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
-            .cast("long"))
-        .withColumn("n_stop", size(expr(
-          s"filter(toks, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))"))
-          .cast("long"))
-        .withColumn("mean_tok_len",
-          col("tok_chars").cast("double") / col("n_tokens"))
-        .withColumn("r_count",
-          (col("n_tokens") >= 10 && col("n_tokens") <= 1000)
-            .cast("long"))
-        .withColumn("r_mean_len",
-          (col("mean_tok_len") >= 2.0 && col("mean_tok_len") <= 8.0)
-            .cast("long"))
-        .withColumn("r_symbol",
-          (col("n_sym").cast("double") / length(col("text")) < 0.1)
-            .cast("long"))
-        .withColumn("r_alpha",
-          (col("n_alpha").cast("double") / col("n_tokens") > 0.8)
-            .cast("long"))
-        .withColumn("r_stop", (col("n_stop") >= 2).cast("long"))
-        .withColumn("pass",
-          (col("r_count") + col("r_mean_len") + col("r_symbol") +
-            col("r_alpha") + col("r_stop") === 5).cast("long"))
+    "text_gopher_rules" -> ((s, d) =>
+      gopherFlags(s, d)
         .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
           col("r_count"), col("r_mean_len"), col("r_symbol"),
           col("r_alpha"), col("r_stop"), col("pass"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // Classifier-score CALIBRATION against the rule battery: per
+    // clamped-score bucket, how often does the hashed-linear
+    // classifier's judgment agree with the Gopher rules' pass bit?
+    // The acceptance report a pipeline runs before trusting a learned
+    // quality filter to replace (or gate ahead of) its rule battery —
+    // a well-calibrated score should show pass_ppm rising with the
+    // bucket. Composes the two existing per-doc kernels with one
+    // equi-join on doc_id and an 11-row aggregate. Bucketing shifts
+    // the clamped score to NON-NEGATIVE before the integer divide:
+    // Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    // so negative-operand division is the one integer op the two
+    // engines disagree on — (clamp + 50) div 10 keeps every operand
+    // non-negative and the engines identical.
+    "text_score_calibration" -> ((s, d) => {
+      val clf = queries("text_classifier_score")(s, d)
+        .select(col("doc_id"), col("score"))
+      gopherFlags(s, d).select(col("doc_id"), col("pass"))
+        .join(clf, Seq("doc_id"))
+        .withColumn("bucket",
+          expr("(least(greatest(score, -50L), 50L) + 50L) div 10L"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pass")).as("n_pass"))
+        .withColumn("pass_ppm", expr("n_pass * 1000000L div n_docs"))
+        .orderBy(col("bucket"))
     }),
 
     // Per-source distribution drift: chi-square distance between each
@@ -1272,6 +1306,51 @@ object TextAnalysis extends QueryModule {
          |      - 10)), 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_score_calibration" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+         |clf AS (
+         |  SELECT doc_id,
+         |    CAST(COALESCE(list_sum(list_transform(toks, t ->
+         |      ('0x' || substr(md5('clf' || t), 1, 8))::BIGINT % 4096 % 21
+         |        - 10)), 0) AS BIGINT) AS score
+         |  FROM t),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_prepend(0,
+         |      list_transform(toks, t -> len(t)))) AS BIGINT) AS tok_chars,
+         |    CAST(len(list_filter(toks,
+         |      t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+         |      AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(toks, t -> t IN
+         |      (${stopwords.map("'" + _ + "'").mkString(",")})))
+         |      AS BIGINT) AS n_stop,
+         |    len(text) AS text_len
+         |  FROM t),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+         |        THEN 1 ELSE 0 END)
+         |      + (CASE WHEN CAST(tok_chars AS DOUBLE) / n_tokens >= 2.0
+         |          AND CAST(tok_chars AS DOUBLE) / n_tokens <= 8.0
+         |        THEN 1 ELSE 0 END)
+         |      + (CASE WHEN CAST(n_sym AS DOUBLE) / text_len < 0.1
+         |        THEN 1 ELSE 0 END)
+         |      + (CASE WHEN CAST(n_alpha AS DOUBLE) / n_tokens > 0.8
+         |        THEN 1 ELSE 0 END)
+         |      + (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) = 5
+         |      THEN 1 ELSE 0 END AS pass
+         |  FROM m)
+         |SELECT CAST((least(greatest(score, -50), 50) + 50) // 10
+         |    AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(pass) AS BIGINT) AS n_pass,
+         |  CAST(CAST(SUM(pass) AS BIGINT) * 1000000 // COUNT(*)
+         |    AS BIGINT) AS pass_ppm
+         |FROM g JOIN clf USING (doc_id)
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "text_para_dedup" ->
       """WITH duped AS (
