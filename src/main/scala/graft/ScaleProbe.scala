@@ -154,7 +154,12 @@ object ScaleProbe {
       "text_dsir",
       // unperturbed embeddings are fine here: list sizes just grow
       // n-fold per centroid, which is exactly the linear pass probed
-      "sim_ivf_balance")
+      "sim_ivf_balance",
+      // fourth wave: order-basket rules (bounded pair fan-out), the
+      // pack rollup, the calendar-bounded cohort window, and the
+      // 11-bucket calibration join
+      "q_assoc_rules", "pack_efficiency", "q_cohort_ltv",
+      "text_score_calibration")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

@@ -537,6 +537,16 @@ object Dedup extends QueryModule {
     // per-token string allocations of the composed form
     val sigs = docs.select(col("doc_id"),
       simhash64(token_md5_60(col("text"))).as("sig"))
+    hammingPairs(sigs, maxHamming, wide)
+  }
+
+  /** Band-bucketed Hamming pair generation over ANY 60-bit signature
+    * column (doc_id, sig) — shared by SimHash text near-dup and the
+    * multimodal block-mean hash. Pigeonhole over the band layout
+    * guarantees every pair within `maxHamming` shares a band key, so
+    * candidates stay linear in rows and the verify is exact. */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3,
+      wide: Boolean = false): DataFrame = {
     // wide = the Manku 6x10/C(6,3) layout for corpora past ~1e7 docs
     // (see simhashBandStructsWide); identical verified output either way
     val bandExpr = if (wide) simhashBandStructsWide(col("sig"))

@@ -236,6 +236,51 @@ object Multimodal extends QueryModule {
         .orderBy(col("survivor_id"))
     }),
 
+    // Perceptual NEAR-dup over binary payloads — the block-mean hash
+    // (Yang et al. 2006): split the byte stream into 60 equal blocks,
+    // bit i = (block i's mean byte > the global mean), giving a 60-bit
+    // signature that survives small local edits (a re-encoded or
+    // lightly-retouched image keeps most block means; mm_dedup_binary's
+    // digest match catches only BYTE-identical payloads). Pair
+    // generation reuses the shared Dedup.hammingPairs band machinery
+    // (4×15-bit pigeonhole, exact bit_count verify — candidates linear
+    // in blobs, never all-pairs). On real media the block means come
+    // from decoded pixel blocks via the MediaDecoder seam; here the
+    // byte stream stands in, exactly like the rest of the family, so
+    // the oracle can recompute the identical signature. Integer-exact:
+    // block-vs-global mean compares cross-multiplied (bsum·n vs
+    // tsum·len), no division. Near-dups synthesized as perturbed
+    // copies (first byte flipped — one block's sum moves, Hamming
+    // stays within the band radius); blobs under 60 bytes are excluded
+    // (empty blocks make the mean test vacuous; list_sum of an empty
+    // DuckDB list is NULL while Spark's aggregate seed is 0 — the
+    // filter keeps the engines out of that corner entirely).
+    "mm_blockhash_neardup" -> ((s, d) => {
+      val base = documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 60)
+      val duped = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("X"), expr("substring(text, 2)")).as("text")))
+      val sigs = duped
+        .withColumn("n", length(col("text")).cast("long"))
+        .withColumn("tsum", expr(
+          "aggregate(filter(split(text, ''), c -> c != ''), 0L," +
+            " (a, c) -> a + ascii(c))"))
+        .withColumn("sig", expr(
+          "aggregate(sequence(0, 59), 0L, (acc, i) -> acc + " +
+            "IF(aggregate(filter(split(substring(text," +
+            " cast(i * n div 60 as int) + 1," +
+            " cast((i + 1) * n div 60 - i * n div 60 as int)), '')," +
+            " c -> c != ''), 0L, (a, c) -> a + ascii(c)) * n" +
+            " > tsum * ((i + 1) * n div 60 - i * n div 60)," +
+            " shiftleft(1L, cast(i as int)), 0L))"))
+        .select(col("doc_id"), col("sig"))
+      Dedup.hammingPairs(sigs, maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "mm_batch_plan" -> ((s, d) => {
       val frames = decoded(s, d)
         .filter(col("n_frames") > 0)
@@ -362,6 +407,36 @@ object Multimodal extends QueryModule {
         |  MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
         |FROM duped GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY survivor_id""".stripMargin,
+
+    // brute-force pair oracle (band recall is pigeonhole-exact at
+    // Hamming <= 3, so brute == banded); ASCII corpus makes
+    // unicode(char) == Spark's ascii(char) per the family note
+    "mm_blockhash_neardup" -> {
+      val bitSum = (0 until 60).map { i =>
+        s"(CASE WHEN COALESCE(list_sum(cs[(($i * n) // 60 + 1):" +
+          s"((${i + 1} * n) // 60)]), 0) * n" +
+          s" > tsum * ((${i + 1} * n) // 60 - ($i * n) // 60)" +
+          s" THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH duped AS (
+         |  SELECT doc_id, text FROM documents WHERE len(text) >= 60
+         |  UNION ALL
+         |  SELECT doc_id + 100000, 'X' || substr(text, 2)
+         |  FROM documents WHERE len(text) >= 60 AND doc_id % 10 = 0),
+         |t AS (
+         |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n,
+         |    list_transform(range(1, len(text) + 1),
+         |      i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cs
+         |  FROM duped),
+         |t2 AS (SELECT doc_id, n, cs,
+         |  CAST(list_sum(cs) AS BIGINT) AS tsum FROM t),
+         |s AS (SELECT doc_id, $bitSum AS sig FROM t2)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    },
     // text is pure ASCII in this corpus, so byte length == char length
     // and byte sum == char-code sum; the oracle checks the decode
     // arithmetic without needing blob folds.
