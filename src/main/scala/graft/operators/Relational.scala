@@ -1087,6 +1087,44 @@ object Relational extends QueryModule {
         .limit(50)
     }),
 
+    // Count-Min sketch, relationalized (Cormode & Muthukrishnan 2005):
+    // per-user event-count ESTIMATES from a bounded d=4 × w=1024
+    // counter table instead of a corpus-wide per-key aggregate — the
+    // frequency member of the sketch family (KMV=distinct,
+    // SpaceSaving=top-k, Bloom=membership) expressed as two
+    // aggregations and a broadcast join, no custom state: counters =
+    // groupBy(row, bucket) COUNT (4096 rows total, REGARDLESS of key
+    // cardinality — at 100 TB the counter table still broadcasts);
+    // estimate(key) = min over the 4 rows of its bucket's counter.
+    // Everything md5-derived and integer, so the oracle recomputes the
+    // identical sketch; the report carries exact counts beside the
+    // estimates, making the CMS guarantee (estimate >= exact,
+    // overestimate bounded by collisions) itself part of the checked
+    // output. Top-50 by exact count, ties to the smaller user.
+    "q_cms_users" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"))
+      val hashed = ev.select(col("user_id"),
+        explode(expr(
+          "transform(sequence(0, 3), j -> struct(j as j," +
+            " cast(conv(substring(md5(concat('cms', cast(j as string)," +
+            " cast(user_id as string))), 1, 8), 16, 10) as bigint) % 1024" +
+            " as bucket))")).as("e"))
+        .select(col("user_id"), col("e.j").as("j"),
+          col("e.bucket").as("bucket"))
+      val counters = hashed.groupBy(col("j"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val exact = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact"))
+      hashed.select(col("user_id"), col("j"), col("bucket")).distinct()
+        .join(broadcast(counters), Seq("j", "bucket"))
+        .groupBy(col("user_id"))
+        .agg(min(col("c")).as("estimate"))
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("exact"), col("estimate"))
+        .orderBy(col("exact").desc, col("user_id"))
+        .limit(50)
+    }),
+
     // Customer-cohort lifetime-value curves: cohort = month of first
     // order, k = whole months since cohort (integer y*12+m arithmetic
     // — months_between is fractional and engine-specific), per
@@ -2542,6 +2580,27 @@ object Relational extends QueryModule {
         |JOIN sup sb ON sb.l_partkey = consequent, n
         |ORDER BY lift_ppm DESC, antecedent, consequent
         |LIMIT 50""".stripMargin,
+
+    "q_cms_users" ->
+      """WITH hashed AS (
+        |  SELECT user_id, u.j,
+        |    ('0x' || substr(md5('cms' || CAST(u.j AS VARCHAR)
+        |      || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024
+        |      AS bucket
+        |  FROM events, UNNEST(generate_series(0, 3)) u(j)),
+        |counters AS (
+        |  SELECT j, bucket, COUNT(*) AS c
+        |  FROM hashed GROUP BY j, bucket),
+        |exact AS (
+        |  SELECT user_id, COUNT(*) AS exact FROM events GROUP BY user_id),
+        |est AS (
+        |  SELECT user_id, MIN(c) AS estimate
+        |  FROM (SELECT DISTINCT user_id, j, bucket FROM hashed) h
+        |  JOIN counters USING (j, bucket)
+        |  GROUP BY user_id)
+        |SELECT user_id, exact, estimate
+        |FROM est JOIN exact USING (user_id)
+        |ORDER BY exact DESC, user_id LIMIT 50""".stripMargin,
 
     "q_cohort_ltv" ->
       s"""WITH f AS (

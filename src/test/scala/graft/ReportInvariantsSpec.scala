@@ -153,6 +153,16 @@ class ReportInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q_cms_users: the count-min guarantee holds on every row") {
+    val rows = SparkEntry.queries("q_cms_users")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact,
+        s"user ${r.getLong(0)}: CMS can only OVERestimate ($est < $exact)")
+    }
+  }
+
   test("sim_ivf_balance conserves corpus mass across 32 lists") {
     val rows = SparkEntry.queries("sim_ivf_balance")(spark, sf).collect()
     assert(rows.length == 32, s"expected 32 lists, got ${rows.length}")
