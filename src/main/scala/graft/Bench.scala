@@ -111,9 +111,21 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s""""$k"""" }
       .mkString("[", ",", "]")
+    // Per-query monster guard (round-8 lesson: one unprobed query was
+    // 163 s of a 316 s bench AND degraded every later measurement via
+    // budget shedding). Any single query over the cap is flagged in
+    // both JSON lines and on stderr — it cannot land unnoticed.
+    val capS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_S", "20").toDouble
+    val overCap = results.filter { case (_, v) => v > capS }
+    overCap.foreach { case (k, v) =>
+      System.err.println(f"bench: OVER-CAP $k ${v}%.1f s > ${capS}%.0f s — " +
+        "probe and fix before snapshot (see ARCHITECTURE.md probe rule)")
+    }
+    val overCapJson = overCap.map { case (k, v) => f""""$k":$v%.2f""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullJson =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"over_cap":$overCapJson,"value":$total}"""
     // The harness keeps only the LAST 2000 chars of output, and the
     // full per-query map alone is longer than that — rounds 4/5 both
     // recorded "parsed": null because the line's head (with the
@@ -138,6 +150,6 @@ object Bench {
     println(fullJson)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_last.json","failed":$failed,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_last.json","failed":$failed,"over_cap":$overCapJson,"value":$total}""")
   }
 }

@@ -184,7 +184,15 @@ object Main {
           case other => Left(s"unknown flag: $other")
         }
     }
-    loop(norm.toList, CliOptions())
+    loop(norm.toList, CliOptions()).flatMap { o =>
+      // Slot DDL without a database is a no-op job that LOOKS like it
+      // made a slot — fail the parse instead of silently skipping (the
+      // reference always has a database: libpq defaults to localhost).
+      if ((o.createSlot || o.recreateSlot) && o.pgDbname.isEmpty)
+        Left("--create-slot/--recreate-slot require --pg-dbname" +
+          " (slot DDL runs against the configured database)")
+      else Right(o)
+    }
   }
 
   /** JDBC connection properties for the catalog/DDL connections: user

@@ -542,11 +542,16 @@ object Dedup extends QueryModule {
 
   /** Band-bucketed Hamming pair generation over ANY 60-bit signature
     * column (doc_id, sig) — shared by SimHash text near-dup and the
-    * multimodal block-mean hash. Pigeonhole over the band layout
-    * guarantees every pair within `maxHamming` shares a band key, so
-    * candidates stay linear in rows and the verify is exact. */
+    * multimodal block-mean hash. Both band layouts (4×15 chunks;
+    * Manku 6×10/C(6,3)) pigeonhole exactly Hamming ≤ 3: with at most
+    * 3 differing bits, some band is untouched and the pair shares its
+    * key, so candidates stay linear in rows and the verify is exact.
+    * Recall is NOT guaranteed past 3 — a larger radius needs a layout
+    * derived from it (more/overlapping bands), hence the require. */
   def hammingPairs(sigs: DataFrame, maxHamming: Int = 3,
       wide: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"band layouts guarantee recall only for Hamming <= 3, got $maxHamming")
     // wide = the Manku 6x10/C(6,3) layout for corpora past ~1e7 docs
     // (see simhashBandStructsWide); identical verified output either way
     val bandExpr = if (wide) simhashBandStructsWide(col("sig"))

@@ -264,19 +264,9 @@ object Multimodal extends QueryModule {
           .select((col("doc_id") + 100000L).as("doc_id"),
             concat(lit("X"), expr("substring(text, 2)")).as("text")))
       val sigs = duped
-        .withColumn("n", length(col("text")).cast("long"))
-        .withColumn("tsum", expr(
-          "aggregate(filter(split(text, ''), c -> c != ''), 0L," +
-            " (a, c) -> a + ascii(c))"))
-        .withColumn("sig", expr(
-          "aggregate(sequence(0, 59), 0L, (acc, i) -> acc + " +
-            "IF(aggregate(filter(split(substring(text," +
-            " cast(i * n div 60 as int) + 1," +
-            " cast((i + 1) * n div 60 - i * n div 60 as int)), '')," +
-            " c -> c != ''), 0L, (a, c) -> a + ascii(c)) * n" +
-            " > tsum * ((i + 1) * n div 60 - i * n div 60)," +
-            " shiftleft(1L, cast(i as int)), 0L))"))
-        .select(col("doc_id"), col("sig"))
+        .select(col("doc_id"),
+          graft.expressions.BlockMeanHash60
+            .blockMeanHash60(col("text")).as("sig"))
       Dedup.hammingPairs(sigs, maxHamming = 3)
         .orderBy(col("a_id"), col("b_id"))
     }),

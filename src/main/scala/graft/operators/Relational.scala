@@ -1115,11 +1115,21 @@ object Relational extends QueryModule {
         .agg(count(lit(1)).as("c"))
       val exact = ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("exact"))
-      hashed.select(col("user_id"), col("j"), col("bucket")).distinct()
+      // probe from the per-user aggregate (|users| rows), re-hashing
+      // each user's 4 (j, bucket) probes directly — NOT a distinct()
+      // over the 4×|events| exploded stream, which would be a second
+      // full-width shuffle just to rediscover the per-user keys
+      exact.select(col("user_id"), col("exact"),
+        explode(expr(
+          "transform(sequence(0, 3), j -> struct(j as j," +
+            " cast(conv(substring(md5(concat('cms', cast(j as string)," +
+            " cast(user_id as string))), 1, 8), 16, 10) as bigint) % 1024" +
+            " as bucket))")).as("e"))
+        .select(col("user_id"), col("exact"), col("e.j").as("j"),
+          col("e.bucket").as("bucket"))
         .join(broadcast(counters), Seq("j", "bucket"))
-        .groupBy(col("user_id"))
+        .groupBy(col("user_id"), col("exact"))
         .agg(min(col("c")).as("estimate"))
-        .join(exact, Seq("user_id"))
         .select(col("user_id"), col("exact"), col("estimate"))
         .orderBy(col("exact").desc, col("user_id"))
         .limit(50)

@@ -93,6 +93,32 @@ object IngestPipeline {
     (java.lang.Long.parseLong(md5Hex("sh" + docId).take(8), 16)
       % nShards).toInt
 
+  case class SplitAssign(doc_id: Long, source: String, bucket: Long,
+      split: String)
+
+  /** Ingest-time train/val/test bucket: the SAME content hash as the
+    * batch `corpus_split` release gate (first-8-hex of md5(text) mod
+    * 100, 90/5/5), so a document gets its split the moment it enters
+    * the corpus and the batch gate later agrees row for row
+    * (StreamingSplitParity in IngestPipelineSpec pins it). Content
+    * hashing means byte-identical duplicates can never straddle
+    * splits, streaming or batch. */
+  def splitOf(text: String): (Long, String) = {
+    val b = java.lang.Long.parseLong(md5Hex(text).take(8), 16) % 100
+    (b, if (b < 90) "train" else if (b < 95) "val" else "test")
+  }
+
+  /** Stateless split assignment over the raw-doc stream — a pure map,
+    * no shuffle, no state: split is a function of content alone, so
+    * at-least-once replay re-emits identical rows. */
+  def assignSplits(docs: Dataset[RawDoc]): Dataset[SplitAssign] = {
+    import docs.sparkSession.implicits._
+    docs.map { d =>
+      val (b, s) = splitOf(d.text)
+      SplitAssign(d.doc_id, d.source, b, s)
+    }
+  }
+
   def decisions(docs: Dataset[RawDoc], minTokens: Int = 10,
       nShards: Int = 32,
       gate: Option[ContaminationGate] = None): Dataset[Verdict] = {

@@ -36,7 +36,11 @@ class ProgressWindow(
   private var cumSize = 0L
   private var winCount = 0L
   private var winSize = 0L
-  private var curWindow = 0L
+  // -1 = unset: initialized lazily to the FIRST record()'s boundary so
+  // that first call never emits (the reference sets cur_window from the
+  // first consumed message's clock — it never logs at startup, and the
+  // first window spans a real 10 s, not a single batch).
+  private var curWindow = -1L
   private var lastXid = 0L
 
   /** Fold one micro-batch's observed metrics in; returns the progress
@@ -50,7 +54,10 @@ class ProgressWindow(
       if (xid > 0) lastXid = xid
       val t = now()
       val boundary = t / 10 * 10 // latest 10 s boundary at or before t
-      if (boundary > curWindow) {
+      if (curWindow < 0) {
+        curWindow = boundary // first batch anchors the window; no line
+        None
+      } else if (boundary > curWindow) {
         val line = f"xid: $lastXid%12d win_count:$winCount%10d " +
           f"win_size:${winSize / 1048576.0}%10.4fmb " +
           f"cum_count:$cumCount%10d cum_size:${cumSize / 1048576.0}%10.4fmb"

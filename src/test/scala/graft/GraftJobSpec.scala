@@ -229,6 +229,12 @@ class GraftJobSpec extends SparkSpec {
     assert(Main.parse(Seq("--send-window-secs", "ten")).isLeft,
       "non-numeric value must be a parse error, not an exception")
     assert(Main.parse(Seq("--max-records-per-trigger", "1e6")).isLeft)
+    // slot DDL without a database would otherwise no-op silently —
+    // the user asked for a slot and must get it or a diagnostic
+    assert(Main.parse(Seq("--create-slot")).isLeft,
+      "--create-slot without --pg-dbname must fail parse")
+    assert(Main.parse(Seq("--recreate-slot")).isLeft)
+    assert(Main.parse(Seq("--create-slot", "--pg-dbname", "db")).isRight)
     // reference __main__.py:42-43: 'all' ANYWHERE in the multi-flag
     // list expands — `--operations all --operations insert` must not
     // allow-list the literal 'all' (which would null every real DML)
@@ -272,6 +278,52 @@ class GraftJobSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(records(s"$dir/sink") == (0 until 4).map(i =>
       s"0,CDC,$i,public.species,insert,$i"))
+  }
+
+  test("CLI: Main.start == GraftJob.start on the same dump" +
+      " (CSVPayload, operations insert,update)") {
+    // the front door must be the library path with flags, nothing more:
+    // identical wire bytes from the same WAL dump
+    def dump(dir: String): String = {
+      val src = Paths.get(dir, "wal.jsonl")
+      Files.write(src, (0 until 8).map { i =>
+        val kind = Seq("insert", "update", "delete", "insert")(i % 4)
+        s"""{"xid": ${900 + i}, "change": [{"kind": "$kind",""" +
+          s""" "schema": "public", "table": "species", "columnnames": ["id"],""" +
+          s""" "columntypes": ["integer"], "columnvalues": [$i]}]}"""
+      }.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      src.toString
+    }
+    val cliDir = tmp()
+    val pk = Paths.get(cliDir, "pk.jsonl")
+    Files.write(pk,
+      ("""{"table_name":"public.species","col_name":"id",""" +
+        """"col_type":"integer","col_ord_pos":1}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val o = Main.parse(Seq(
+      "--source-path", dump(cliDir),
+      "--stream-name", s"$cliDir/sink",
+      "--checkpoint-dir", s"$cliDir/ckpt",
+      "--pk-catalog", pk.toString,
+      "--pg-slot-output-plugin", "wal2json",
+      "--message-formatter", "CSVPayload",
+      "--operations", "insert", "--operations", "update",
+      "--send-window-secs", "0", "--once")).fold(e => fail(e), identity)
+    val q = Main.start(spark, o)
+    q.processAllAvailable(); q.stop()
+
+    val libDir = tmp()
+    run(GraftConfig(dump(libDir), s"$libDir/sink", s"$libDir/ckpt",
+      formatter = "CSVPayload", operations = Seq("insert", "update"),
+      sendWindowSecs = 0))
+
+    val cli = records(s"$cliDir/sink")
+    val lib = records(s"$libDir/sink")
+    assert(cli.nonEmpty && cli == lib,
+      s"CLI sink must equal library sink: $cli vs $lib")
+    // deletes are gated (not dropped): the gate nulls the message but
+    // the delete rows still tick the batcher, so 8 raws -> 6 records
+    assert(cli.size == 6, s"expected 6 gated records, got ${cli.size}")
   }
 
   test("full-change requires wal2json + CSVPayload, like the reference") {

@@ -103,4 +103,40 @@ class IngestPipelineSpec extends SparkSpec {
     assert(got.head.verdict == "reject_quality")
     assert(got.head.n_tokens == long1.split("\\s+").count(_.nonEmpty))
   }
+
+  test("streaming split assignment == batch corpus_split on the same feed") {
+    // the ingest-time face of the batch release gate: same content
+    // hash, so the split is decided once at ingest and the batch gate
+    // later agrees row for row (the StreamingMinhashParitySpec pattern)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(docs.size >= 10, s"corpus too small: ${docs.size}")
+    val in = MemoryStream[RawDoc]
+    val q = IngestPipeline.assignSplits(in.toDS())
+      .writeStream.format("memory").queryName("ingest_split")
+      .outputMode(OutputMode.Append).start()
+    // three micro-batches, round-robin: batch boundaries must not
+    // matter for a stateless content-hash map
+    docs.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .foreach { case (_, b) =>
+        in.addData(b.map { case ((id, t, src), _) => RawDoc(id, t, src) })
+        q.processAllAvailable()
+      }
+    val streamed = spark.table("ingest_split")
+      .as[IngestPipeline.SplitAssign].collect()
+      .map(s => (s.doc_id, s.source, s.bucket, s.split)).sorted.toSeq
+    q.stop()
+    val batch = SparkEntry.queries("corpus_split")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
+    assert(streamed.size == docs.size && batch.size == docs.size)
+    assert(streamed == batch,
+      "ingest-time split must equal the batch corpus_split gate")
+    // the 90/5/5 contract actually stratifies on this corpus
+    val bySplit = streamed.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"got $bySplit")
+  }
 }

@@ -288,15 +288,58 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("block_mean_hash60 equals the composed split/aggregate formulation") {
+    val edge = Seq(
+      (1L, "a" * 60),                      // minimal length, uniform
+      (2L, "abcdefghij" * 13),             // 130 chars, non-60-divisible
+      (3L, ("x" * 30) + ("Z" * 45)),       // 75 chars, step change
+      // NOTE no multibyte row: Spark's ascii() yields the first BYTE of a
+      // multibyte char, so the composed form is only well-defined on ASCII
+      // (the corpus's domain); the native code-point fallback is the clean
+      // general-input semantics and is covered by the determinism test.
+      (5L, (0 until 240).map(i => ('a' + i % 26).toChar).mkString)
+    ).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+      .filter(length(col("text")) >= 60)
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, docs)) {
+      val native = df.select(col("doc_id"),
+        graft.expressions.BlockMeanHash60
+          .blockMeanHash60(col("text")).as("sig"))
+        .as[(Long, Long)].collect().toMap
+      val composed = df
+        .withColumn("n", length(col("text")).cast("long"))
+        .withColumn("tsum", expr(
+          "aggregate(filter(split(text, ''), c -> c != ''), 0L," +
+            " (a, c) -> a + ascii(c))"))
+        .select(col("doc_id"), expr(
+          "aggregate(sequence(0, 59), 0L, (acc, i) -> acc + " +
+            "IF(aggregate(filter(split(substring(text," +
+            " cast(i * n div 60 as int) + 1," +
+            " cast((i + 1) * n div 60 - i * n div 60 as int)), '')," +
+            " c -> c != ''), 0L, (a, c) -> a + ascii(c)) * n" +
+            " > tsum * ((i + 1) * n div 60 - i * n div 60)," +
+            " shiftleft(1L, cast(i as int)), 0L))").as("sig"))
+        .as[(Long, Long)].collect().toMap
+      assert(native.keySet == composed.keySet)
+      for (k <- native.keySet) assert(native(k) == composed(k), s"doc $k")
+    }
+  }
+
   test("native expressions: interpreted eval matches codegen") {
     val df = spark.read.parquet(s"$sf/documents.parquet").limit(40)
-    def run(): Seq[(Int, Seq[Long], Seq[Long])] = df.select(
+      // multibyte row exercises BlockMeanHash60's code-point fallback
+      .unionByName(Seq((999999L, "héllo wörld £" * 12))
+        .toDF("doc_id", "text"), allowMissingColumns = true)
+    def run(): Seq[(Int, Seq[Long], Seq[Long], Long)] = df.select(
       size(ShingleHashes.shingle_hashes(col("text"), 8)).as("ns"),
       MinHashSig.minhash_sig(
         ShingleHashes.shingle_hashes(col("text"), 8), 16).as("sig"),
-      graft.expressions.TokenMd5.token_md5_60(col("text")).as("th"))
-      .as[(Int, Array[Long], Array[Long])].collect().toSeq
-      .map { case (n, s, t) => (n, s.toSeq, t.toSeq) }
+      graft.expressions.TokenMd5.token_md5_60(col("text")).as("th"),
+      graft.expressions.BlockMeanHash60
+        .blockMeanHash60(col("text")).as("bh"))
+      .as[(Int, Array[Long], Array[Long], Long)].collect().toSeq
+      .map { case (n, s, t, b) => (n, s.toSeq, t.toSeq, b) }
     val viaCodegen = run()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")

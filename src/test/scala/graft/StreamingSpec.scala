@@ -211,11 +211,16 @@ class StreamingSpec extends SparkSpec {
     spark.streams.addListener(listener)
     try {
       val dir = tmp()
+      // two waves => two micro-batches: the first record() only anchors
+      // the window (the reference never logs at startup), the second
+      // crosses a boundary and emits.
       val src = writeSource(dir,
-        (0 until 5).map(i => walLine(600 + i, "insert", i)))
+        (0 until 3).map(i => walLine(600 + i, "insert", i)))
       val q = CdcPipeline.start(spark, src, cat, Seq("insert"),
         s"$dir/sink", s"$dir/ckpt",
         trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      q.processAllAvailable()
+      writeSource(dir, (0 until 5).map(i => walLine(600 + i, "insert", i)))
       q.processAllAvailable()
       // listener bus is async: wait for delivery
       val deadline = System.currentTimeMillis() + 15000
