@@ -159,7 +159,15 @@ object ScaleProbe {
       // pack rollup, the calendar-bounded cohort window, and the
       // 11-bucket calibration join
       "q_assoc_rules", "pack_efficiency", "q_cohort_ltv",
-      "text_score_calibration")
+      "text_score_calibration",
+      // round-9: the post-fix native block-mean hash (perturbed copies
+      // have ~zero cross-copy Hamming proximity, so pairs grow with
+      // the per-copy synthesized dupes — linear) and the split family:
+      // stateless content-hash scan, its stratification rollup, the
+      // LSH-composed leakage audit, and the cluster-inheritance safe
+      // split (cluster map broadcast, output-sized)
+      "mm_blockhash_neardup", "corpus_split", "corpus_split_report",
+      "corpus_split_leakage", "corpus_split_safe")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

@@ -383,11 +383,18 @@ object Similarity extends QueryModule {
     * gets its `topn` nearest centroid ids. The linear pass under both
     * IVF list building and query probing — corpus × broadcast-32
     * (bounded small side by construction). */
-  def ivfAssign(c: DataFrame, df: DataFrame, idCol: String, topn: Int,
-      nCentroids: Int): DataFrame = {
-    val cent = c.filter(col("vec_id") < nCentroids)
+  /** The deterministic stand-in coarse quantizer: first-n vectors as
+    * centroids (SQL-expressible, hash-exact against the oracle). */
+  def standInCentroids(c: DataFrame, nCentroids: Int): DataFrame =
+    c.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
+
+  /** Coarse-quantizer assignment against an EXPLICIT centroid table
+    * (cid, c_emb, c_nrm) — centroids broadcast, one linear pass over
+    * df, per-row top-n window over nCentroids scored rows. */
+  def ivfAssignTo(cent: DataFrame, df: DataFrame, idCol: String,
+      topn: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("c_sim").desc, col("cid"))
     df.crossJoin(broadcast(cent))
@@ -398,13 +405,55 @@ object Similarity extends QueryModule {
       .select(col(idCol), col("cid"))
   }
 
+  def ivfAssign(c: DataFrame, df: DataFrame, idCol: String, topn: Int,
+      nCentroids: Int): DataFrame =
+    ivfAssignTo(standInCentroids(c, nCentroids), df, idCol, topn)
+
+  /** Lloyd-refined coarse quantizer: seed from the stand-ins, run
+    * `rounds` of assign→mean (cosine assignment — the emb_kmeans_step
+    * Lloyd update, composed per the sim_ann_ivf contract: "production
+    * swaps in kmeans centroids with no other change"). Each round is
+    * one broadcast-assign pass over the corpus plus a (cid, dim)
+    * aggregate — linear at any corpus size; the centroid table stays
+    * nCentroids rows and re-broadcasts. localCheckpoint per round cuts
+    * the iterative lineage (the emb_pca2 analysis-blowup lesson).
+    * Empty clusters drop, which IVF tolerates (fewer lists). Recall
+    * at-or-above the stand-in index is asserted in SimilaritySpec. */
+  def kmeansCentroids(c: DataFrame, nCentroids: Int = 32,
+      rounds: Int = 2): DataFrame = {
+    var cent = standInCentroids(c, nCentroids)
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("cid"))
+      val assigned = c.crossJoin(broadcast(cent))
+        .withColumn("c_sim", cosine(col("embedding"), col("nrm"),
+          col("c_emb"), col("c_nrm")))
+        .withColumn("c_rk", row_number().over(w))
+        .filter(col("c_rk") === 1)
+        .select(col("cid"), col("embedding"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m)))," +
+          " x -> cast(x.m as float))").as("c_emb"))
+        .withColumn("c_nrm", float_dot(col("c_emb"), col("c_emb")))
+        .select(col("cid"), col("c_emb"), col("c_nrm"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   def ivfTopK(c: DataFrame, k: Int, nCentroids: Int = 32,
-      nProbe: Int = 8): DataFrame = {
-    val lists = ivfAssign(c, c, "vec_id", 1, nCentroids)
+      nProbe: Int = 8, centroids: DataFrame = null): DataFrame = {
+    val cent =
+      if (centroids == null) standInCentroids(c, nCentroids) else centroids
+    val lists = ivfAssignTo(cent, c, "vec_id", 1)
     val q = querySet(c)
-    val probes = ivfAssign(c,
+    val probes = ivfAssignTo(cent,
       q.select(col("query_id"), col("q_emb").as("embedding"),
-        col("q_nrm").as("nrm")), "query_id", nProbe, nCentroids)
+        col("q_nrm").as("nrm")), "query_id", nProbe)
     val candidates = probes.join(lists, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
