@@ -167,7 +167,15 @@ object ScaleProbe {
       // LSH-composed leakage audit, and the cluster-inheritance safe
       // split (cluster map broadcast, output-sized)
       "mm_blockhash_neardup", "corpus_split", "corpus_split_report",
-      "corpus_split_leakage", "corpus_split_safe")
+      "corpus_split_leakage", "corpus_split_safe",
+      // round-9 additions: HLL's register table is ≤1024 rows/type by
+      // construction (the ratio checks the one raw-scan pass), and the
+      // matryoshka diagnostic is two broadcast-query linear passes
+      "q_hll_distinct", "sim_matryoshka_recall",
+      // attribution: user_id-keyed windows/joins over n× events with a
+      // fixed calendar; FK audit: seven anti-joins over the replicated
+      // star (dims replicate too, so orphanlessness is preserved)
+      "q_attribution", "q_fk_integrity")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

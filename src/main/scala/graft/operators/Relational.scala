@@ -1087,6 +1087,46 @@ object Relational extends QueryModule {
         .limit(50)
     }),
 
+    // HyperLogLog, relationalized (Flajolet et al. 2007): per-type
+    // distinct-user registers from ONE pass over raw events — no
+    // distinct, no per-key state. w = 60-bit md5 hash; bucket = low 10
+    // bits (m=1024); the register is the max over the bucket's items
+    // of the lowest-set-bit VALUE of the remaining 50 bits (2^tz —
+    // monotone in the trailing-zero count tz, so max(2^tz) IS the
+    // classic max-rho register with rho = tz+1, and stays integer).
+    // The sketch state is two bounded aggregates: groupBy(type,
+    // bucket) MAX (≤ 1024 rows per type regardless of cardinality —
+    // at 100 TB the register table still broadcasts), then a per-type
+    // rollup emitting n_hit and the harmonic sum S = Σ 2^50/v (exact:
+    // v divides 2^50), from which the HLL estimate is
+    // α·m²/((m−n_hit) + S/2^51) — computed and accuracy-asserted in
+    // RelationalSpec (the estimate needs floats; the CHECKED output
+    // is the integer sketch state plus the exact count beside it,
+    // cross-engine bit-exact like the CMS report).
+    "q_hll_distinct" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("user_id"))
+      val regs = ev
+        .withColumn("w", expr(
+          "cast(conv(substring(md5(concat('hll'," +
+            " cast(user_id as string))), 1, 15), 16, 10) as bigint)"))
+        .withColumn("bucket", col("w") % 1024)
+        .withColumn("rest", expr("w div 1024"))
+        // rest = 0 (p ≈ 2^-50) maps to the all-zeros cap 2^50
+        .withColumn("lowbit", expr("CASE WHEN rest = 0" +
+          " THEN 1125899906842624L ELSE rest & (0 - rest) END"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("lowbit")).as("v"))
+      val sketch = regs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hit"),
+          sum(expr("1125899906842624L div v")).as("harmonic_bits"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_uniques"))
+      sketch.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_hit"), col("harmonic_bits"),
+          col("exact_uniques"))
+        .orderBy(col("event_type"))
+    }),
+
     // Count-Min sketch, relationalized (Cormode & Muthukrishnan 2005):
     // per-user event-count ESTIMATES from a bounded d=4 × w=1024
     // counter table instead of a corpus-wide per-key aggregate — the
@@ -1845,6 +1885,78 @@ object Relational extends QueryModule {
           max(col("gap_s")).as("max_s"))
     }),
 
+    // Multi-touch attribution: per converting user, the first- and
+    // last-touch event types before their FIRST purchase (ties broken
+    // by event_id — (ts, event_id) is a total order, so the report is
+    // deterministic under any partitioning), rolled up to a
+    // (first_touch, last_touch) matrix with the attributed purchase
+    // value (Num.dsum decimal discipline). Every join/window keys on
+    // user_id — one shuffle partitioning carried through first-purchase
+    // selection, the touch join, and both rank windows; output is
+    // |event_types|² rows.
+    "q_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+      val wp = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val firstPurch = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .join(firstPurch, Seq("user_id"))
+        .filter(col("ts") < col("p_ts") ||
+          (col("ts") === col("p_ts") && col("event_id") < col("p_id")))
+      val wDesc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val ft = touches.withColumn("rn", row_number().over(wp))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_touch"),
+          col("p_value"))
+      val lt = touches.withColumn("rn", row_number().over(wDesc))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_touch"))
+      ft.join(lt, Seq("user_id"))
+        .groupBy(col("first_touch"), col("last_touch"))
+        .agg(count(lit(1)).as("n_users"),
+          dsum(col("p_value")).as("attributed_value"))
+        .orderBy(col("first_touch"), col("last_touch"))
+    }),
+
+    // Referential-integrity audit over the whole star schema: per FK
+    // relation, child row count and orphan count (child keys with no
+    // parent — left anti join, the canonical shape: broadcast when the
+    // parent is a dim, shuffle-co-partitioned when it's a fact). The
+    // data-quality gate a pipeline runs after every load; a clean
+    // synthetic corpus reports zeros, which is exactly the assertion.
+    "q_fk_integrity" -> ((s, d) => {
+      val rels: Seq[(String, org.apache.spark.sql.DataFrame, String,
+          org.apache.spark.sql.DataFrame, String)] = Seq(
+        ("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
+          nation(s, d), "n_nationkey"),
+        ("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+          orders(s, d), "o_orderkey"),
+        ("lineitem.l_partkey->part", lineitem(s, d), "l_partkey",
+          part(s, d), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", lineitem(s, d), "l_suppkey",
+          supplier(s, d), "s_suppkey"),
+        ("nation.n_regionkey->region", nation(s, d), "n_regionkey",
+          region(s, d), "r_regionkey"),
+        ("orders.o_custkey->customer", orders(s, d), "o_custkey",
+          customer(s, d), "c_custkey"),
+        ("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey",
+          nation(s, d), "n_nationkey"))
+      rels.map { case (name, child, fk, parent, pk) =>
+        val orphans = child.join(parent,
+          child(fk) === parent(pk), "left_anti")
+        child.agg(count(lit(1)).as("n_child"),
+          countDistinct(col(fk)).as("n_distinct_fk"))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+          .select(lit(name).as("relation"), col("n_child"),
+            col("n_distinct_fk"), col("n_orphans"))
+      }.reduce(_.unionByName(_)).orderBy(col("relation"))
+    }),
+
     // ANALYZE-style column statistics — the stats collection pass a
     // cost-based optimizer (and any data-quality monitor) runs over a
     // table: per key column, cardinality, null count and value range.
@@ -2590,6 +2702,88 @@ object Relational extends QueryModule {
         |JOIN sup sb ON sb.l_partkey = consequent, n
         |ORDER BY lift_ppm DESC, antecedent, consequent
         |LIMIT 50""".stripMargin,
+
+    "q_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type, user_id,
+        |    ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS w
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, w % 1024 AS bucket, w // 1024 AS rest
+        |  FROM h),
+        |regs AS (
+        |  SELECT event_type, bucket,
+        |    MAX(CASE WHEN rest = 0 THEN 1125899906842624
+        |      ELSE rest & (0 - rest) END) AS v
+        |  FROM b GROUP BY event_type, bucket),
+        |sketch AS (
+        |  SELECT event_type, COUNT(*) AS n_hit,
+        |    SUM(1125899906842624 // v) AS harmonic_bits
+        |  FROM regs GROUP BY event_type),
+        |exact AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_uniques
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n_hit,
+        |  CAST(harmonic_bits AS BIGINT) AS harmonic_bits, exact_uniques
+        |FROM sketch JOIN exact USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |fp AS (SELECT user_id, ts AS p_ts, event_id AS p_id,
+        |         value AS p_value FROM p WHERE rn = 1),
+        |t AS (
+        |  SELECT e.user_id, e.event_type, e.ts, e.event_id, fp.p_value
+        |  FROM events e JOIN fp ON e.user_id = fp.user_id
+        |  WHERE e.event_type <> 'purchase'
+        |    AND (e.ts < fp.p_ts
+        |      OR (e.ts = fp.p_ts AND e.event_id < fp.p_id))),
+        |r AS (
+        |  SELECT user_id, event_type, p_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM t)
+        |SELECT f.event_type AS first_touch, l.event_type AS last_touch,
+        |  COUNT(*) AS n_users,
+        |  CAST(SUM(CAST(round(f.p_value * 1e8) AS HUGEINT)) AS DOUBLE)
+        |    / 1e8 AS attributed_value
+        |FROM (SELECT * FROM r WHERE ra = 1) f
+        |JOIN (SELECT user_id, event_type FROM r WHERE rd = 1) l
+        |  ON f.user_id = l.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_fk_integrity" -> {
+      val rels = Seq(
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+      rels.map { case (name, child, fk, parent, pk) =>
+        s"""SELECT '$name' AS relation,
+           |  (SELECT COUNT(*) FROM $child) AS n_child,
+           |  (SELECT COUNT(DISTINCT $fk) FROM $child) AS n_distinct_fk,
+           |  (SELECT COUNT(*) FROM $child c WHERE NOT EXISTS
+           |    (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
+           |    AS n_orphans""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
 
     "q_cms_users" ->
       """WITH hashed AS (

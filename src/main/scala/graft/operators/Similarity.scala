@@ -65,6 +65,45 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Matryoshka truncation diagnostic (Kusupati et al. 2022): top-10
+    // retrieval with only the FIRST 16 of 64 dims vs the full-width
+    // top-10, per query. MRL-trained embeddings are served truncated
+    // (4× less memory and dot-product work per probe) and this is the
+    // acceptance number for that swap: overlap_10 ≈ 10 means the
+    // prefix index answers like the full one. Two broadcast-query
+    // linear passes over the corpus (prefix norms are per-row
+    // arithmetic, no shuffle); the left join keeps a query visible
+    // even at overlap 0. Doubles stay inside the strict sequential
+    // FloatDot fold, so ranks are cross-engine exact.
+    "sim_matryoshka_recall" -> ((s, d) => {
+      val c = corpus(s, d)
+      val q = querySet(c)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val full = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      val pc = embeddings(s, d)
+        .select(col("vec_id"), expr("slice(embedding, 1, 16)").as("p_emb"))
+        .withColumn("p_nrm", float_dot(col("p_emb"), col("p_emb")))
+      val pq = pc.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("p_emb").as("pq_emb"),
+          col("p_nrm").as("pq_nrm"))
+      val prefix = pc.join(broadcast(pq), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine(col("pq_emb"), col("pq_nrm"),
+          col("p_emb"), col("p_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      full.join(prefix, Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("overlap_10"))
+        .orderBy(col("query_id"))
+    }),
+
     // Hard-negative mining for contrastive training data: per probe
     // vector, the top-5 most similar vectors carrying a DIFFERENT
     // label — the pairs that actually move a contrastive loss (easy
@@ -772,6 +811,37 @@ object Similarity extends QueryModule {
         |SELECT query_id, rank, vec_id AS neighbor_id, cosine
         |FROM ranked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_matryoshka_recall" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                     CAST(embedding AS DOUBLE[])) AS nrm,
+        |    CAST(embedding[1:16] AS DOUBLE[]) AS pemb,
+        |    list_dot_product(CAST(embedding[1:16] AS DOUBLE[]),
+        |                     CAST(embedding[1:16] AS DOUBLE[])) AS pnrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+        |        pemb AS pq_emb, pnrm AS pq_nrm
+        |      FROM c WHERE vec_id < 10),
+        |full_r AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_dot_product(q.q_emb, c.emb) /
+        |        (sqrt(q.q_nrm) * sqrt(c.nrm)) DESC, c.vec_id) AS rank
+        |  FROM c JOIN q ON c.vec_id <> q.query_id),
+        |pref_r AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |      list_dot_product(q.pq_emb, c.pemb) /
+        |        (sqrt(q.pq_nrm) * sqrt(c.pnrm)) DESC, c.vec_id) AS rank
+        |  FROM c JOIN q ON c.vec_id <> q.query_id)
+        |SELECT f.query_id,
+        |  CAST(COUNT(p.vec_id) AS BIGINT) AS overlap_10
+        |FROM (SELECT query_id, vec_id FROM full_r WHERE rank <= 10) f
+        |LEFT JOIN (SELECT query_id, vec_id FROM pref_r WHERE rank <= 10) p
+        |  ON f.query_id = p.query_id AND f.vec_id = p.vec_id
+        |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin,
 
     "sim_ann_recall" -> {
       val corpusCodes = (0 until NumTables)

@@ -83,7 +83,13 @@ class PlanAuditSpec extends SparkSpec {
       "sim_ivf_balance",
       // rule set × the broadcast ONE-row order total (scalar-aggregate
       // ride-along, same as corpus_epochs)
-      "q_assoc_rules")
+      "q_assoc_rules",
+      // per-relation child aggregate × the broadcast ONE-row orphan
+      // count (scalar-aggregate ride-along), 7 bounded rows total
+      "q_fk_integrity",
+      // prefix-dim top-10 × full top-10 per query: the full side
+      // embeds sim_topk_brute's corpus × broadcast 10-probe shape
+      "sim_matryoshka_recall")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:

@@ -108,4 +108,28 @@ class RelationalSpec extends SparkSpec {
         s"${r.getString(0)}: KMV $est vs exact $ex")
     }
   }
+
+  test("HLL estimate from the checked sketch state is within tolerance") {
+    // the declared query emits the integer sketch state (cross-engine
+    // exact); the float estimator lives here: standard HLL with the
+    // linear-counting small-range correction (Flajolet et al. 2007)
+    val m = 1024.0
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val rows = SparkEntry.queries("q_hll_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nHit, s, exact) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val zeros = m - nHit
+      // register term 2^-(tz+1) = (2^50/v) / 2^51; empty registers
+      // contribute 2^-0 = 1
+      val denom = zeros + s / math.pow(2, 51)
+      val raw = alpha * m * m / denom
+      val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros)
+                else raw
+      val err = math.abs(est - exact) / exact
+      info(f"${r.getString(0)}: exact $exact, HLL est $est%.1f, err ${err * 100}%.2f%%")
+      // 1.04/sqrt(1024) ≈ 3.25% standard error; allow 3 sigma
+      assert(err <= 0.10, f"${r.getString(0)}: HLL err ${err * 100}%.1f%% > 10%%")
+    }
+  }
 }
