@@ -175,7 +175,12 @@ object ScaleProbe {
       // attribution: user_id-keyed windows/joins over n× events with a
       // fixed calendar; FK audit: seven anti-joins over the replicated
       // star (dims replicate too, so orphanlessness is preserved)
-      "q_attribution", "q_fk_integrity")
+      "q_attribution", "q_fk_integrity",
+      // BM25: query-term-filtered tf/df aggregates + broadcast
+      // scalars; table diff: narrow (pk, fp, cents) full outer join;
+      // k-anonymity: two narrow groupBys + constant rollups; drift:
+      // one explode + (label, half, dim) aggregate
+      "text_bm25", "q_table_diff", "q_k_anonymity", "emb_centroid_drift")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

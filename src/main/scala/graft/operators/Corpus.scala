@@ -207,6 +207,60 @@ object Corpus extends QueryModule {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // Okapi BM25 retrieval (Robertson & Walker 1994), integer-exact:
+    // top-10 docs per query for a fixed 3-query acceptance workload.
+    // k1 = 1.2, b = 0.75 as published; the idf is the LOG-FREE ratio
+    // (N - df + 0.5)/(df + 0.5) in ppm (monotone in the standard
+    // log-idf — same determinism contract as text_tfidf's tf/df; see
+    // the object doc for why ln is banned). Clearing denominators
+    // makes every term score one integer division:
+    //   score = idf_ppm * 22*tf*L div (10*L*tf + 3*L + 9*dl*N)
+    // with N = corpus size, L = total tokens, dl = doc length — the
+    // products run in decimal(38,0) so a 10x-replicated probe corpus
+    // cannot overflow a bigint intermediate. Shape at scale: the
+    // corpus token stream is FILTERED by the broadcast query-term
+    // table before any aggregation (df of a term is unchanged by
+    // dropping other terms' rows), so tf/df aggregate over matching
+    // rows only; dl and the (N, L) scalars come from one narrow
+    // documents scan; the final top-10 is a per-query window over
+    // candidate docs, never the corpus.
+    "text_bm25" -> ((s, d) => {
+      import s.implicits._
+      val qt = Seq((0L, "spark"), (0L, "join"), (1L, "hash"),
+        (1L, "table"), (1L, "scan"), (2L, "window"), (2L, "agg"))
+        .toDF("query_id", "tok")
+      val docs = documents(s, d)
+        .select(col("doc_id"), expr(s"size($toksExpr)").cast("long").as("dl"))
+      val scal = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_len"))
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+        .join(broadcast(qt.select(col("tok")).distinct()), Seq("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      tf.join(dfT, Seq("tok"))
+        .join(broadcast(qt), Seq("tok"))
+        .join(docs, Seq("doc_id"))
+        .crossJoin(broadcast(scal))
+        .withColumn("idf_ppm", expr(
+          "(2000000 * (n_docs - df) + 1000000) div (2 * df + 1)"))
+        .withColumn("term_score", expr(
+          "cast(cast(idf_ppm as decimal(38,0)) * 22 * tf * total_len" +
+            " div (10 * total_len * tf + 3 * total_len" +
+            " + 9 * dl * n_docs) as bigint)"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("term_score")).as("score_micro"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("n_terms"), col("score_micro"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Weighted sampling without replacement via priority sampling
     // (Duffield–Lund–Thorup): key = u/w with u an md5-derived uniform
     // integer and w = n_chars; the 40 smallest keys win. Heavier docs
@@ -542,6 +596,41 @@ object Corpus extends QueryModule {
          |  CAST(round(1000000 * s) AS BIGINT) AS score_ppm
          |FROM ranked WHERE doc_id < 50 AND rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+
+    "text_bm25" ->
+      s"""WITH qt AS (
+         |  SELECT * FROM (VALUES (0, 'spark'), (0, 'join'), (1, 'hash'),
+         |    (1, 'table'), (1, 'scan'), (2, 'window'), (2, 'agg'))
+         |    t(query_id, tok)),
+         |docs AS (SELECT doc_id, len($sqlToks) AS dl FROM documents),
+         |scal AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len
+         |         FROM docs),
+         |toks AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+         |  WHERE tok IN (SELECT tok FROM qt)),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    SUM(CAST(
+         |      ((2000000 * (s.n_docs - dft.df) + 1000000) // (2 * dft.df + 1))
+         |        ::HUGEINT * 22 * tf.tf * s.total_len
+         |      // (10 * s.total_len * tf.tf + 3 * s.total_len
+         |         + 9 * docs.dl * s.n_docs) AS BIGINT)) AS score_micro,
+         |    COUNT(*) AS n_terms
+         |  FROM tf JOIN dft USING (tok) JOIN qt USING (tok)
+         |    JOIN docs USING (doc_id) CROSS JOIN scal s
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, n_terms, score_micro,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+         |  n_terms, score_micro
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "sample_priority" ->
       """WITH p AS (

@@ -757,6 +757,46 @@ object Pipeline extends QueryModule {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // Embedding-drift monitor: per label, the squared L2 distance
+    // between the class centroid of the REFERENCE batch and the NEW
+    // batch (halves by vec_id parity as the deterministic stand-in for
+    // two ingest batches) — the alarm that fires when an upstream
+    // encoder or data mix shifts. Same integer micro-unit discipline
+    // as emb_class_reps (quantize once, floor-div centroid, exact
+    // integer squared error), so partial-agg order cannot perturb a
+    // bit. Shape at scale: one explode + a (label, half, dim)
+    // aggregate — high cardinality, no skew; the centroid join is
+    // |labels|·|dims| rows, broadcast-sized output regardless of
+    // corpus size.
+    "emb_centroid_drift" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("half"), (col("pos") + 1).as("dim"),
+          expr("cast(round(1000000 * cast(v as double)) as bigint)")
+            .as("q"))
+      val cent = e.groupBy(col("label"), col("half"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+        .select(col("label"), col("half"), col("dim"),
+          expr("(sq + 1000000000L * cnt) div cnt - 1000000000L").as("cq"))
+      val drift = cent.filter(col("half") === 0)
+        .select(col("label"), col("dim"), col("cq").as("cq_ref"))
+        .join(cent.filter(col("half") === 1)
+          .select(col("label"), col("dim"), col("cq").as("cq_new")),
+          Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(sum((col("cq_ref") - col("cq_new")) *
+          (col("cq_ref") - col("cq_new"))).as("drift2"))
+      val n = embeddings(s, d).groupBy(col("label"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+          .as("n_ref"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))
+            .as("n_new"))
+      drift.join(n, Seq("label"))
+        .select(col("label"), col("n_ref"), col("n_new"), col("drift2"))
+        .orderBy(col("label"))
+    }),
+
     // Per-class representative selection (herding-style coreset pick):
     // the 5 vectors nearest their label's centroid — the curation op
     // that picks canonical exemplars per class for few-shot prompts,
@@ -1822,6 +1862,33 @@ object Pipeline extends QueryModule {
          |FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
          |GROUP BY label, i ORDER BY label, dim""".stripMargin
     },
+
+    "emb_centroid_drift" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT label, vec_id % 2 AS half, i AS dim,
+        |    CAST(round(1000000 * CAST(embedding[i] AS DOUBLE)) AS BIGINT)
+        |      AS q
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)),
+        |c AS (
+        |  SELECT label, half, dim,
+        |    CAST((SUM(q) + 1000000000 * COUNT(*)) // COUNT(*)
+        |      - 1000000000 AS BIGINT) AS cq
+        |  FROM e GROUP BY 1, 2, 3),
+        |d AS (
+        |  SELECT a.label,
+        |    CAST(SUM((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT) AS drift2
+        |  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+        |    AND a.half = 0 AND b.half = 1
+        |  GROUP BY 1),
+        |n AS (
+        |  SELECT label,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM embeddings GROUP BY 1)
+        |SELECT label, n_ref, n_new, drift2
+        |FROM d JOIN n USING (label) ORDER BY label""".stripMargin,
 
     "emb_dim_stats" -> {
       s"""SELECT i AS dim, COUNT(*) AS n,

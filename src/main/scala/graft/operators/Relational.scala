@@ -1105,17 +1105,10 @@ object Relational extends QueryModule {
     // cross-engine bit-exact like the CMS report).
     "q_hll_distinct" -> ((s, d) => {
       val ev = events(s, d).select(col("event_type"), col("user_id"))
-      val regs = ev
-        .withColumn("w", expr(
-          "cast(conv(substring(md5(concat('hll'," +
-            " cast(user_id as string))), 1, 15), 16, 10) as bigint)"))
-        .withColumn("bucket", col("w") % 1024)
-        .withColumn("rest", expr("w div 1024"))
-        // rest = 0 (p ≈ 2^-50) maps to the all-zeros cap 2^50
-        .withColumn("lowbit", expr("CASE WHEN rest = 0" +
-          " THEN 1125899906842624L ELSE rest & (0 - rest) END"))
-        .groupBy(col("event_type"), col("bucket"))
-        .agg(max(col("lowbit")).as("v"))
+      // shared kernel: the same lineage the streaming face aggregates
+      // incrementally (StreamingSketchParitySpec pins stream == batch)
+      val regs = graft.functions.Sketches
+        .hllRegisters(ev, "event_type", "user_id")
       val sketch = regs.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_hit"),
           sum(expr("1125899906842624L div v")).as("harmonic_bits"))
@@ -1143,16 +1136,10 @@ object Relational extends QueryModule {
     // output. Top-50 by exact count, ties to the smaller user.
     "q_cms_users" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"))
-      val hashed = ev.select(col("user_id"),
-        explode(expr(
-          "transform(sequence(0, 3), j -> struct(j as j," +
-            " cast(conv(substring(md5(concat('cms', cast(j as string)," +
-            " cast(user_id as string))), 1, 8), 16, 10) as bigint) % 1024" +
-            " as bucket))")).as("e"))
-        .select(col("user_id"), col("e.j").as("j"),
-          col("e.bucket").as("bucket"))
-      val counters = hashed.groupBy(col("j"), col("bucket"))
-        .agg(count(lit(1)).as("c"))
+      // shared kernel: counter building and probing use the same
+      // probe-coordinate expression (Sketches.cmsProbesExpr), and the
+      // streaming face aggregates the identical counter lineage
+      val counters = graft.functions.Sketches.cmsCounters(ev)
       val exact = ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("exact"))
       // probe from the per-user aggregate (|users| rows), re-hashing
@@ -1160,11 +1147,7 @@ object Relational extends QueryModule {
       // over the 4×|events| exploded stream, which would be a second
       // full-width shuffle just to rediscover the per-user keys
       exact.select(col("user_id"), col("exact"),
-        explode(expr(
-          "transform(sequence(0, 3), j -> struct(j as j," +
-            " cast(conv(substring(md5(concat('cms', cast(j as string)," +
-            " cast(user_id as string))), 1, 8), 16, 10) as bigint) % 1024" +
-            " as bucket))")).as("e"))
+        explode(expr(graft.functions.Sketches.cmsProbesExpr)).as("e"))
         .select(col("user_id"), col("exact"), col("e.j").as("j"),
           col("e.bucket").as("bucket"))
         .join(broadcast(counters), Seq("j", "bucket"))
@@ -1955,6 +1938,75 @@ object Relational extends QueryModule {
           .select(lit(name).as("relation"), col("n_child"),
             col("n_distinct_fk"), col("n_orphans"))
       }.reduce(_.unionByName(_)).orderBy(col("relation"))
+    }),
+
+    // Snapshot diff — the data-regression gate a pipeline runs between
+    // two loads of the same table: per change class (added / removed /
+    // changed / unchanged), row count and the deterministic total-price
+    // delta. The two snapshots are derived from orders by key residue
+    // (old drops keys ≡3 mod 10, new drops ≡5 and bumps the price 10%
+    // on ≡7) so the diff exercises every class. Scale shape: each side
+    // is projected to (pk, fingerprint, price) BEFORE the full outer
+    // join, so the shuffle carries three narrow columns — never the
+    // full row — and both sides hash-partition on the PK (the one
+    // shuffle; AQE splits any hot key). Fingerprint = md5 over the
+    // '|'-joined payload, the usual row-hash discipline — it only ever
+    // compares within one engine, so rendering differences cannot leak
+    // into the checked output.
+    "q_table_diff" -> ((s, d) => {
+      // price in integer cents from the start: the bump on keys %10==7
+      // is then cents*11 div 10 -- exact integers end to end, so
+      // neither engine's double-rounding enters the diff
+      val base = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+        col("o_orderdate"), col("o_orderpriority"))
+      def side(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.select(col("o_orderkey").as(s"${tag}_key"),
+          expr("md5(concat_ws('|', o_custkey, o_orderstatus, cents," +
+            " o_orderdate, o_orderpriority))").as(s"${tag}_fp"),
+          col("cents").as(s"${tag}_cents"))
+      val old = side(base.filter(col("o_orderkey") % 10 =!= 3), "a")
+      val neu = side(base.filter(col("o_orderkey") % 10 =!= 5)
+        .withColumn("cents", when(col("o_orderkey") % 10 === 7,
+          expr("cents * 11 div 10")).otherwise(col("cents"))), "b")
+      old.join(neu, col("a_key") === col("b_key"), "full_outer")
+        .withColumn("change", when(col("a_key").isNull, "added")
+          .when(col("b_key").isNull, "removed")
+          .when(col("a_fp") =!= col("b_fp"), "changed")
+          .otherwise("unchanged"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("b_cents"), lit(0L)) -
+            coalesce(col("a_cents"), lit(0L))).as("delta_cents"))
+        .orderBy(col("change"))
+    }),
+
+    // k-anonymity audit (Sweeney 2002) — the privacy gate a
+    // training-data release runs over its structured fields: for each
+    // candidate quasi-identifier set, the equivalence-class profile
+    // (class count, smallest class, classes and rows below k=5, rows
+    // at risk in ppm). Each QI audit is ONE narrow groupBy over the
+    // table followed by a constant-size rollup; the union of the two
+    // audits is two scans (a grouping-sets formulation would save one
+    // scan but pins both audits to one shuffle key — at 100 TB you
+    // want the per-QI aggregations independent so AQE sizes each).
+    "q_k_anonymity" -> ((s, d) => {
+      def audit(qi: String, keys: Seq[String]) =
+        customer(s, d)
+          .groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("k"))
+          .agg(lit(qi).as("qi"), count(lit(1)).as("n_classes"),
+            min(col("k")).as("min_k"),
+            sum(when(col("k") < 5, 1L).otherwise(0L)).as("classes_lt_5"),
+            sum(when(col("k") < 5, col("k")).otherwise(0L))
+              .as("rows_lt_5"),
+            expr("cast(1000000 * sum(CASE WHEN k < 5 THEN k ELSE 0 END)" +
+              " div sum(k) as bigint)").as("risk_ppm"))
+      audit("nation", Seq("c_nationkey"))
+        .unionByName(audit("nation+segment",
+          Seq("c_nationkey", "c_mktsegment")))
+        .orderBy(col("qi"))
     }),
 
     // ANALYZE-style column statistics — the stats collection pass a
@@ -2783,6 +2835,54 @@ object Relational extends QueryModule {
            |    (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
            |    AS n_orphans""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
+
+    "q_table_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderkey AS a_key,
+        |    md5(concat_ws('|', o_custkey, o_orderstatus, cents,
+        |      o_orderdate, o_orderpriority)) AS a_fp,
+        |    cents AS a_cents
+        |  FROM base WHERE o_orderkey % 10 <> 3),
+        |b AS (
+        |  SELECT o_orderkey AS b_key,
+        |    md5(concat_ws('|', o_custkey, o_orderstatus,
+        |      CASE WHEN o_orderkey % 10 = 7 THEN cents * 11 // 10
+        |           ELSE cents END,
+        |      o_orderdate, o_orderpriority)) AS b_fp,
+        |    CASE WHEN o_orderkey % 10 = 7 THEN cents * 11 // 10
+        |         ELSE cents END AS b_cents
+        |  FROM base WHERE o_orderkey % 10 <> 5)
+        |SELECT
+        |  CASE WHEN a_key IS NULL THEN 'added'
+        |       WHEN b_key IS NULL THEN 'removed'
+        |       WHEN a_fp <> b_fp THEN 'changed'
+        |       ELSE 'unchanged' END AS change,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(COALESCE(b_cents, 0) - COALESCE(a_cents, 0))
+        |    AS BIGINT) AS delta_cents
+        |FROM a FULL OUTER JOIN b ON a_key = b_key
+        |GROUP BY 1 ORDER BY change""".stripMargin,
+
+    "q_k_anonymity" -> {
+      def audit(qi: String, keys: String) =
+        s"""SELECT '$qi' AS qi, COUNT(*) AS n_classes,
+           |  MIN(k) AS min_k,
+           |  CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS classes_lt_5,
+           |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+           |    AS rows_lt_5,
+           |  CAST(1000000 * SUM(CASE WHEN k < 5 THEN k ELSE 0 END)
+           |    // SUM(k) AS BIGINT) AS risk_ppm
+           |FROM (SELECT COUNT(*) AS k FROM customer GROUP BY $keys)""".stripMargin
+      audit("nation", "c_nationkey") + "\nUNION ALL\n" +
+        audit("nation+segment", "c_nationkey, c_mktsegment") +
+        "\nORDER BY qi"
     },
 
     "q_cms_users" ->

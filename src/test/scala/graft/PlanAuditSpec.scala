@@ -89,7 +89,10 @@ class PlanAuditSpec extends SparkSpec {
       "q_fk_integrity",
       // prefix-dim top-10 × full top-10 per query: the full side
       // embeds sim_topk_brute's corpus × broadcast 10-probe shape
-      "sim_matryoshka_recall")
+      "sim_matryoshka_recall",
+      // candidate docs × the broadcast ONE-row (N, L) corpus scalars
+      // (scalar-aggregate ride-along, same as corpus_epochs)
+      "text_bm25")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
