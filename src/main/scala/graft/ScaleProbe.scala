@@ -180,7 +180,11 @@ object ScaleProbe {
       // scalars; table diff: narrow (pk, fp, cents) full outer join;
       // k-anonymity: two narrow groupBys + constant rollups; drift:
       // one explode + (label, half, dim) aggregate
-      "text_bm25", "q_table_diff", "q_k_anonymity", "emb_centroid_drift")
+      "text_bm25", "q_table_diff", "q_k_anonymity", "emb_centroid_drift",
+      // BPE learn: pair counting over |vocab| rows, sublinear in
+      // corpus; z-order: one scan + 1024-ary aggregate; online CUSUM:
+      // windows over the calendar-bounded day spine
+      "text_bpe_learn", "q_zorder_plan", "q_cusum_online")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

@@ -365,6 +365,36 @@ object Pipeline extends QueryModule {
         .limit(20)
     }),
 
+    // BPE merge learning (Sennrich et al. 2016), the first merge
+    // round: corpus-weighted adjacent-character pair frequencies over
+    // the tokenizer vocabulary — the argmax pair IS the first merge a
+    // BPE trainer would add. Two bounded aggregations: the vocab table
+    // (distinct regex tokens × corpus count, the text_bpe_tokens scan)
+    // and a pair rollup over per-TYPE character bigrams weighted by
+    // the type's count — pair counting runs over |vocab| rows, not
+    // |corpus| tokens, which is the standard trainer trick and the
+    // reason this survives 100 TB (vocab is sublinear in corpus). The
+    // top-30 is a TakeOrderedAndProject, never a full sort.
+    "text_bpe_learn" -> ((s, d) => {
+      val vocab = documents(s, d)
+        .select(explode(expr(
+          s"regexp_extract_all(text, '$bpePat', 0)")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(length(col("tok")) >= 2)
+      vocab
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, length(tok) - 1)," +
+            " i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_types"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(30)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+        .select(col("rank"), col("pair"), col("n"), col("n_types"))
+        .orderBy(col("rank"))
+    }),
+
     // PII scrub: count + redact emails and card-like digit runs.
     // Counting happens before scrubbing; the scrubbed length proves
     // the rewrite actually applied.
@@ -1748,6 +1778,24 @@ object Pipeline extends QueryModule {
       """SELECT u.tok, COUNT(*) AS n FROM documents,
         |UNNEST(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) u(tok)
         |GROUP BY u.tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "text_bpe_learn" ->
+      """WITH vocab AS (
+        |  SELECT u.tok, COUNT(*) AS cnt FROM documents,
+        |    UNNEST(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) u(tok)
+        |  GROUP BY u.tok HAVING length(u.tok) >= 2),
+        |pairs AS (
+        |  SELECT substr(tok, i, 2) AS pair, cnt FROM vocab,
+        |    UNNEST(generate_series(1, length(tok)::BIGINT - 1)) t(i)),
+        |agg AS (
+        |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n,
+        |    COUNT(*) AS n_types
+        |  FROM pairs GROUP BY pair
+        |  ORDER BY n DESC, pair LIMIT 30)
+        |SELECT ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank,
+        |  pair, n, n_types
+        |FROM agg ORDER BY rank""".stripMargin,
 
     "text_pii_scrub" ->
       """WITH aug AS (

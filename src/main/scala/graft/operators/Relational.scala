@@ -1468,6 +1468,44 @@ object Relational extends QueryModule {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // ONLINE one-sided CUSUM monitor (Page 1954), the deployable
+    // two-window form of q_cusum: calibrate the reference mean on the
+    // first half of the calendar, then run the alarm recursion
+    //   S_i = max(0, S_{i-1} + c_i - mu - slack),  alert when S_i > h
+    // over the monitor half (slack = mu/20, h = mu/2, all integer
+    // floor-div). The recursion is NOT folded — the reflection
+    // identity S_i = prefix_i - min(0, min_{j<=i} prefix_j) turns it
+    // into two running windows over the day spine (bounded by type
+    // count × calendar, never event count), which also sidesteps a
+    // DuckDB 1.0 list_reduce bug that mis-binds struct-accumulator
+    // fields. The streaming face is EventAnalytics.cusumMonitor —
+    // the literal recursion as keyed state, parity-pinned in
+    // EventAnalyticsSpec.
+    "q_cusum_online" -> ((s, d) => {
+      val daily0 = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      val ref = daily0.filter(col("day") < lit("2024-01-16"))
+        .groupBy(col("event_type"))
+        .agg(expr("sum(c) div count(1)").as("mu"))
+      val wrun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily0.filter(col("day") >= lit("2024-01-16"))
+        .join(ref, Seq("event_type"))
+        .withColumn("dev", expr("c - mu - mu div 20"))
+        .withColumn("prefix", sum(col("dev")).over(wrun))
+        .withColumn("runmin", min(col("prefix")).over(wrun))
+        .withColumn("s", expr("prefix - least(0L, runmin)"))
+        .withColumn("alert", col("s") > expr("mu div 2"))
+        .groupBy(col("event_type"), col("mu"))
+        .agg(count(lit(1)).as("n_monitor_days"),
+          sum(when(col("alert"), 1L).otherwise(0L)).as("n_alert_days"),
+          min(when(col("alert"), col("day").cast("string")))
+            .as("first_alert_day"),
+          max(col("s")).as("max_s"))
+        .orderBy(col("event_type"))
+    }),
+
     // CUSUM changepoint scan per event type: daily value totals in
     // exact cents, deviation from the series' integer mean, running
     // cumulative deviation, and the day where |CUSUM| peaks — the
@@ -2007,6 +2045,40 @@ object Relational extends QueryModule {
         .unionByName(audit("nation+segment",
           Seq("c_nationkey", "c_mktsegment")))
         .orderBy(col("qi"))
+    }),
+
+    // Z-order layout plan (Morton 1966) — the data-layout pass behind
+    // Delta/Iceberg Z-ORDER clustering: range-normalize two cluster
+    // keys to 5 bits each against broadcast min/max scalars, bit-
+    // interleave into a 10-bit Morton bucket, and report per-bucket
+    // row count + the covered rectangle (x_lo..x_hi × y_lo..y_hi).
+    // Small per-bucket rectangles are WHY z-ordered files prune on
+    // both keys at once; the report is the acceptance check before
+    // committing a rewrite of 100 TB. One scan + one 1024-ary
+    // aggregate; the interleave is pure div/mod arithmetic so both
+    // engines agree bit-for-bit (no shift-operator dialect drift).
+    "q_zorder_plan" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_custkey").as("x"),
+        expr("cast(datediff(o_orderdate, date'1995-01-01') as bigint)")
+          .as("y"))
+      val scal = o.agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      o.crossJoin(broadcast(scal))
+        .withColumn("x5", expr(
+          "(x - min_x) * 32 div (max_x - min_x + 1)"))
+        .withColumn("y5", expr(
+          "(y - min_y) * 32 div (max_y - min_y + 1)"))
+        .withColumn("bucket", expr(
+          "(x5 % 2) + (y5 % 2) * 2 + ((x5 div 2) % 2) * 4" +
+            " + ((y5 div 2) % 2) * 8 + ((x5 div 4) % 2) * 16" +
+            " + ((y5 div 4) % 2) * 32 + ((x5 div 8) % 2) * 64" +
+            " + ((y5 div 8) % 2) * 128 + ((x5 div 16) % 2) * 256" +
+            " + ((y5 div 16) % 2) * 512"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), min(col("x")).as("x_lo"),
+          max(col("x")).as("x_hi"), min(col("y")).as("y_lo"),
+          max(col("y")).as("y_hi"))
+        .orderBy(col("bucket"))
     }),
 
     // ANALYZE-style column statistics — the stats collection pass a
@@ -2885,6 +2957,30 @@ object Relational extends QueryModule {
         "\nORDER BY qi"
     },
 
+    "q_zorder_plan" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS x,
+        |    date_diff('day', DATE '1995-01-01', o_orderdate)::BIGINT AS y
+        |  FROM orders),
+        |scal AS (
+        |  SELECT MIN(x) AS min_x, MAX(x) AS max_x,
+        |    MIN(y) AS min_y, MAX(y) AS max_y
+        |  FROM o),
+        |norm AS (
+        |  SELECT x, y,
+        |    (x - min_x) * 32 // (max_x - min_x + 1) AS x5,
+        |    (y - min_y) * 32 // (max_y - min_y + 1) AS y5
+        |  FROM o CROSS JOIN scal)
+        |SELECT
+        |  (x5 % 2) + (y5 % 2) * 2 + ((x5 // 2) % 2) * 4
+        |    + ((y5 // 2) % 2) * 8 + ((x5 // 4) % 2) * 16
+        |    + ((y5 // 4) % 2) * 32 + ((x5 // 8) % 2) * 64
+        |    + ((y5 // 8) % 2) * 128 + ((x5 // 16) % 2) * 256
+        |    + ((y5 // 16) % 2) * 512 AS bucket,
+        |  COUNT(*) AS n_rows, MIN(x) AS x_lo, MAX(x) AS x_hi,
+        |  MIN(y) AS y_lo, MAX(y) AS y_hi
+        |FROM norm GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q_cms_users" ->
       """WITH hashed AS (
         |  SELECT user_id, u.j,
@@ -3072,6 +3168,42 @@ object Relational extends QueryModule {
          |FROM big JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q_cusum_online" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ref AS (
+        |  SELECT event_type, SUM(c) // COUNT(*) AS mu
+        |  FROM daily WHERE day < DATE '2024-01-16' GROUP BY 1),
+        |mon AS (
+        |  SELECT d.event_type, r.mu, d.day,
+        |    d.c - r.mu - r.mu // 20 AS dev
+        |  FROM daily d JOIN ref r USING (event_type)
+        |  WHERE d.day >= DATE '2024-01-16'),
+        |pre AS (
+        |  SELECT event_type, mu, day,
+        |    SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+        |  FROM mon),
+        |run AS (
+        |  SELECT event_type, mu, day, prefix,
+        |    MIN(prefix) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+        |  FROM pre),
+        |s AS (
+        |  SELECT event_type, mu, day,
+        |    prefix - least(0, runmin) AS s,
+        |    prefix - least(0, runmin) > mu // 2 AS alert
+        |  FROM run)
+        |SELECT event_type, mu, COUNT(*) AS n_monitor_days,
+        |  CAST(SUM(CASE WHEN alert THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alert_days,
+        |  MIN(CASE WHEN alert THEN strftime(day, '%Y-%m-%d') END)
+        |    AS first_alert_day,
+        |  CAST(MAX(s) AS BIGINT) AS max_s
+        |FROM s GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
 
     "q_cusum" ->
       """WITH daily AS (

@@ -229,6 +229,41 @@ object EventAnalytics {
         })
   }
 
+  case class CusumInput(event_type: String, day: String, dev: Long,
+      h: Long)
+  case class CusumPoint(event_type: String, day: String, s: Long,
+      alert: Boolean)
+
+  /** Streaming face of the batch q_cusum_online monitor: the literal
+    * one-sided CUSUM recursion S = max(0, S + dev), alert when S > h,
+    * carried as one Long of keyed state per series across micro-batch
+    * boundaries. Input rows are the per-day deviations an upstream
+    * watermarked daily rollup (joined against the broadcast reference
+    * means) emits — this operator only owns the recursion. Within a
+    * batch rows order by day; like transitions/Scd2History the
+    * cross-batch contract is event-time-ordered arrival, which the
+    * upstream window close guarantees (a day finalizes before the
+    * next day's row can exist). State is O(series), the minimum any
+    * online changepoint monitor can hold. Parity vs the window-
+    * identity batch form is pinned in EventAnalyticsSpec. */
+  def cusumMonitor(rows: Dataset[CusumInput]): Dataset[CusumPoint] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, batch: Iterator[CusumInput],
+            state: GroupState[Long]) => {
+          var s = state.getOption.getOrElse(0L)
+          val out = batch.toVector.sortBy(_.day).map { r =>
+            s = math.max(0L, s + r.dev)
+            CusumPoint(key, r.day, s, s > r.h)
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+
   /** Gap-based sessionization with custom state. Sessions close either
     * intra-batch (a gap observed between consecutive events) or by
     * event-time timeout once the watermark passes last + gap. */

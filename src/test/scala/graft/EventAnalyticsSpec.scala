@@ -256,4 +256,51 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, "view", "click"), (1L, "click", "purchase"),
       (2L, "view", "purchase")))
   }
+
+  test("streaming CUSUM state across batches == batch q_cusum_online") {
+    import graft.streaming.EventAnalytics.{CusumInput, CusumPoint}
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    // the same daily/reference lineage the ORACLE-CHECKED batch query
+    // aggregates, materialized as the monitor's input rows
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+    val ref = daily.filter(col("day") < lit("2024-01-16"))
+      .groupBy(col("event_type"))
+      .agg(expr("sum(c) div count(1)").as("mu"))
+    val feed = daily.filter(col("day") >= lit("2024-01-16"))
+      .join(ref, Seq("event_type"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        expr("c - mu - mu div 20").as("dev"), expr("mu div 2").as("h"))
+      .as[CusumInput].collect().toSeq.sortBy(_.day)
+    assert(feed.size >= 10, s"feed too small: ${feed.size}")
+
+    val in = MemoryStream[CusumInput]
+    val q = EventAnalytics.cusumMonitor(in.toDS())
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append).start()
+    // day-ordered batches: the upstream daily-window close guarantees
+    // this ordering in deployment (see cusumMonitor scaladoc)
+    feed.grouped((feed.size + 2) / 3).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    val pts = spark.table("cusum_stream").as[CusumPoint].collect()
+    q.stop()
+
+    val streamed = pts.groupBy(_.event_type).map { case (k, ps) =>
+      val alerts = ps.filter(_.alert)
+      (k, ps.length.toLong, alerts.length.toLong,
+        if (alerts.isEmpty) null else alerts.map(_.day).min,
+        ps.map(_.s).max)
+    }.toSet
+
+    val batch = SparkEntry.queries("q_cusum_online")(spark, sf)
+      .select(col("event_type"), col("n_monitor_days"),
+        col("n_alert_days"), col("first_alert_day"), col("max_s"))
+      .as[(String, Long, Long, String, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch.map(t => (t._1, t._2, t._3, t._4, t._5)),
+      s"streaming CUSUM $streamed != batch $batch")
+  }
 }

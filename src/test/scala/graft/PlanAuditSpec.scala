@@ -92,7 +92,10 @@ class PlanAuditSpec extends SparkSpec {
       "sim_matryoshka_recall",
       // candidate docs × the broadcast ONE-row (N, L) corpus scalars
       // (scalar-aggregate ride-along, same as corpus_epochs)
-      "text_bm25")
+      "text_bm25",
+      // orders × the broadcast ONE-row min/max normalization scalars
+      // (scalar-aggregate ride-along, same as corpus_epochs)
+      "q_zorder_plan")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
