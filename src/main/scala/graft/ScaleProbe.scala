@@ -184,7 +184,18 @@ object ScaleProbe {
       // BPE learn: pair counting over |vocab| rows, sublinear in
       // corpus; z-order: one scan + 1024-ary aggregate; online CUSUM:
       // windows over the calendar-bounded day spine
-      "text_bpe_learn", "q_zorder_plan", "q_cusum_online")
+      "text_bpe_learn", "q_zorder_plan", "q_cusum_online",
+      // wave-4: scrub rides the dup_spans shape (perturbed text ->
+      // ~zero cross-copy gram overlap) plus a doc-partitioned window;
+      // theil-sen's pairwise step runs over the calendar-bounded
+      // monthly aggregate, so pairs are CONSTANT as facts grow; ivfpq
+      // is linear passes (assign, code, ADC over nProbe/32 lists).
+      // q_record_linkage is deliberately absent (the emb_pair_hist
+      // precedent): with a FIXED blocking key, replicating both sides
+      // n-fold grows in-block pairs n^2 BY DESIGN — the blocking-key
+      // granularity is the documented scale knob, so its ratio would
+      // measure the knob, not the pipeline.
+      "text_scrub_spans", "q_theil_sen", "sim_ann_ivfpq")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

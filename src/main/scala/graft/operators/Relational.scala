@@ -2183,6 +2183,98 @@ object Relational extends QueryModule {
         .withColumn("ppm", expr(
           "n * 1000000L div sum(n) over ()"))
         .orderBy(col("digit"))
+    }),
+
+    // Theil-Sen robust trend per nation: the median of all pairwise
+    // monthly-revenue slopes — the estimator that shrugs off the
+    // outlier months a least-squares fit (q6_forecast) chases. The
+    // pairwise step runs over the AGGREGATE, never the fact table:
+    // monthly revenue is one (nation, month)-keyed shuffle, and the
+    // per-nation self-join is calendar-bounded (~84 months -> ~3.5k
+    // pairs per nation at ANY corpus size — months don't grow with
+    // rows). The median is the explicit rank-pick formulation
+    // ((n+1) div 2 and n div 2 + 1, averaged) so both engines select
+    // identical doubles — no engine-specific percentile interpolation.
+    // Slope doubles come from dsum-exact revenues, so each pair's
+    // (rev2-rev1)/(m2-m1) is bit-identical across engines.
+    "q_theil_sen" -> ((s, d) => {
+      val monthly = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("m"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev"))
+      val a = monthly.select(col("n_name"), col("m").as("m1"),
+        col("rev").as("r1"))
+      val b = monthly.select(col("n_name"), col("m").as("m2"),
+        col("rev").as("r2"))
+      val pairs = a.join(b, Seq("n_name"))
+        .filter(col("m1") < col("m2"))
+        .withColumn("slope",
+          (col("r2") - col("r1")) / (col("m2") - col("m1")))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("slope"), col("m1"), col("m2"))
+      val ranked = pairs
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_pairs",
+          count(lit(1)).over(Window.partitionBy(col("n_name"))))
+      val med = ranked
+        .filter(col("rk") === expr("(n_pairs + 1) div 2") ||
+          col("rk") === expr("n_pairs div 2 + 1"))
+        .groupBy(col("n_name"), col("n_pairs"))
+        .agg(avg(col("slope")).as("slope"))
+      val months = monthly.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_months"))
+      med.join(months, Seq("n_name"))
+        .select(col("n_name"), col("n_months"), col("n_pairs"),
+          col("slope"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Record linkage (entity resolution) with blocking: candidate
+    // customer-supplier pairs come from an EQUI-join on the blocking
+    // key (nation, last phone digit) — the step that turns the
+    // quadratic all-pairs compare into O(block^2) per block, which is
+    // the whole entity-resolution scale story at 100 TB (pick blocking
+    // keys so blocks stay bounded; the compare inside a block is then
+    // embarrassingly parallel). Inside a block the comparator is full
+    // Levenshtein on the records' 9-digit entity-number suffixes
+    // (identical classic edit distance in both engines): distance 0 is
+    // a same-entity link, small distances are noisy-identifier
+    // variants. Per nation: candidate volume, pairs within distance 2,
+    // the minimum distance seen, and the deterministic best pair
+    // (rank-1 by (distance, custkey, suppkey)).
+    "q_record_linkage" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+        expr("right(c_name, 9)").as("c_ent"),
+        expr("right(c_name, 1)").as("blk"))
+      val sup = supplier(s, d).select(col("s_suppkey"),
+        col("s_nationkey"), expr("right(s_name, 9)").as("s_ent"),
+        expr("right(s_name, 1)").as("blk"))
+      val cand = c.join(sup,
+        col("c_nationkey") === col("s_nationkey") &&
+          c("blk") === sup("blk"))
+        .withColumn("lev", levenshtein(col("c_ent"), col("s_ent")))
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("lev"), col("c_custkey"), col("s_suppkey"))
+      val best = cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("c_nationkey"), col("c_custkey").as("best_cust"),
+          col("s_suppkey").as("best_supp"))
+      val stats = cand.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("lev") <= 2, 1L).otherwise(0L)).as("n_close"),
+          min(col("lev")).cast("long").as("min_lev"))
+      stats.join(best, Seq("c_nationkey"))
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_pairs"), col("n_close"),
+          col("min_lev"), col("best_cust"), col("best_supp"))
+        .orderBy(col("n_name"))
     })
   )
 
@@ -3529,6 +3621,65 @@ object Relational extends QueryModule {
         |  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit)
         |SELECT digit, n,
         |  CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS ppm
-        |FROM counts ORDER BY digit""".stripMargin
+        |FROM counts ORDER BY digit""".stripMargin,
+
+    "q_theil_sen" ->
+      s"""WITH monthly AS (
+         |  SELECT n_name,
+         |    year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         |    ${sqlSum("l_extendedprice * (1 - l_discount)")} AS rev
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.n_name, a.m AS m1, b.m AS m2,
+         |    (b.rev - a.rev) / (b.m - a.m) AS slope
+         |  FROM monthly a JOIN monthly b
+         |    ON a.n_name = b.n_name AND a.m < b.m),
+         |ranked AS (
+         |  SELECT n_name, slope,
+         |    ROW_NUMBER() OVER (PARTITION BY n_name
+         |      ORDER BY slope, m1, m2) AS rk,
+         |    COUNT(*) OVER (PARTITION BY n_name) AS n_pairs
+         |  FROM pairs),
+         |med AS (
+         |  SELECT n_name, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |    AVG(slope) AS slope
+         |  FROM ranked
+         |  WHERE rk = (n_pairs + 1) // 2 OR rk = n_pairs // 2 + 1
+         |  GROUP BY 1, 2),
+         |months AS (
+         |  SELECT n_name, COUNT(*) AS n_months FROM monthly GROUP BY 1)
+         |SELECT med.n_name, n_months, n_pairs, slope
+         |FROM med JOIN months ON med.n_name = months.n_name
+         |ORDER BY med.n_name""".stripMargin,
+
+    "q_record_linkage" ->
+      """WITH cand AS (
+        |  SELECT c_nationkey, c_custkey, s_suppkey,
+        |    levenshtein(right(c_name, 9), right(s_name, 9)) AS lev
+        |  FROM customer JOIN supplier
+        |    ON c_nationkey = s_nationkey
+        |   AND right(c_name, 1) = right(s_name, 1)),
+        |best AS (
+        |  SELECT c_nationkey, c_custkey AS best_cust,
+        |    s_suppkey AS best_supp
+        |  FROM (SELECT c_nationkey, c_custkey, s_suppkey,
+        |          ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |            ORDER BY lev, c_custkey, s_suppkey) AS rk
+        |        FROM cand) t WHERE rk = 1),
+        |stats AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_pairs,
+        |    CAST(SUM(CASE WHEN lev <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_close,
+        |    CAST(MIN(lev) AS BIGINT) AS min_lev
+        |  FROM cand GROUP BY c_nationkey)
+        |SELECT n_name, n_pairs, n_close, min_lev, best_cust, best_supp
+        |FROM stats
+        |JOIN best USING (c_nationkey)
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin
   )
 }

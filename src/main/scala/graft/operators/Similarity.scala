@@ -322,6 +322,65 @@ object Similarity extends QueryModule {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ: the production ANN composition (the FAISS workhorse) —
+    // IVF's coarse quantizer prunes the corpus to the probed lists'
+    // candidates, then PQ's asymmetric-distance scan ranks CODES, so
+    // search touches nProbe/nCentroids of the corpus and never reads a
+    // raw vector: the billion-scale shape where the index is 8 bytes
+    // per vector in RAM and the exact-rerank tier sits elsewhere.
+    // Everything reuses the proven kernels bit-for-bit: candidates
+    // come from the sim_ann_ivf pipeline (32 stand-in centroids, 8
+    // probes; production swaps kmeansCentroids with no other change),
+    // codes/LUT from the sim_ann_pq micro-int grid (integer-identical
+    // in both engines). Scale shape: centroids + per-query LUT
+    // broadcast; assignment and the ADC scan are linear passes; the
+    // (query_id, vec_id)-keyed ADC aggregate is map-side combined and
+    // now runs over candidates only — nProbe/32 of the corpus —
+    // instead of sim_ann_pq's deliberately exhaustive scan.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val c = corpus(s, d)
+      val cent = standInCentroids(c, 32)
+      val lists = ivfAssignTo(cent, c, "vec_id", 1)
+      val q = querySet(c)
+      val probes = ivfAssignTo(cent,
+        q.select(col("query_id"), col("q_emb").as("embedding"),
+          col("q_nrm").as("nrm")), "query_id", 8)
+      val candidates = probes.join(lists, Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+        .distinct()
+      val (m8, sub, k16) = (8, 8, 16)
+      val e = embeddings(s, d).select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        .as("qv"))
+      val subs = e.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m8 - 1})," +
+          s" m -> slice(qv, m * $sub + 1, $sub))")).as(Seq("m", "svec")))
+      val pcent = subs.filter(col("vec_id") < k16)
+        .select(col("vec_id").as("cid"), col("m"), col("svec").as("cvec"))
+      val dist = expr("aggregate(zip_with(svec, cvec," +
+        " (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val codes = subs.join(broadcast(pcent), Seq("m"))
+        .withColumn("pk", dist * lit(k16) + col("cid"))
+        .groupBy(col("vec_id"), col("m")).agg(min(col("pk")).as("mpk"))
+        .select(col("vec_id"), col("m"), (col("mpk") % k16).as("cid"))
+      val lut = subs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("m"), col("svec"))
+        .join(broadcast(pcent), Seq("m"))
+        .select(col("query_id"), col("m"), col("cid"), dist.as("pd"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc"), col("vec_id"))
+      candidates.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "m", "cid"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("pd")).as("adc"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("adc"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN quality report: recall@10 of the sign-LSH index against the
     // brute-force ground truth, per probe — the acceptance metric an
     // ANN deployment is tuned by (tables/bits trade recall for
@@ -581,6 +640,73 @@ object Similarity extends QueryModule {
         |  SELECT l.query_id, c.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc
         |  FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
         |  WHERE c.vec_id <> l.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id, adc FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc, vec_id) AS rank
+        |  FROM adc) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ann_ivfpq" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                     CAST(embedding AS DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, emb AS c_emb, nrm AS c_nrm
+        |         FROM c WHERE vec_id < 32),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT c.vec_id, cent.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_dot_product(c.emb, cent.c_emb)
+        |                   / (sqrt(c.nrm) * sqrt(cent.c_nrm)) DESC,
+        |          cent.cid) AS rk
+        |    FROM c CROSS JOIN cent) t WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+        |      FROM c WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT q.query_id, cent.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_dot_product(q.q_emb, cent.c_emb)
+        |                   / (sqrt(q.q_nrm) * sqrt(cent.c_nrm)) DESC,
+        |          cent.cid) AS rk
+        |    FROM q CROSS JOIN cent) t WHERE rk <= 8),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id
+        |  FROM probes p JOIN assigned a ON p.cid = a.cid
+        |  WHERE a.vec_id <> p.query_id),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sub AS MATERIALIZED (
+        |  SELECT vec_id, u.m, qv[u.m * 8 + 1 : u.m * 8 + 8] AS svec
+        |  FROM e, UNNEST(generate_series(0, 7)) u(m)),
+        |pcent AS (SELECT vec_id AS cid, m, svec AS cvec
+        |          FROM sub WHERE vec_id < 16),
+        |codes AS (
+        |  SELECT vec_id, m, CAST(MIN(
+        |      list_sum(list_transform(generate_series(1, 8),
+        |        i -> (svec[i] - cvec[i]) * (svec[i] - cvec[i])))
+        |      * 16 + cid) % 16 AS BIGINT) AS cid
+        |  FROM sub JOIN pcent USING (m)
+        |  GROUP BY vec_id, m),
+        |lut AS (
+        |  SELECT s.vec_id AS query_id, s.m, c.cid,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i])))
+        |      AS BIGINT) AS pd
+        |  FROM sub s JOIN pcent c USING (m) WHERE s.vec_id < 10),
+        |adc AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    CAST(SUM(l.pd) AS BIGINT) AS adc
+        |  FROM cand
+        |  JOIN codes cd ON cd.vec_id = cand.vec_id
+        |  JOIN lut l ON l.query_id = cand.query_id
+        |            AND l.m = cd.m AND l.cid = cd.cid
         |  GROUP BY 1, 2)
         |SELECT query_id, rank, neighbor_id, adc FROM (
         |  SELECT query_id, vec_id AS neighbor_id, adc,

@@ -469,6 +469,61 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Substring-level SCRUB (Lee et al. 2022's actual dedup output,
+    // where text_dup_spans is the report): every 16-char window whose
+    // gram appears in >= 2 documents is cut from all but the gram's
+    // FIRST document (keep-one-copy = min doc_id — a global,
+    // order-free policy, so the result is identical however the corpus
+    // is partitioned). Overlapping cut windows merge into maximal
+    // spans via gaps-and-islands (new island when a window starts past
+    // the running max end); per doc the output is the merged span
+    // count, chars removed, chars kept, and kept ppm. Scale shape:
+    // positional grams -> gram-keyed keeper table (min doc_id, df>=2)
+    // -> join back on the gram (no broadcast hint — shared-gram tables
+    // are corpus-sized, AQE decides; the text_tfidf contract) -> one
+    // doc_id-partitioned window pass. Nothing is quadratic; the window
+    // partitions by document so skew is bounded by document length.
+    "text_scrub_spans" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_len"))
+      val grams = docs.select(col("doc_id"), col("n_len"),
+        posexplode(expr(
+          "transform(sequence(1, greatest(1, length(text) - 15))," +
+            " i -> substring(text, i, 16))")).as(Seq("p0", "g")))
+        .select(col("doc_id"), (col("p0") + 1).as("st"),
+          least(col("p0") + 16, col("n_len")).as("en"), col("g"))
+      val keep = grams.select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("keep_doc"))
+        .filter(col("df") >= 2)
+        .select(col("g"), col("keep_doc"))
+      val cut = grams.join(keep, Seq("g"))
+        .filter(col("doc_id") =!= col("keep_doc"))
+        .select(col("doc_id"), col("st"), col("en"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("st"))
+      val prevEnd = max(col("en"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val spans = cut
+        .withColumn("ni",
+          when(prevEnd.isNull || col("st") > prevEnd, 1L).otherwise(0L))
+        .withColumn("island", sum(col("ni")).over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("st")).as("s"), max(col("en")).as("e"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).as("cut_chars"))
+      docs.select(col("doc_id"), col("n_len"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_len"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("cut_chars"), lit(0L)).as("cut_chars"))
+        .withColumn("kept_chars", col("n_len") - col("cut_chars"))
+        .withColumn("kept_ppm",
+          expr("kept_chars * 1000000L div greatest(1L, n_len)"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-bigram-LM fluency: score each document by the mean
     // conditional probability of its token bigrams under the corpus's
     // own bigram counts — P(w2|w1) = c(w1 w2) / c(w1 ·). The classic
@@ -1059,6 +1114,49 @@ object TextAnalysis extends QueryModule {
         |  CAST(COALESCE(dup.dup_pos, 0) * 1000000 AS BIGINT)
         |    // greatest(1, len(d.text) - 15) AS dup_ppm
         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "text_scrub_spans" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT doc_id, u.i AS st,
+        |    least(u.i + 15, len(text)) AS en,
+        |    substr(text, u.i, 16) AS g
+        |  FROM documents,
+        |  UNNEST(generate_series(1, greatest(1, len(text) - 15))) u(i)),
+        |keep AS (
+        |  SELECT g, MIN(doc_id) AS keep_doc
+        |  FROM (SELECT DISTINCT doc_id, g FROM g)
+        |  GROUP BY g HAVING COUNT(*) >= 2),
+        |cut AS (
+        |  SELECT doc_id, st, en FROM g JOIN keep USING (g)
+        |  WHERE doc_id <> keep_doc),
+        |isl AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        IS NULL
+        |      OR st > MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM cut),
+        |isl2 AS (
+        |  SELECT doc_id, st, en,
+        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY st) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, island, MIN(st) AS s, MAX(en) AS e
+        |  FROM isl2 GROUP BY doc_id, island),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_spans,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS cut_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id, len(d.text) AS n_len,
+        |  COALESCE(per.n_spans, 0) AS n_spans,
+        |  COALESCE(per.cut_chars, 0) AS cut_chars,
+        |  len(d.text) - COALESCE(per.cut_chars, 0) AS kept_chars,
+        |  (len(d.text) - COALESCE(per.cut_chars, 0)) * 1000000
+        |    // greatest(1, len(d.text)) AS kept_ppm
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "text_heavy_hitters" -> {

@@ -95,7 +95,10 @@ class PlanAuditSpec extends SparkSpec {
       "text_bm25",
       // orders × the broadcast ONE-row min/max normalization scalars
       // (scalar-aggregate ride-along, same as corpus_epochs)
-      "q_zorder_plan")
+      "q_zorder_plan",
+      // corpus × 32 broadcast centroids for the IVF candidate stage
+      // (the sim_ann_ivf coarse quantizer, unchanged)
+      "sim_ann_ivfpq")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:

@@ -106,6 +106,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"PQ recall $recall%.3f below 0.3")
   }
 
+  test("IVF-PQ recall@10 against the exhaustive ADC scan") {
+    // sim_ann_ivfpq = sim_ann_pq's ADC ranking restricted to the IVF
+    // candidate lists, so measuring it against the EXHAUSTIVE ADC
+    // top-10 isolates the IVF pruning loss alone (PQ quantization
+    // error cancels — both sides rank on identical codes).
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sf)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs("sim_ann_pq")
+    val pruned = pairs("sim_ann_ivfpq")
+    val recall = (full & pruned).size.toDouble / full.size
+    info(f"IVF-PQ recall@10 vs exhaustive ADC = $recall%.3f")
+    assert(recall >= 0.5, f"IVF-PQ recall $recall%.3f below 0.5")
+  }
+
   test("custom expressions are SQL-callable after Graft.register") {
     Graft.register(spark)
     spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
