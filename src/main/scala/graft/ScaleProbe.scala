@@ -195,7 +195,31 @@ object ScaleProbe {
       // n-fold grows in-block pairs n^2 BY DESIGN — the blocking-key
       // granularity is the documented scale knob, so its ratio would
       // measure the knob, not the pipeline.
-      "text_scrub_spans", "q_theil_sen", "sim_ann_ivfpq")
+      "text_scrub_spans", "q_theil_sen", "sim_ann_ivfpq",
+      // wave-5: RRF fuses two already-probed linear rankers (BM25's
+      // term-filtered aggregates + the 3-probe broadcast dense scan);
+      // the fusion join touches only the two top-10 lists.
+      // dedup_incremental rides the word-gram banding on perturbed
+      // text (~zero cross-copy overlap, so candidates grow with the
+      // per-copy populations — linear); seasonal decomposition's
+      // windows run over the calendar-bounded monthly spine (CONSTANT
+      // rows as facts grow — only the ingest aggregate scales); gini's
+      // per-region ranking window is the statistic's inherent sort,
+      // linear in customers with |regions| partitions.
+      "text_rrf_fusion", "dedup_incremental", "q_seasonal_decompose",
+      "q_gini",
+      // wave-6: ACF folds run over the calendar-bounded monthly spine
+      // (constant as facts grow); novelty's two shuffles key on the
+      // gram (perturbed text -> per-copy-disjoint gram vocab, so the
+      // origin table grows linearly); scene cuts is the one-pass
+      // native frame-sum scan + per-clip windows (frames per clip
+      // bounded by clip length)
+      "q_acf", "text_ngram_novelty", "mm_scene_cuts",
+      // wave-7: zone-map probe joins run over bounded (file/month/
+      // predicate) aggregates — only the ingest scans grow; the A/B
+      // readout is a (type,user) count + bounded rollups; the
+      // equi-depth histogram is one scan + a ≤1024-cell table
+      "q_zone_map_prune", "q_ab_readout", "q_equi_depth_hist")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

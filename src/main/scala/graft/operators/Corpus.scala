@@ -82,6 +82,44 @@ object Corpus extends QueryModule {
   private val sqlToks =
     "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
 
+  /** The BM25 ranking shared by text_bm25 and text_rrf_fusion —
+    * (query_id, rank, doc_id, n_terms, score_micro) for the fixed
+    * 3-query acceptance workload, top-10 per query. See the text_bm25
+    * entry for the scoring derivation and scale notes. */
+  private def bm25Top(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qt = Seq((0L, "spark"), (0L, "join"), (1L, "hash"),
+      (1L, "table"), (1L, "scan"), (2L, "window"), (2L, "agg"))
+      .toDF("query_id", "tok")
+    val docs = documents(s, d)
+      .select(col("doc_id"), expr(s"size($toksExpr)").cast("long").as("dl"))
+    val scal = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+      .join(broadcast(qt.select(col("tok")).distinct()), Seq("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    tf.join(dfT, Seq("tok"))
+      .join(broadcast(qt), Seq("tok"))
+      .join(docs, Seq("doc_id"))
+      .crossJoin(broadcast(scal))
+      .withColumn("idf_ppm", expr(
+        "(2000000 * (n_docs - df) + 1000000) div (2 * df + 1)"))
+      .withColumn("term_score", expr(
+        "cast(cast(idf_ppm as decimal(38,0)) * 22 * tf * total_len" +
+          " div (10 * total_len * tf + 3 * total_len" +
+          " + 9 * dl * n_docs) as bigint)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
   /** Multi-iteration Lloyd k-means over (vec_id, embedding) — the full
     * training loop whose single step emb_kmeans_step oracle-pins. The
     * kmeans|| execution shape: per iteration, one broadcast of the K
@@ -224,40 +262,50 @@ object Corpus extends QueryModule {
     // rows only; dl and the (N, L) scalars come from one narrow
     // documents scan; the final top-10 is a per-query window over
     // candidate docs, never the corpus.
-    "text_bm25" -> ((s, d) => {
-      import s.implicits._
-      val qt = Seq((0L, "spark"), (0L, "join"), (1L, "hash"),
-        (1L, "table"), (1L, "scan"), (2L, "window"), (2L, "agg"))
-        .toDF("query_id", "tok")
-      val docs = documents(s, d)
-        .select(col("doc_id"), expr(s"size($toksExpr)").cast("long").as("dl"))
-      val scal = docs.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("total_len"))
-      val toks = documents(s, d)
-        .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
-        .join(broadcast(qt.select(col("tok")).distinct()), Seq("tok"))
-      val tf = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_micro").desc, col("doc_id"))
-      tf.join(dfT, Seq("tok"))
-        .join(broadcast(qt), Seq("tok"))
-        .join(docs, Seq("doc_id"))
-        .crossJoin(broadcast(scal))
-        .withColumn("idf_ppm", expr(
-          "(2000000 * (n_docs - df) + 1000000) div (2 * df + 1)"))
-        .withColumn("term_score", expr(
-          "cast(cast(idf_ppm as decimal(38,0)) * 22 * tf * total_len" +
-            " div (10 * total_len * tf + 3 * total_len" +
-            " + 9 * dl * n_docs) as bigint)"))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("term_score")).as("score_micro"),
-          count(lit(1)).as("n_terms"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 10)
+    "text_bm25" -> ((s, d) =>
+      bm25Top(s, d)
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("n_terms"), col("score_micro"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of the
+    // BM25 lexical ranking and the dense-embedding cosine ranking —
+    // hybrid retrieval as production RAG stacks run it (two rankers
+    // whose failure modes are uncorrelated; RRF is the standard
+    // training-free fuser). Per (query, doc):
+    //   rrf_micro = Σ_systems 1000000 div (60 + rank)    (k=60 as
+    // published) — integer-exact, so both engines fuse identically.
+    // Scale shape: both input rankers are already the 100 TB plans
+    // (BM25 filters the token stream by the broadcast query-term table
+    // before aggregating; dense is a broadcast-probe linear scan); the
+    // fusion itself touches only the two TOP-10 lists — a full-outer
+    // join over ≤ 20 rows per query, never a corpus-sized structure.
+    "text_rrf_fusion" -> ((s, d) => {
+      val bm = bm25Top(s, d)
+        .filter(col("query_id") < 3)
+        .select(col("query_id"), col("doc_id"), col("rank").as("r_bm25"))
+      val c = corpus(s, d)
+      val q = c.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val wd = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val dense = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
+        .withColumn("r_dense", row_number().over(wd).cast("long"))
+        .filter(col("r_dense") <= 10)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("r_dense"))
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+      bm.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr("1000000L div (60 + r_bm25)"), lit(0L)) +
+            coalesce(expr("1000000L div (60 + r_dense)"), lit(0L)))
+        .withColumn("rank", row_number().over(wf).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("rrf_micro"), col("r_bm25"), col("r_dense"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -630,6 +678,66 @@ object Corpus extends QueryModule {
          |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
          |  n_terms, score_micro
          |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "text_rrf_fusion" ->
+      s"""WITH qt AS (
+         |  SELECT * FROM (VALUES (0, 'spark'), (0, 'join'), (1, 'hash'),
+         |    (1, 'table'), (1, 'scan'), (2, 'window'), (2, 'agg'))
+         |    t(query_id, tok)),
+         |docs AS (SELECT doc_id, len($sqlToks) AS dl FROM documents),
+         |scal AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len
+         |         FROM docs),
+         |toks AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+         |  WHERE tok IN (SELECT tok FROM qt)),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    SUM(CAST(
+         |      ((2000000 * (s.n_docs - dft.df) + 1000000) // (2 * dft.df + 1))
+         |        ::HUGEINT * 22 * tf.tf * s.total_len
+         |      // (10 * s.total_len * tf.tf + 3 * s.total_len
+         |         + 9 * docs.dl * s.n_docs) AS BIGINT)) AS score_micro
+         |  FROM tf JOIN dft USING (tok) JOIN qt USING (tok)
+         |    JOIN docs USING (doc_id) CROSS JOIN scal s
+         |  GROUP BY 1, 2),
+         |bm AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS r_bm25
+         |  FROM scored QUALIFY r_bm25 <= 10),
+         |c AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                     CAST(embedding AS DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+         |      FROM c WHERE vec_id < 3),
+         |dn AS (
+         |  SELECT q.query_id, c.vec_id AS doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |      ORDER BY list_dot_product(q.q_emb, c.emb)
+         |                 / (sqrt(q.q_nrm) * sqrt(c.nrm)) DESC,
+         |        c.vec_id) AS r_dense
+         |  FROM c JOIN q ON c.vec_id <> q.query_id
+         |  QUALIFY r_dense <= 10),
+         |fused AS (
+         |  SELECT COALESCE(bm.query_id, dn.query_id) AS query_id,
+         |    COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+         |    CAST(COALESCE(1000000 // (60 + r_bm25), 0)
+         |       + COALESCE(1000000 // (60 + r_dense), 0) AS BIGINT)
+         |      AS rrf_micro,
+         |    r_bm25, r_dense
+         |  FROM bm FULL JOIN dn
+         |    ON bm.query_id = dn.query_id AND bm.doc_id = dn.doc_id)
+         |SELECT query_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, rrf_micro, r_bm25, r_dense
+         |FROM fused QUALIFY rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
     "sample_priority" ->

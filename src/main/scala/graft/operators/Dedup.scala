@@ -164,6 +164,54 @@ object Dedup extends QueryModule {
       bandedMinhashPairs(wordGramSets(documents(s, d)), 0.8)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // INCREMENTAL dedup — the production shape at 100 TB: the corpus
+    // is indexed ONCE (MinHash band buckets persisted), and each
+    // incoming batch probes the index without rescanning the corpus.
+    // Batch-relational statement of that contract: docs with
+    // doc_id % 10 == 9 are "the incoming batch", the rest are "the
+    // standing index"; candidates come from an ASYMMETRIC band-bucket
+    // equi-join (batch side ⨝ index side — no self-join, no a<b cut,
+    // because the two sides are different populations), verified with
+    // the same exact-Jaccard kernel as the batch family. Output is the
+    // per-batch-doc ADMIT DECISION (what the ingest gate consumes):
+    // match count, first matching index doc, best Jaccard, admit bit.
+    // Scale: index banding is the one-time cost; per batch the probe
+    // is |batch| × bands explode + a bucket equi-join — the streaming
+    // face (StreamingDedup) holds the same buckets as state. Oracle =
+    // brute-force straddling pairs at word-gram J >= 0.8; on this
+    // corpus true pairs sit at J >= 0.9 where 16-band/3-row recall is
+    // 1 - (1 - 0.9^3)^16 ≈ 1 - 1e-9 (the dedup_minhash_words
+    // argument), so the LSH output EQUALS it.
+    "dedup_incremental" -> ((s, d) => {
+      val sets = wordGramSets(documents(s, d))
+      val sigs = sets.withColumn("sig",
+        graft.expressions.MinHashSig.minhash_sig(col("set"), 48))
+        .select(col("doc_id"), col("sig"))
+      val banded = sigs.select(col("doc_id"),
+        explode(bandStructs(col("sig"), 16, 3)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"),
+          col("e.bh").as("bh"))
+      val isBatch = pmod(col("doc_id"), lit(10)) === 9
+      val cand = banded.filter(isBatch).as("b")
+        .join(banded.filter(!isBatch).as("x"),
+          col("b.band") === col("x.band") && col("b.bh") === col("x.bh"))
+        .select(col("b.doc_id").as("a_id"), col("x.doc_id").as("b_id"))
+        .distinct()
+      val matches = verifyJaccard(cand, sets, 0.8)
+      val per = matches.groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("b_id")).as("first_index_id"),
+          max(expr("inter * 1000000L div union_n")).as("best_jac_ppm"))
+      documents(s, d).filter(isBatch)
+        .select(col("doc_id").as("batch_id"))
+        .join(per, col("batch_id") === col("a_id"), "left")
+        .select(col("batch_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("first_index_id"), col("best_jac_ppm"),
+          (coalesce(col("n_matches"), lit(0L)) === 0).as("admit"))
+        .orderBy(col("batch_id"))
+    }),
+
     // SimHash near-dup pairs: native codegen'd fingerprint (one long
     // per doc), then 4×15-bit chunk banding — pigeonhole guarantees
     // every pair within Hamming distance 3 shares a chunk — and a
@@ -398,6 +446,15 @@ object Dedup extends QueryModule {
     * dominates here. Docs under 3 tokens have no gram set and drop
     * out, same as the oracle's len(toks) >= 3 guard. */
   def wordGramSets(docs: DataFrame): DataFrame =
+    wordGramSetsPlan(docs).cache()
+
+  /** The cache-free plan under [[wordGramSets]] — the ONE word-3-gram
+    * set definition, also usable on STREAMING DataFrames (where
+    * `.cache()` is illegal): the streaming ingest gate
+    * (StreamingDedup.nearDupPairsWords) bands this identical lineage,
+    * which is what makes stream/batch parity for dedup_incremental
+    * provable rather than approximate. */
+  def wordGramSetsPlan(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", expr(
         "filter(split(text, '\\\\s+'), t -> t != '')"))
@@ -408,7 +465,6 @@ object Dedup extends QueryModule {
           " toks[i - 1], toks[i], toks[i + 1])), 1, 15), 16, 10)" +
           " as bigint))))").as("set"))
       .withColumn("n", size(col("set")).cast("long"))
-      .cache()
 
   /** Banded MinHash over any (doc_id, set, n) hash-set table. */
   private def bandedMinhashPairs(sets: DataFrame,
@@ -634,6 +690,41 @@ object Dedup extends QueryModule {
         |           JOIN sz b ON b.doc_id = b_id
         |WHERE inter * 100 >= (a.n + b.n - inter) * 80
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '')
+        |      AS toks
+        |  FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' '
+        |      || toks[i + 2]), 1, 15))::BIGINT AS h
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 2)) u(i)
+        |  WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM g x JOIN g y ON x.h = y.h
+        |    AND x.doc_id % 10 = 9 AND y.doc_id % 10 <> 9
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a_id, b_id, inter, a.n + b.n - inter AS union_n
+        |  FROM pairs JOIN sz a ON a.doc_id = a_id
+        |             JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 100 >= (a.n + b.n - inter) * 80),
+        |per AS (
+        |  SELECT a_id, COUNT(*) AS n_matches, MIN(b_id) AS first_index_id,
+        |    MAX(inter * 1000000 // union_n) AS best_jac_ppm
+        |  FROM m GROUP BY a_id)
+        |SELECT d.doc_id AS batch_id,
+        |  COALESCE(per.n_matches, 0) AS n_matches,
+        |  per.first_index_id, per.best_jac_ppm,
+        |  COALESCE(per.n_matches, 0) = 0 AS admit
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.a_id
+        |WHERE d.doc_id % 10 = 9
+        |ORDER BY batch_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       """WITH sh AS (

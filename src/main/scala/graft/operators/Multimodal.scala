@@ -271,6 +271,42 @@ object Multimodal extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Shot-boundary (scene-cut) segmentation over the frame stream —
+    // the classical pixel-intensity-difference baseline: a cut falls
+    // between consecutive frames whose energy (per-frame code-point
+    // sum, the [[graft.expressions.FrameSums]] one-pass native
+    // expression — on real media the decoded frame's pixel sum via the
+    // MediaDecoder seam) jumps by more than a mean-shift of 16/byte
+    // (|Δsum| > 16·64 = 1024). Segments are runs between cuts; the
+    // report per clip is what a video-curation pipeline keys sampling
+    // on (one keyframe per SEGMENT beats fixed-stride mm_frame_sample
+    // on cuts-heavy content). Integer-exact: sums and deltas are
+    // integers, no thresholds on floats. Scale: frame explode is
+    // linear in payload bytes; the lag/running-sum windows partition
+    // BY CLIP (frames per clip bounded by clip length, never global);
+    // the rollup is one (doc, seg) then (doc) aggregate.
+    "mm_scene_cuts" -> ((s, d) => {
+      val frames = documents(s, d)
+        .filter(length(col("text")) >= 128)
+        .select(col("doc_id"),
+          posexplode(graft.expressions.FrameSums.frame_sums(col("text"), 64))
+            .as(Seq("frame_idx", "fsum")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      val seg = frames
+        .withColumn("cut",
+          when(abs(col("fsum") - lag(col("fsum"), 1).over(w)) > 1024, 1L)
+            .otherwise(0L))
+        .withColumn("seg", sum(col("cut"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      seg.groupBy(col("doc_id"), col("seg"))
+        .agg(count(lit(1)).as("seg_frames"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("seg_frames")).as("n_frames"),
+          (count(lit(1)) - 1L).as("n_cuts"),
+          max(col("seg_frames")).as("longest_seg"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_batch_plan" -> ((s, d) => {
       val frames = decoded(s, d)
         .filter(col("n_frames") > 0)
@@ -427,6 +463,36 @@ object Multimodal extends QueryModule {
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY a_id, b_id""".stripMargin
     },
+    "mm_scene_cuts" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(text) AS n,
+        |    list_transform(range(1, len(text) + 1),
+        |      i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cs
+        |  FROM documents WHERE len(text) >= 128),
+        |frames AS (
+        |  SELECT doc_id, u.f AS frame_idx,
+        |    CAST(list_sum(cs[(u.f * 64 + 1):((u.f + 1) * 64)]) AS BIGINT)
+        |      AS fsum
+        |  FROM t, UNNEST(range(0, n // 64)) u(f)),
+        |cuts AS (
+        |  SELECT doc_id, frame_idx, fsum,
+        |    CASE WHEN abs(fsum - LAG(fsum) OVER (PARTITION BY doc_id
+        |      ORDER BY frame_idx)) > 1024 THEN 1 ELSE 0 END AS cut
+        |  FROM frames),
+        |segs AS (
+        |  SELECT doc_id,
+        |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM cuts),
+        |per AS (
+        |  SELECT doc_id, seg, COUNT(*) AS seg_frames
+        |  FROM segs GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(seg_frames) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS n_cuts,
+        |  CAST(MAX(seg_frames) AS BIGINT) AS longest_seg
+        |FROM per GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // text is pure ASCII in this corpus, so byte length == char length
     // and byte sum == char-code sum; the oracle checks the decode
     // arithmetic without needing blob folds.

@@ -2235,6 +2235,272 @@ object Relational extends QueryModule {
         .orderBy(col("n_name"))
     }),
 
+    // Classical additive seasonal decomposition (the 2x12 centered
+    // moving average + month-of-year seasonal index that predates and
+    // underlies STL): monthly revenue y_t splits into trend (2x12 MA:
+    // half-weighted endpoints so a 12-month season never straddles the
+    // window asymmetrically), seasonal (mean detrended value per
+    // month-of-year over the months where trend is defined), and
+    // residual. Determinism: y comes from the quantized decimal sum;
+    // trend/seasonal are kept as EXACT integer combinations as long as
+    // possible (trend24 = 2*S13 - y_{t-6} - y_{t+6} in decimal(38,0);
+    // detrend24 = 24*y - trend24), with ONE correctly-rounded double
+    // division at the very end — both engines emit identical doubles.
+    // Scale: the fact scan collapses to the calendar-bounded monthly
+    // spine (~84 rows at ANY corpus size); the windows and the
+    // month-of-year aggregate run over that spine, so the
+    // single-partition window is bounded by the calendar, not the
+    // data (the q_cusum discipline).
+    "q_seasonal_decompose" -> ((s, d) => {
+      val monthly = orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("m"))
+        .agg(sum(dsumExpr(col("o_totalprice"))).as("rq"))
+      val w = Window.orderBy(col("m"))
+      val base = monthly
+        .withColumn("t24", lit(2) * sum(col("rq")).over(w.rowsBetween(-6, 6))
+          - lag(col("rq"), 6).over(w) - lead(col("rq"), 6).over(w))
+        .filter(col("t24").isNotNull)
+        .withColumn("d24", lit(24) * col("rq") - col("t24"))
+      val seas = base.groupBy(pmod(col("m"), lit(12)).as("mo"))
+        .agg(sum(col("d24")).as("dsum24"), count(lit(1)).as("cnt"))
+      base.join(broadcast(seas), pmod(col("m"), lit(12)) === col("mo"))
+        .withColumn("revenue", col("rq").cast("double") / 1e8)
+        .withColumn("trend", col("t24").cast("double") / 2.4e9)
+        .withColumn("seasonal",
+          col("dsum24").cast("double") / (col("cnt") * lit(2.4e9)))
+        .select(col("m").cast("long").as("m"), col("revenue"),
+          col("trend"), col("seasonal"),
+          (col("revenue") - col("trend") - col("seasonal")).as("residual"))
+        .orderBy(col("m"))
+    }),
+
+    // Gini concentration of customer spend per region — the Lorenz
+    // inequality statistic a marketplace watches per market, computed
+    // from the rank formulation G = (2*Σ i·s_i - (n+1)*Σ s_i)
+    // / (n*Σ s_i) over ascending-sorted spends (ppm, integer-exact:
+    // spends are quantized decimal micro-units, ranks are exact, the
+    // single division is integral — bit-identical across engines).
+    // The top-decile spend share rides the same ranking. Shape at
+    // scale: one (region, customer) aggregate, one per-region ranking
+    // window (partition count = |regions|; within a region the sort is
+    // the shuffle the statistic inherently needs — same contract as
+    // q_ntile_spend), then a per-region fold. Decimal(38,0) holds to
+    // ~1e9 customers per region at micro quantization (documented
+    // headroom: i·s_i sums stay < 1e38).
+    "q_gini" -> ((s, d) => {
+      val spend = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("c_custkey"))
+        .agg(sum(dsumExpr(col("o_totalprice"))).as("sq"))
+      val w = Window.partitionBy(col("r_name"))
+        .orderBy(col("sq"), col("c_custkey"))
+      val ranked = spend
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy(col("r_name"))))
+      ranked.groupBy(col("r_name"), col("n"))
+        .agg(sum(col("sq")).as("tot"),
+          sum(col("sq") * col("i")).as("wsum"),
+          sum(when(col("i") > col("n") - expr("n div 10"), col("sq")))
+            .as("top_sq"))
+        .select(col("r_name"), col("n").as("n_cust"),
+          expr("cast((2 * wsum - (n + 1) * tot) * 1000000" +
+            " div (n * tot) as bigint)").as("gini_ppm"),
+          expr("cast(coalesce(top_sq, 0) * 1000000 div tot as bigint)")
+            .as("top10_ppm"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Autocorrelation function of monthly revenue at lags 1..6 — the
+    // seasonality/persistence diagnostic read BEFORE choosing a
+    // forecasting model (a spike at lag 12 says seasonal, slow decay
+    // says trend; q_seasonal_decompose and q_theil_sen are the
+    // follow-ups). Integer-exact throughout: with n months, total S
+    // and cents-quantized monthly revenue y_t, the centered value
+    // c_t = n·y_t − S is an exact decimal; acf_k = Σ c_t·c_{t−k}
+    // / Σ c_t² computed as sign-split ppm (numerators go negative,
+    // and truncate-vs-floor on a negative operand is the one integer
+    // op the engines may disagree on — splitting the sign keeps every
+    // divide non-negative). Cents (not micro) quantization keeps
+    // Σc² inside decimal(38,0) to ~sf 1e4 (c ~ n·y ≤ ~1e17 cents,
+    // c² ~ 1e34, ×84 terms ~ 1e36); headroom documented. Scale: the
+    // fact scan collapses to the calendar-bounded ~84-row monthly
+    // spine; the lag self-join and both folds run over spine × 6
+    // rows — constant work regardless of corpus size (the q_cusum
+    // discipline).
+    "q_acf" -> ((s, d) => {
+      import s.implicits._
+      val monthly = orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("m"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as decimal(38,0))"))
+          .as("rq"))
+      val scal = monthly.agg(count(lit(1)).as("n"), sum(col("rq")).as("s"))
+      val cent = monthly.crossJoin(broadcast(scal))
+        .select(col("m"), col("n"), (col("n") * col("rq") - col("s")).as("c"))
+      val den = cent.agg(sum(col("c") * col("c")).as("den"))
+      val ks = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("lag")
+      val a = cent.select(col("m"), col("c"))
+      val b = cent.select((col("m")).as("mb"), col("c").as("cb"))
+      a.crossJoin(broadcast(ks))
+        .join(b, col("mb") === col("m") - col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("c") * col("cb")).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("lag"), col("n_terms"),
+          expr("cast(case when num < 0" +
+            " then -((-num) * 1000000 div den)" +
+            " else num * 1000000 div den end as bigint)").as("acf_ppm"))
+        .orderBy(col("lag"))
+    }),
+
+    // Zone-map (min/max file-skipping) effectiveness report — the
+    // lakehouse layout decision quantified: the same orders written
+    // under a date-CLUSTERED layout (file = order year) vs a SCATTERED
+    // one (file = orderkey mod 7) and probed with three month-aligned
+    // date-range predicates. Per (layout, predicate): files whose
+    // [min,max] month range overlaps (what a Delta/Iceberg/parquet
+    // reader must open), rows inside those files (actual scan volume),
+    // exact matching rows, and the read amplification ×100 — the
+    // number that justifies (or refutes) a Z-ORDER/sort rewrite
+    // (q_zorder_plan is the planner; this is its acceptance metric).
+    // Everything in integer month-index space (year*12+month), dates
+    // never compared cross-engine. Scale: two (layout, file)
+    // aggregates + one monthly aggregate over the scan — all outputs
+    // bounded (7 files, ~80 months, 3 predicates); the probe joins
+    // run over those bounded tables only.
+    "q_zone_map_prune" -> ((s, d) => {
+      import s.implicits._
+      val o = orders(s, d).select(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"),
+        col("o_orderkey"))
+      val preds = Seq(
+        (0L, 1996L * 12 + 1, 1996L * 12 + 6),
+        (1L, 1998L * 12 + 1, 1998L * 12 + 12),
+        (2L, 2000L * 12 + 7, 2001L * 12 + 8))
+        .toDF("pred_id", "lo", "hi")
+      def files(layout: String, fileCol: org.apache.spark.sql.Column) = o
+        .groupBy(fileCol.as("file"))
+        .agg(min(col("m")).as("min_m"), max(col("m")).as("max_m"),
+          count(lit(1)).as("rows"))
+        .withColumn("layout", lit(layout))
+      val f = files("clustered", expr("m div 12 - 1995"))
+        .unionByName(files("scattered", pmod(col("o_orderkey"), lit(7))))
+      val monthly = o.groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+      val exact = monthly.join(broadcast(preds),
+          col("m") >= col("lo") && col("m") <= col("hi"))
+        .groupBy(col("pred_id")).agg(sum(col("cnt")).as("rows_matched"))
+      f.crossJoin(broadcast(preds))
+        .groupBy(col("layout"), col("pred_id"))
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(col("max_m") >= col("lo") && col("min_m") <= col("hi"),
+            1L).otherwise(0L)).as("files_hit"),
+          sum(when(col("max_m") >= col("lo") && col("min_m") <= col("hi"),
+            col("rows")).otherwise(0L)).as("rows_scanned"))
+        .join(broadcast(exact), Seq("pred_id"))
+        .select(col("layout"), col("pred_id"), col("files_total"),
+          col("files_hit"), col("rows_scanned"), col("rows_matched"),
+          expr("rows_scanned * 100 div rows_matched").as("read_amp_x100"))
+        .orderBy(col("layout"), col("pred_id"))
+    }),
+
+    // A/B experiment readout — per candidate engagement event, the 2×2
+    // contingency analysis a growth team runs: variant = user_id
+    // parity (the deterministic hash split), conversion = the user's
+    // count of that event type is ABOVE the per-user average for the
+    // type (cnt·N > total, cross-multiplied — non-saturating at any
+    // scale, where "at least once" degenerates on an active user
+    // base). Rates in integer ppm (each division over non-negative
+    // operands; the lift is a SUBTRACTION of two already-divided ppms,
+    // so no negative-operand division) and the two-proportion test as
+    // the 2×2 chi-square in exact integer milli-units: chi2 =
+    // N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), significant at 3.841
+    // (95%); a degenerate table (all or none converted) reads chi2 =
+    // 0. Decimal(38,0) headroom: (ad−bc)² ~ (users²)² — exact to ~3e7
+    // users per cell, past which chi2 is saturated anyway. Scale: one
+    // (type, user) count + one |types|-row total + one ONE-row user
+    // total — shuffles on high-cardinality uniform keys; output = one
+    // row per event type.
+    "q_ab_readout" -> ((s, d) => {
+      val per = events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = per.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("total"))
+      val totals = events(s, d).select(col("user_id")).distinct()
+        .agg(sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L))
+          .as("n0"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L))
+            .as("n1"))
+      val conv = per.join(broadcast(tot), Seq("event_type"))
+        .crossJoin(broadcast(totals))
+        .withColumn("conv",
+          col("cnt") * (col("n0") + col("n1")) > col("total"))
+        .groupBy(col("event_type"), col("n0"), col("n1"))
+        .agg(sum(when(pmod(col("user_id"), lit(2)) === 0 && col("conv"), 1L)
+          .otherwise(0L)).as("conv0"),
+          sum(when(pmod(col("user_id"), lit(2)) === 1 && col("conv"), 1L)
+            .otherwise(0L)).as("conv1"))
+      conv
+        .withColumn("rate0_ppm", expr("conv0 * 1000000L div n0"))
+        .withColumn("rate1_ppm", expr("conv1 * 1000000L div n1"))
+        .withColumn("lift_ppm", col("rate1_ppm") - col("rate0_ppm"))
+        .withColumn("chi2_milli", expr(
+          "case when conv0 + conv1 = 0" +
+            " or n0 + n1 - conv0 - conv1 = 0 then 0L else" +
+            " cast(1000 * (n0 + n1)" +
+            " * cast(conv1 * (n0 - conv0) - (n1 - conv1) * conv0" +
+            "   as decimal(38,0))" +
+            " * cast(conv1 * (n0 - conv0) - (n1 - conv1) * conv0" +
+            "   as decimal(38,0))" +
+            " div (cast(n1 as decimal(38,0)) * n0 * (conv0 + conv1)" +
+            "   * (n0 + n1 - conv0 - conv1)) as bigint) end"))
+        .select(col("event_type"), col("n0"), col("n1"), col("conv0"),
+          col("conv1"), col("rate0_ppm"), col("rate1_ppm"),
+          col("lift_ppm"), col("chi2_milli"),
+          (col("chi2_milli") > 3841L).as("significant"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Equi-depth histogram of order totals — the ANALYZE primitive
+    // under join-cardinality estimation (equi-WIDTH q_histogram tells
+    // you shape; equi-DEPTH bounds per-bucket row error, which is what
+    // an optimizer wants). Built the scale-honest way: ONE bounded
+    // 1024-cell pre-histogram of cents-quantized prices (cell = price
+    // scaled into [0,1024) by the broadcast max — no global sort, no
+    // ntile over the fact table), then bucket k = the 8-quantile the
+    // cell's FIRST row falls in by cumulative count — boundaries are
+    // approximate to cell width, exactly like production engines build
+    // stats at scale, and every step is integer so the oracle agrees
+    // bit-for-bit. The cumulative window runs over ≤1024 cells.
+    "q_equi_depth_hist" -> ((s, d) => {
+      val cents = orders(s, d)
+        .select(expr("cast(round(o_totalprice * 100) as bigint)").as("p"))
+      val mx = cents.agg(max(col("p")).as("mx"))
+      val cells = cents.crossJoin(broadcast(mx))
+        .select(expr("p * 1024 div (mx + 1)").as("cell"), col("p"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"), min(col("p")).as("lo_cents"),
+          max(col("p")).as("hi_cents"))
+      val w = Window.orderBy(col("cell"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(cells.agg(sum(col("cnt")).as("n"))))
+        .withColumn("bucket",
+          expr("least(7L, (cum - cnt) * 8 div n)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_rows"),
+          min(col("lo_cents")).as("lo_cents"),
+          max(col("hi_cents")).as("hi_cents"))
+        .orderBy(col("bucket"))
+    }),
+
     // Record linkage (entity resolution) with blocking: candidate
     // customer-supplier pairs come from an EQUI-join on the blocking
     // key (nation, last phone digit) — the step that turns the
@@ -3655,6 +3921,181 @@ object Relational extends QueryModule {
          |SELECT med.n_name, n_months, n_pairs, slope
          |FROM med JOIN months ON med.n_name = months.n_name
          |ORDER BY med.n_name""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    SUM(CAST(round(o_totalprice * 1e8) AS HUGEINT)) AS rq
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT m, rq,
+        |    2 * SUM(rq) OVER (ORDER BY m
+        |        ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+        |      - LAG(rq, 6) OVER (ORDER BY m)
+        |      - LEAD(rq, 6) OVER (ORDER BY m) AS t24
+        |  FROM monthly),
+        |trd AS (
+        |  SELECT m, rq, t24, 24 * rq - t24 AS d24
+        |  FROM base WHERE t24 IS NOT NULL),
+        |seas AS (
+        |  SELECT m % 12 AS mo, SUM(d24) AS dsum24, COUNT(*) AS cnt
+        |  FROM trd GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(m AS BIGINT) AS m,
+        |    CAST(rq AS DOUBLE) / 1e8 AS revenue,
+        |    CAST(t24 AS DOUBLE) / 2.4e9 AS trend,
+        |    CAST(dsum24 AS DOUBLE) / (cnt * 2.4e9) AS seasonal
+        |  FROM trd JOIN seas ON trd.m % 12 = seas.mo)
+        |SELECT m, revenue, trend, seasonal,
+        |  revenue - trend - seasonal AS residual
+        |FROM j ORDER BY m""".stripMargin,
+
+    "q_gini" ->
+      """WITH spend AS (
+        |  SELECT r_name, c_custkey,
+        |    SUM(CAST(round(o_totalprice * 1e8) AS HUGEINT)) AS sq
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT r_name, sq,
+        |    ROW_NUMBER() OVER (PARTITION BY r_name
+        |      ORDER BY sq, c_custkey) AS i,
+        |    COUNT(*) OVER (PARTITION BY r_name) AS n
+        |  FROM spend)
+        |SELECT r_name, CAST(n AS BIGINT) AS n_cust,
+        |  CAST((2 * SUM(sq * i) - (n + 1) * SUM(sq)) * 1000000
+        |    // (n * SUM(sq)) AS BIGINT) AS gini_ppm,
+        |  CAST(COALESCE(SUM(CASE WHEN i > n - n // 10 THEN sq END), 0)
+        |    * 1000000 // SUM(sq) AS BIGINT) AS top10_ppm
+        |FROM ranked GROUP BY r_name, n
+        |ORDER BY r_name""".stripMargin,
+
+    "q_acf" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rq
+        |  FROM orders GROUP BY 1),
+        |scal AS (SELECT COUNT(*) AS n, SUM(rq) AS s FROM monthly),
+        |cent AS (
+        |  SELECT m, n * rq - s AS c FROM monthly CROSS JOIN scal),
+        |den AS (SELECT SUM(c * c) AS den FROM cent),
+        |ks AS (SELECT unnest(generate_series(1, 6)) AS lag),
+        |num AS (
+        |  SELECT lag, COUNT(*) AS n_terms, SUM(a.c * b.c) AS num
+        |  FROM cent a CROSS JOIN ks JOIN cent b ON b.m = a.m - lag
+        |  GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_terms,
+        |  CAST(CASE WHEN num < 0
+        |    THEN -((-num) * 1000000 // den)
+        |    ELSE num * 1000000 // den END AS BIGINT) AS acf_ppm
+        |FROM num CROSS JOIN den
+        |ORDER BY lag""".stripMargin,
+
+    "q_zone_map_prune" ->
+      """WITH o AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    o_orderkey
+        |  FROM orders),
+        |preds AS (
+        |  SELECT * FROM (VALUES
+        |    (0, 1996 * 12 + 1, 1996 * 12 + 6),
+        |    (1, 1998 * 12 + 1, 1998 * 12 + 12),
+        |    (2, 2000 * 12 + 7, 2001 * 12 + 8)) t(pred_id, lo, hi)),
+        |f AS (
+        |  SELECT 'clustered' AS layout, m // 12 - 1995 AS file,
+        |    MIN(m) AS min_m, MAX(m) AS max_m, COUNT(*) AS rows
+        |  FROM o GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'scattered' AS layout, o_orderkey % 7 AS file,
+        |    MIN(m) AS min_m, MAX(m) AS max_m, COUNT(*) AS rows
+        |  FROM o GROUP BY 2),
+        |monthly AS (SELECT m, COUNT(*) AS cnt FROM o GROUP BY m),
+        |exact AS (
+        |  SELECT pred_id, SUM(cnt) AS rows_matched
+        |  FROM monthly JOIN preds ON m >= lo AND m <= hi
+        |  GROUP BY pred_id),
+        |probe AS (
+        |  SELECT layout, pred_id, COUNT(*) AS files_total,
+        |    SUM(CASE WHEN max_m >= lo AND min_m <= hi THEN 1 ELSE 0 END)
+        |      AS files_hit,
+        |    SUM(CASE WHEN max_m >= lo AND min_m <= hi THEN rows
+        |      ELSE 0 END) AS rows_scanned
+        |  FROM f CROSS JOIN preds GROUP BY 1, 2)
+        |SELECT layout, CAST(pred_id AS BIGINT) AS pred_id,
+        |  CAST(files_total AS BIGINT) AS files_total,
+        |  CAST(files_hit AS BIGINT) AS files_hit,
+        |  CAST(rows_scanned AS BIGINT) AS rows_scanned,
+        |  CAST(rows_matched AS BIGINT) AS rows_matched,
+        |  CAST(rows_scanned * 100 // rows_matched AS BIGINT)
+        |    AS read_amp_x100
+        |FROM probe JOIN exact USING (pred_id)
+        |ORDER BY layout, pred_id""".stripMargin,
+
+    "q_ab_readout" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, SUM(cnt) AS total FROM per GROUP BY 1),
+        |totals AS (
+        |  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+        |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |conv AS (
+        |  SELECT per.event_type, n0, n1,
+        |    SUM(CASE WHEN user_id % 2 = 0 AND cnt * (n0 + n1) > total
+        |      THEN 1 ELSE 0 END) AS conv0,
+        |    SUM(CASE WHEN user_id % 2 = 1 AND cnt * (n0 + n1) > total
+        |      THEN 1 ELSE 0 END) AS conv1
+        |  FROM per JOIN tot USING (event_type) CROSS JOIN totals
+        |  GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT event_type, n0, n1, conv0, conv1,
+        |    conv0 * 1000000 // n0 AS rate0_ppm,
+        |    conv1 * 1000000 // n1 AS rate1_ppm,
+        |    CASE WHEN conv0 + conv1 = 0
+        |      OR n0 + n1 - conv0 - conv1 = 0 THEN 0 ELSE
+        |    1000 * (n0 + n1)
+        |      * CAST(conv1 * (n0 - conv0) - (n1 - conv1) * conv0
+        |          AS HUGEINT)
+        |      * CAST(conv1 * (n0 - conv0) - (n1 - conv1) * conv0
+        |          AS HUGEINT)
+        |      // (CAST(n1 AS HUGEINT) * n0 * (conv0 + conv1)
+        |         * (n0 + n1 - conv0 - conv1)) END AS chi2_milli
+        |  FROM conv)
+        |SELECT event_type, CAST(n0 AS BIGINT) AS n0,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(conv0 AS BIGINT) AS conv0,
+        |  CAST(conv1 AS BIGINT) AS conv1,
+        |  CAST(rate0_ppm AS BIGINT) AS rate0_ppm,
+        |  CAST(rate1_ppm AS BIGINT) AS rate1_ppm,
+        |  CAST(rate1_ppm - rate0_ppm AS BIGINT) AS lift_ppm,
+        |  CAST(chi2_milli AS BIGINT) AS chi2_milli,
+        |  chi2_milli > 3841 AS significant
+        |FROM j ORDER BY event_type""".stripMargin,
+
+    "q_equi_depth_hist" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS p
+        |  FROM orders),
+        |mx AS (SELECT MAX(p) AS mx FROM cents),
+        |cells AS (
+        |  SELECT p * 1024 // (mx + 1) AS cell, COUNT(*) AS cnt,
+        |    MIN(p) AS lo_cents, MAX(p) AS hi_cents
+        |  FROM cents CROSS JOIN mx GROUP BY 1),
+        |n AS (SELECT SUM(cnt) AS n FROM cells),
+        |cum AS (
+        |  SELECT cell, cnt, lo_cents, hi_cents,
+        |    SUM(cnt) OVER (ORDER BY cell
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cells)
+        |SELECT CAST(least(7, (cum - cnt) * 8 // n.n) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_cells, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  MIN(lo_cents) AS lo_cents, MAX(hi_cents) AS hi_cents
+        |FROM cum CROSS JOIN n
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_record_linkage" ->
       """WITH cand AS (

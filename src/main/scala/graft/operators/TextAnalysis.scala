@@ -423,6 +423,48 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // N-gram NOVELTY per source — the diversity-vs-redundancy curve a
+    // curation pipeline reads when deciding which sources still add
+    // new content (a source whose docs mostly re-emit grams first seen
+    // elsewhere is paying token budget for repetition; novelty falling
+    // over a crawl is the data-exhaustion signal). A gram's ORIGIN is
+    // the minimum doc_id containing it (deterministic attribution —
+    // ingestion order, same convention as dedup survivor picks); a
+    // doc's novel grams are those it originates. Report per source:
+    // docs, distinct (doc,gram) occurrences, novel grams, novelty ppm.
+    // Shape: gram explode → distinct (doc, gram) → per-gram min-doc
+    // aggregate → join back on the gram → per-doc flag → source
+    // rollup. Both shuffles key on the gram (high cardinality,
+    // uniform); the origin table carries NO broadcast hint — at corpus
+    // scale it is gram-cardinality-sized, AQE picks the strategy (the
+    // text_tfidf contract). Output is |sources| rows.
+    "text_ngram_novelty" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("grams", expr(
+          "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2)," +
+            " i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))" +
+            " ELSE array() END"))
+      val dg = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+        .distinct()
+      val origin = dg.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      val per = dg.join(origin, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      documents(s, d).select(col("doc_id"), col("source"))
+        .join(per, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_grams"), lit(0L))).as("n_grams"),
+          sum(coalesce(col("n_novel"), lit(0L))).as("n_novel"))
+        .withColumn("novelty_ppm",
+          expr("case when n_grams > 0 then n_novel * 1000000L div n_grams" +
+            " else 0L end"))
+        .orderBy(col("source"))
+    }),
+
     // Karp-Rabin content fingerprint: sequential modular fold over
     // character codes (base 257 mod 1e9+7). Order-dependent by design
     // — it IS the document identity — and exactly portable because
@@ -1197,6 +1239,36 @@ object TextAnalysis extends QueryModule {
          |    ELSE 0.0 END AS boiler_frac
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "text_ngram_novelty" -> {
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |dg AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, u.g FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(toks) >= 3 THEN
+         |        list_transform(generate_series(1, len(toks) - 2),
+         |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+         |      ELSE [] END AS grams
+         |    FROM t), UNNEST(grams) u(g)),
+         |origin AS (
+         |  SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g),
+         |per AS (
+         |  SELECT dg.doc_id, COUNT(*) AS n_grams,
+         |    SUM(CASE WHEN o.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+         |      AS n_novel
+         |  FROM dg JOIN origin o USING (g) GROUP BY dg.doc_id)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(COALESCE(per.n_grams, 0)) AS BIGINT) AS n_grams,
+         |  CAST(SUM(COALESCE(per.n_novel, 0)) AS BIGINT) AS n_novel,
+         |  CAST(CASE WHEN SUM(COALESCE(per.n_grams, 0)) > 0
+         |    THEN SUM(COALESCE(per.n_novel, 0)) * 1000000
+         |           // SUM(COALESCE(per.n_grams, 0))
+         |    ELSE 0 END AS BIGINT) AS novelty_ppm
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin
     },
 
     "text_bigram_lm" -> {

@@ -135,9 +135,33 @@ object StreamingDedup {
     * surface from several bands and batches, so consumers `distinct`
     * before verify, same as the batch candidate join. */
   def nearDupPairs(docs: DataFrame, bands: Int = 16,
+      rowsPerBand: Int = 3, maxBucket: Int = 4096): Dataset[Pair] =
+    rosterPairs(banded(docs, bands, rowsPerBand), maxBucket)
+
+  /** [[nearDupPairs]] over the WORD-3-GRAM feature set instead of char
+    * shingles — the streaming face of the batch `dedup_incremental`
+    * ingest gate. The gram sets come from the ONE shared
+    * `Dedup.wordGramSetsPlan` lineage and the minhash/banding from the
+    * same `MinHashSig`/`bandStructs` the batch gate bands, so an
+    * incoming doc lands in exactly the buckets the batch side would
+    * probe — StreamingIncrementalParitySpec pins admit decisions
+    * stream == batch. */
+  def nearDupPairsWords(docs: DataFrame, bands: Int = 16,
       rowsPerBand: Int = 3, maxBucket: Int = 4096): Dataset[Pair] = {
-    import docs.sparkSession.implicits._
-    banded(docs, bands, rowsPerBand)
+    val numPerm = bands * rowsPerBand
+    val sigs = graft.operators.Dedup.wordGramSetsPlan(docs)
+      .select(col("doc_id"),
+        MinHashSig.minhash_sig(col("set"), numPerm).as("sig"))
+      .select(col("doc_id"), explode(graft.operators.Dedup
+        .bandStructs(col("sig"), bands, rowsPerBand)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    rosterPairs(sigs, maxBucket)
+  }
+
+  private def rosterPairs(bandedDocs: DataFrame,
+      maxBucket: Int): Dataset[Pair] = {
+    import bandedDocs.sparkSession.implicits._
+    bandedDocs
       .as[(Long, Int, Long)]
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[Array[Long], Pair](

@@ -98,7 +98,24 @@ class PlanAuditSpec extends SparkSpec {
       "q_zorder_plan",
       // corpus × 32 broadcast centroids for the IVF candidate stage
       // (the sim_ann_ivf coarse quantizer, unchanged)
-      "sim_ann_ivfpq")
+      "sim_ann_ivfpq",
+      // BM25 side embeds text_bm25's scalar ride-along; dense side is
+      // corpus × the broadcast 3-probe set (sim_topk_brute shape)
+      "text_rrf_fusion",
+      // calendar-bounded monthly spine × broadcast ONE-row (n, S) /
+      // denominator scalars and × the broadcast 6-row lag table —
+      // every side bounded by the calendar, never the corpus
+      "q_acf",
+      // bounded 14-row file stats × broadcast 3-row predicate table,
+      // and the ~80-row monthly aggregate × the same predicates —
+      // every probe side bounded, the fact table is scanned once
+      "q_zone_map_prune",
+      // per-type conversion rows × the broadcast ONE-row (n0, n1)
+      // user totals (scalar-aggregate ride-along)
+      "q_ab_readout",
+      // fact scan × broadcast ONE-row max scalar; ≤1024-cell histogram
+      // × broadcast ONE-row total (scalar ride-alongs)
+      "q_equi_depth_hist")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
