@@ -219,7 +219,24 @@ object ScaleProbe {
       // predicate) aggregates — only the ingest scans grow; the A/B
       // readout is a (type,user) count + bounded rollups; the
       // equi-depth histogram is one scan + a ≤1024-cell table
-      "q_zone_map_prune", "q_ab_readout", "q_equi_depth_hist")
+      "q_zone_map_prune", "q_ab_readout", "q_equi_depth_hist",
+      // wave-8: Q20's two aggregates share the (suppkey, partkey)
+      // shuffle family over n× facts; fertility is a pure scan +
+      // |langs|-row rollup; the recall curve is two broadcast-probe
+      // passes to depth 20 + a bounded fan-out join
+      "q_excess_suppliers", "text_tokenizer_fertility",
+      "sim_recall_curve",
+      // wave-9: distribution drift is two scans + two bounded-cell
+      // aggregates; every probe side ≤1024 rows
+      "q_dist_drift",
+      // wave-10: keyframe pick rides the probed sceneSegments scan +
+      // one (doc, seg) aggregate; the consistency audit rides the
+      // probed word-gram pair kernel + two vec-id joins (perturbed
+      // text -> per-copy pair populations, linear); collocations'
+      // pair count keys on the bigram (perturbed text -> per-copy-
+      // disjoint bigram vocab, linear)
+      "mm_keyframe_select", "emb_consistency_audit",
+      "text_collocations")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

@@ -164,6 +164,35 @@ object Dedup extends QueryModule {
       bandedMinhashPairs(wordGramSets(documents(s, d)), 0.8)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Text/embedding CONSISTENCY audit — the cross-modal sanity check
+    // run before trusting an embedding index: documents the verified
+    // near-dup pipeline says are near-identical text SHOULD be close
+    // in embedding space; a pair that is text-near but embedding-far
+    // means the encoder (or the id join between the text and vector
+    // stores) is broken for those rows. Composes the oracle-checked
+    // word-gram pair kernel with one embeddings lookup per pair side;
+    // cosine via the strict sequential double fold (bit-identical to
+    // the oracle's list_dot_product). Output per verified pair: text
+    // Jaccard (ppm), embedding cosine, the consistency bit at 0.9.
+    // Scale: pair volume is the (already banded, linear) near-dup
+    // output; the two embedding joins key on vector id.
+    "emb_consistency_audit" -> ((s, d) => {
+      val pairs = queries("dedup_minhash_words")(s, d)
+      val c = embeddings(s, d)
+      pairs
+        .join(c.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_emb")), Seq("a_id"))
+        .join(c.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_emb")), Seq("b_id"))
+        .withColumn("jac_ppm", expr("inter * 1000000L div union_n"))
+        .withColumn("cosine", dot(col("a_emb"), col("b_emb")) /
+          (sqrt(dot(col("a_emb"), col("a_emb"))) *
+            sqrt(dot(col("b_emb"), col("b_emb")))))
+        .select(col("a_id"), col("b_id"), col("jac_ppm"), col("cosine"),
+          (col("cosine") >= 0.9).as("consistent"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // INCREMENTAL dedup — the production shape at 100 TB: the corpus
     // is indexed ONCE (MinHash band buckets persisted), and each
     // incoming batch probes the index without rescanning the corpus.
@@ -690,6 +719,41 @@ object Dedup extends QueryModule {
         |           JOIN sz b ON b.doc_id = b_id
         |WHERE inter * 100 >= (a.n + b.n - inter) * 80
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "emb_consistency_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '')
+        |      AS toks
+        |  FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' '
+        |      || toks[i + 2]), 1, 15))::BIGINT AS h
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 2)) u(i)
+        |  WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM g x JOIN g y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a_id, b_id, inter, a.n + b.n - inter AS union_n
+        |  FROM pairs JOIN sz a ON a.doc_id = a_id
+        |             JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 100 >= (a.n + b.n - inter) * 80),
+        |c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a_id, b_id,
+        |    CAST(inter * 1000000 // union_n AS BIGINT) AS jac_ppm,
+        |    list_dot_product(x.emb, y.emb)
+        |      / (sqrt(list_dot_product(x.emb, x.emb))
+        |         * sqrt(list_dot_product(y.emb, y.emb))) AS cosine
+        |  FROM m JOIN c x ON x.vec_id = a_id JOIN c y ON y.vec_id = b_id)
+        |SELECT a_id, b_id, jac_ppm, cosine, cosine >= 0.9 AS consistent
+        |FROM scored ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH t AS (

@@ -285,27 +285,42 @@ object Multimodal extends QueryModule {
     // linear in payload bytes; the lag/running-sum windows partition
     // BY CLIP (frames per clip bounded by clip length, never global);
     // the rollup is one (doc, seg) then (doc) aggregate.
-    "mm_scene_cuts" -> ((s, d) => {
-      val frames = documents(s, d)
-        .filter(length(col("text")) >= 128)
-        .select(col("doc_id"),
-          posexplode(graft.expressions.FrameSums.frame_sums(col("text"), 64))
-            .as(Seq("frame_idx", "fsum")))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-      val seg = frames
-        .withColumn("cut",
-          when(abs(col("fsum") - lag(col("fsum"), 1).over(w)) > 1024, 1L)
-            .otherwise(0L))
-        .withColumn("seg", sum(col("cut"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      seg.groupBy(col("doc_id"), col("seg"))
+    "mm_scene_cuts" -> ((s, d) =>
+      sceneSegments(s, d).groupBy(col("doc_id"), col("seg"))
         .agg(count(lit(1)).as("seg_frames"))
         .groupBy(col("doc_id"))
         .agg(sum(col("seg_frames")).as("n_frames"),
           (count(lit(1)) - 1L).as("n_cuts"),
           max(col("seg_frames")).as("longest_seg"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
+
+    // Keyframe selection per scene segment — the curation ACTION the
+    // scene-cut report feeds: one representative frame per segment
+    // (the max-energy frame, ties to the earliest — argmax via the
+    // packed-ordinal max_by, the q_argmax_events discipline), instead
+    // of mm_frame_sample's fixed stride that oversamples static scenes
+    // and misses short ones. Rides the SAME sceneSegments lineage as
+    // mm_scene_cuts — a banding change lands on both or neither. Per
+    // (clip, segment): frame span, the chosen keyframe, its energy.
+    // Scale: identical to mm_scene_cuts (one native-expression scan +
+    // per-clip windows) plus one (doc, seg) aggregate.
+    "mm_keyframe_select" -> ((s, d) =>
+      sceneSegments(s, d)
+        .groupBy(col("doc_id"), col("seg"))
+        .agg(count(lit(1)).as("seg_frames"),
+          min(col("frame_idx")).as("first_frame"),
+          max(col("frame_idx")).as("last_frame"),
+          // pack (fsum, -frame_idx) so max picks highest energy, then
+          // EARLIEST frame: fsum ≤ 64·1114111 < 2^27 per frame, so
+          // fsum * 2^32 + (2^32 - 1 - frame_idx) never collides
+          max(col("fsum") * lit(4294967296L) +
+            (lit(4294967295L) - col("frame_idx"))).as("packed"))
+        .select(col("doc_id"), col("seg"), col("seg_frames"),
+          col("first_frame"), col("last_frame"),
+          (lit(4294967295L) - pmod(col("packed"), lit(4294967296L)))
+            .as("keyframe_idx"),
+          expr("packed div 4294967296L").as("key_fsum"))
+        .orderBy(col("doc_id"), col("seg"))),
 
     "mm_batch_plan" -> ((s, d) => {
       val frames = decoded(s, d)
@@ -409,6 +424,27 @@ object Multimodal extends QueryModule {
     })
   )
 
+  /** Shared scene-segmentation lineage under mm_scene_cuts and
+    * mm_keyframe_select: per-frame energies from the one-pass native
+    * [[graft.expressions.FrameSums]] expression, a cut where the
+    * consecutive-frame delta exceeds a 16/byte mean shift, segment id
+    * = running cut count. One definition so the report and the
+    * keyframe picker can never disagree about where scenes start. */
+  private def sceneSegments(s: SparkSession, d: String) = {
+    val frames = documents(s, d)
+      .filter(length(col("text")) >= 128)
+      .select(col("doc_id"),
+        posexplode(graft.expressions.FrameSums.frame_sums(col("text"), 64))
+          .as(Seq("frame_idx", "fsum")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("cut",
+        when(abs(col("fsum") - lag(col("fsum"), 1).over(w)) > 1024, 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("cut"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Shared decode stage over the test corpus — stub decoder because
     * the corpus payloads are text bytes (see module note); the real
     * JDK decoder rides the same [[decodeBlobs]] plumbing. */
@@ -492,6 +528,41 @@ object Multimodal extends QueryModule {
         |  CAST(MAX(seg_frames) AS BIGINT) AS longest_seg
         |FROM per GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "mm_keyframe_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(text) AS n,
+        |    list_transform(range(1, len(text) + 1),
+        |      i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cs
+        |  FROM documents WHERE len(text) >= 128),
+        |frames AS (
+        |  SELECT doc_id, u.f AS frame_idx,
+        |    CAST(list_sum(cs[(u.f * 64 + 1):((u.f + 1) * 64)]) AS BIGINT)
+        |      AS fsum
+        |  FROM t, UNNEST(range(0, n // 64)) u(f)),
+        |cuts AS (
+        |  SELECT doc_id, frame_idx, fsum,
+        |    CASE WHEN abs(fsum - LAG(fsum) OVER (PARTITION BY doc_id
+        |      ORDER BY frame_idx)) > 1024 THEN 1 ELSE 0 END AS cut
+        |  FROM frames),
+        |segs AS (
+        |  SELECT doc_id, frame_idx, fsum,
+        |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM cuts),
+        |per AS (
+        |  SELECT doc_id, seg, COUNT(*) AS seg_frames,
+        |    MIN(frame_idx) AS first_frame, MAX(frame_idx) AS last_frame,
+        |    MAX(fsum * 4294967296 + (4294967295 - frame_idx)) AS packed
+        |  FROM segs GROUP BY 1, 2)
+        |SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+        |  CAST(seg_frames AS BIGINT) AS seg_frames,
+        |  CAST(first_frame AS BIGINT) AS first_frame,
+        |  CAST(last_frame AS BIGINT) AS last_frame,
+        |  CAST(4294967295 - packed % 4294967296 AS BIGINT)
+        |    AS keyframe_idx,
+        |  CAST(packed // 4294967296 AS BIGINT) AS key_fsum
+        |FROM per ORDER BY doc_id, seg""".stripMargin,
 
     // text is pure ASCII in this corpus, so byte length == char length
     // and byte sum == char-code sum; the oracle checks the decode

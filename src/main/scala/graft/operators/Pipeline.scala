@@ -365,6 +365,33 @@ object Pipeline extends QueryModule {
         .limit(20)
     }),
 
+    // Tokenizer fertility audit per language — the number a
+    // multilingual training run checks BEFORE committing to a
+    // tokenizer: tokens-per-word (fertility) and chars-per-token by
+    // language. A tokenizer with 2× fertility on one language halves
+    // that language's effective context window and doubles its compute
+    // per byte — the classic under-served-language failure mode.
+    // Integer milli-units (both divisions over non-negative sums, so
+    // cross-engine exact). One scan, per-row expressions, a
+    // |langs|-row aggregate — scan-bound at any scale.
+    "text_tokenizer_fertility" -> ((s, d) => {
+      documents(s, d)
+        .select(col("lang"),
+          size(expr(s"regexp_extract_all(text, '$bpePat', 0)"))
+            .cast("long").as("n_tok"),
+          expr("size(filter(split(text, '\\\\s+'), t -> t != ''))")
+            .cast("long").as("n_word"),
+          length(col("text")).cast("long").as("n_char"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_word")).as("n_words"), sum(col("n_char")).as("n_chars"))
+        .withColumn("fertility_milli",
+          expr("n_tokens * 1000L div n_words"))
+        .withColumn("chars_per_tok_milli",
+          expr("n_chars * 1000L div n_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // BPE merge learning (Sennrich et al. 2016), the first merge
     // round: corpus-weighted adjacent-character pair frequencies over
     // the tokenizer vocabulary — the argmax pair IS the first merge a
@@ -1778,6 +1805,26 @@ object Pipeline extends QueryModule {
       """SELECT u.tok, COUNT(*) AS n FROM documents,
         |UNNEST(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) u(tok)
         |GROUP BY u.tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "text_tokenizer_fertility" ->
+      """WITH per AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t != '')) AS n_word,
+        |    len(text) AS n_char
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_word) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_char) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_tok) * 1000 // SUM(n_word) AS BIGINT)
+        |    AS fertility_milli,
+        |  CAST(SUM(n_char) * 1000 // SUM(n_tok) AS BIGINT)
+        |    AS chars_per_tok_milli
+        |FROM per GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "text_bpe_learn" ->
       """WITH vocab AS (

@@ -2384,13 +2384,12 @@ object Relational extends QueryModule {
         (1L, 1998L * 12 + 1, 1998L * 12 + 12),
         (2L, 2000L * 12 + 7, 2001L * 12 + 8))
         .toDF("pred_id", "lo", "hi")
-      def files(layout: String, fileCol: org.apache.spark.sql.Column) = o
-        .groupBy(fileCol.as("file"))
-        .agg(min(col("m")).as("min_m"), max(col("m")).as("max_m"),
-          count(lit(1)).as("rows"))
-        .withColumn("layout", lit(layout))
-      val f = files("clustered", expr("m div 12 - 1995"))
-        .unionByName(files("scattered", pmod(col("o_orderkey"), lit(7))))
+      // shared kernel: the streaming face maintains the identical
+      // zone-map aggregate at write time (StreamingMonitorParitySpec)
+      import graft.functions.Monitors.zoneStats
+      val f = zoneStats(o, "clustered", expr("m div 12 - 1995"))
+        .unionByName(zoneStats(o, "scattered",
+          pmod(col("o_orderkey"), lit(7))))
       val monthly = o.groupBy(col("m")).agg(count(lit(1)).as("cnt"))
       val exact = monthly.join(broadcast(preds),
           col("m") >= col("lo") && col("m") <= col("hi"))
@@ -2427,9 +2426,9 @@ object Relational extends QueryModule {
     // total — shuffles on high-cardinality uniform keys; output = one
     // row per event type.
     "q_ab_readout" -> ((s, d) => {
-      val per = events(s, d)
-        .groupBy(col("event_type"), col("user_id"))
-        .agg(count(lit(1)).as("cnt"))
+      // shared kernel: the streaming face maintains the identical
+      // per-(type, user) counts (StreamingMonitorParitySpec)
+      val per = graft.functions.Monitors.engagementCounts(events(s, d))
       val tot = per.groupBy(col("event_type"))
         .agg(sum(col("cnt")).as("total"))
       val totals = events(s, d).select(col("user_id")).distinct()
@@ -2499,6 +2498,99 @@ object Relational extends QueryModule {
           min(col("lo_cents")).as("lo_cents"),
           max(col("hi_cents")).as("hi_cents"))
         .orderBy(col("bucket"))
+    }),
+
+    // Numeric-distribution drift monitor (the PSI use case, log-free):
+    // equi-depth buckets are fit on the REFERENCE period (orders
+    // through 1997) exactly as q_equi_depth_hist fits them — bounded
+    // 1024-cell pre-histogram, no global sort — and the CURRENT
+    // period (1998+) is scored against those FROZEN boundaries. Per
+    // bucket: both periods' row counts and shares (ppm), the signed
+    // shift (subtraction of two non-negative divisions), and the
+    // total-variation contribution |shift|/2 — Σ tvd_ppm is the TVD
+    // the monitor alerts on, chosen over PSI because it needs no
+    // logarithm and stays integer-exact cross-engine. Bucket lookup
+    // for current rows is a ≤8-row broadcast range join on contiguous
+    // cell ranges (lead-derived); a current value past the reference
+    // max clamps into the top bucket (exactly what a frozen scorer
+    // does in production). Scale: two scans + two bounded-cell
+    // aggregates; every probe-side table ≤1024 rows.
+    "q_dist_drift" -> ((s, d) => {
+      val cents = orders(s, d)
+        .select(expr("cast(round(o_totalprice * 100) as bigint)").as("p"),
+          (year(col("o_orderdate")) <= 1997).as("is_ref"))
+      val mx = cents.filter(col("is_ref")).agg(max(col("p")).as("mx"))
+      val withCell = cents.crossJoin(broadcast(mx))
+        .select(col("is_ref"),
+          expr("least(1023L, p * 1024 div (mx + 1))").as("cell"))
+      val refCells = withCell.filter(col("is_ref"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cell"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bucketed = refCells
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(refCells.agg(sum(col("cnt")).as("n_ref"))))
+        .withColumn("bucket", expr("least(7L, (cum - cnt) * 8 div n_ref)"))
+      val bounds = bucketed.groupBy(col("bucket"))
+        .agg(min(col("cell")).as("lo_cell"), sum(col("cnt")).as("ref_rows"))
+        .withColumn("hi_cell",
+          coalesce(lead(col("lo_cell"), 1)
+            .over(Window.orderBy(col("bucket"))) - 1, lit(1023L)))
+      val curCells = withCell.filter(!col("is_ref"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("ccnt"))
+      val cur = curCells.join(broadcast(bounds),
+          col("cell") >= col("lo_cell") && col("cell") <= col("hi_cell"))
+        .groupBy(col("bucket")).agg(sum(col("ccnt")).as("cur_rows"))
+      bounds.join(cur, Seq("bucket"), "left")
+        .withColumn("cur_rows", coalesce(col("cur_rows"), lit(0L)))
+        .crossJoin(broadcast(withCell.groupBy(col("is_ref"))
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(when(col("is_ref"), col("n"))).as("n_ref"),
+            sum(when(!col("is_ref"), col("n"))).as("n_cur"))))
+        .withColumn("ref_ppm", expr("ref_rows * 1000000L div n_ref"))
+        .withColumn("cur_ppm", expr("cur_rows * 1000000L div n_cur"))
+        .withColumn("shift_ppm", col("cur_ppm") - col("ref_ppm"))
+        .select(col("bucket"), col("ref_rows"), col("cur_rows"),
+          col("ref_ppm"), col("cur_ppm"), col("shift_ppm"),
+          expr("cast(abs(shift_ppm) div 2 as bigint)").as("tvd_ppm"))
+        .orderBy(col("bucket"))
+    }),
+
+    // TPC-H Q20 shape (potential part promotion): suppliers who ship a
+    // CONCENTRATED share of some red part's volume — the nested
+    // per-part threshold subquery + semi-join chain that makes Q20 the
+    // planner stress test it is. The schema has no partsupp, so
+    // "availqty > half the part's demand" becomes its shipped-volume
+    // dual: a (supplier, part) shipped-quantity aggregate exceeding
+    // 20% of the part's corpus-wide total (qty·5 > total,
+    // cross-multiplied decimal — no division). One lineitem scan
+    // feeds BOTH aggregates (the per-pair and the per-part rollup,
+    // same shuffle key family); the part filter pushes to the part
+    // scan and prunes the fact join early; the final supplier/nation
+    // joins broadcast. Output: per qualifying supplier, how many red
+    // parts they dominate.
+    "q_excess_suppliers" -> ((s, d) => {
+      val redParts = part(s, d).filter(col("p_name").like("red%"))
+        .select(col("p_partkey"))
+      val shipped = lineitem(s, d)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_suppkey"), col("l_partkey"),
+          dsumExpr(col("l_quantity")).as("q"))
+      val perPair = shipped.groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("q")).as("qty_sup"))
+      val perPart = shipped.groupBy(col("l_partkey"))
+        .agg(sum(col("q")).as("qty_total"))
+      val excess = perPair.join(perPart, Seq("l_partkey"))
+        .filter(col("qty_sup") * 5 > col("qty_total"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_excess_parts"))
+      excess
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          col("n_excess_parts"))
+        .orderBy(col("s_suppkey"))
     }),
 
     // Record linkage (entity resolution) with blocking: candidate
@@ -4096,6 +4188,81 @@ object Relational extends QueryModule {
         |  MIN(lo_cents) AS lo_cents, MAX(hi_cents) AS hi_cents
         |FROM cum CROSS JOIN n
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_dist_drift" ->
+      """WITH cents AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS p,
+        |    year(o_orderdate) <= 1997 AS is_ref
+        |  FROM orders),
+        |mx AS (SELECT MAX(p) AS mx FROM cents WHERE is_ref),
+        |wc AS (
+        |  SELECT is_ref, least(1023, p * 1024 // (mx + 1)) AS cell
+        |  FROM cents CROSS JOIN mx),
+        |refcells AS (
+        |  SELECT cell, COUNT(*) AS cnt FROM wc WHERE is_ref GROUP BY 1),
+        |nref AS (SELECT SUM(cnt) AS n_ref FROM refcells),
+        |bucketed AS (
+        |  SELECT cell, cnt,
+        |    least(7, (SUM(cnt) OVER (ORDER BY cell
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |      * 8 // n_ref) AS bucket
+        |  FROM refcells CROSS JOIN nref),
+        |bounds AS (
+        |  SELECT bucket, MIN(cell) AS lo_cell, SUM(cnt) AS ref_rows
+        |  FROM bucketed GROUP BY 1),
+        |bounds2 AS (
+        |  SELECT bucket, lo_cell, ref_rows,
+        |    COALESCE(LEAD(lo_cell) OVER (ORDER BY bucket) - 1, 1023)
+        |      AS hi_cell
+        |  FROM bounds),
+        |curcells AS (
+        |  SELECT cell, COUNT(*) AS ccnt FROM wc WHERE NOT is_ref
+        |  GROUP BY 1),
+        |cur AS (
+        |  SELECT bucket, SUM(ccnt) AS cur_rows
+        |  FROM curcells JOIN bounds2
+        |    ON cell >= lo_cell AND cell <= hi_cell
+        |  GROUP BY 1),
+        |tot AS (
+        |  SELECT SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+        |    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+        |  FROM wc)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(ref_rows AS BIGINT) AS ref_rows,
+        |  CAST(COALESCE(cur_rows, 0) AS BIGINT) AS cur_rows,
+        |  CAST(ref_rows * 1000000 // t.n_ref AS BIGINT) AS ref_ppm,
+        |  CAST(COALESCE(cur_rows, 0) * 1000000 // t.n_cur AS BIGINT)
+        |    AS cur_ppm,
+        |  CAST(COALESCE(cur_rows, 0) * 1000000 // t.n_cur
+        |     - ref_rows * 1000000 // t.n_ref AS BIGINT) AS shift_ppm,
+        |  CAST(abs(COALESCE(cur_rows, 0) * 1000000 // t.n_cur
+        |     - ref_rows * 1000000 // t.n_ref) // 2 AS BIGINT) AS tvd_ppm
+        |FROM bounds2 LEFT JOIN cur USING (bucket) CROSS JOIN tot t
+        |ORDER BY bucket""".stripMargin,
+
+    "q_excess_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(round(l_quantity * 1e8) AS HUGEINT) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'),
+        |per_pair AS (
+        |  SELECT l_suppkey, l_partkey, SUM(q) AS qty_sup
+        |  FROM shipped GROUP BY 1, 2),
+        |per_part AS (
+        |  SELECT l_partkey, SUM(q) AS qty_total
+        |  FROM shipped GROUP BY 1),
+        |excess AS (
+        |  SELECT l_suppkey, COUNT(*) AS n_excess_parts
+        |  FROM per_pair JOIN per_part USING (l_partkey)
+        |  WHERE qty_sup * 5 > qty_total
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_name,
+        |  CAST(n_excess_parts AS BIGINT) AS n_excess_parts
+        |FROM excess
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_record_linkage" ->
       """WITH cand AS (

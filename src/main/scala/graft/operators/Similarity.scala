@@ -410,6 +410,45 @@ object Similarity extends QueryModule {
         .select(col("query_id"), col("n_truth"), col("n_hits"),
           expr("n_hits * 1000000L div n_truth").as("recall_ppm"))
         .orderBy(col("query_id"))
+    }),
+
+    // Recall@k CURVE (k ∈ {1, 5, 10, 20}) of the sign-LSH index —
+    // sim_ann_recall generalized from the single @10 point to the
+    // curve an ANN deployment is actually tuned against (serving
+    // top-1 needs a different operating point than top-20; the curve
+    // says whether more tables buy anything at the k you serve).
+    // Truth and index rankings computed ONCE to depth 20, then the
+    // 4-row k table fans the (query, neighbor) pairs out — the curve
+    // costs one extra bounded join over the @10 report, not four
+    // recomputations. Aggregated across queries per k: recall_ppm =
+    // hits·1e6 div truth-pairs (exact integers).
+    "sim_recall_curve" -> ((s, d) => {
+      import s.implicits._
+      val c = corpus(s, d)
+      val q = querySet(c)
+      val wb = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
+        .withColumn("t_rank", row_number().over(wb).cast("long"))
+        .filter(col("t_rank") <= 20)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("t_rank"))
+      val ann = annTopK(c, 20)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("a_rank"))
+      val ks = Seq(1L, 5L, 10L, 20L).toDF("k")
+      truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .crossJoin(broadcast(ks))
+        .filter(col("t_rank") <= col("k"))
+        .groupBy(col("k"))
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_truth"),
+          sum(when(col("a_rank") <= col("k"), 1L).otherwise(0L))
+            .as("n_hits"))
+        .withColumn("recall_ppm", expr("n_hits * 1000000L div n_truth"))
+        .orderBy(col("k"))
     })
   )
 
@@ -1017,6 +1056,60 @@ object Similarity extends QueryModule {
          |FROM truth t LEFT JOIN ann a
          |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
          |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+    },
+
+    "sim_recall_curve" -> {
+      val corpusCodes = (0 until NumTables)
+        .map(t => s"${codeSql(t)} AS k$t").mkString(",\n    ")
+      val queryCodes = (0 until NumTables)
+        .map(t => s"k$t AS qk$t").mkString(", ")
+      val anyCollision = (0 until NumTables)
+        .map(t => s"c.k$t = q.qk$t").mkString(" OR ")
+      s"""WITH c0 AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                     CAST(embedding AS DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |c AS MATERIALIZED (
+         |  SELECT vec_id, emb, nrm,
+         |    $corpusCodes
+         |  FROM c0),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+         |        $queryCodes
+         |      FROM c WHERE vec_id < 10),
+         |truth AS (
+         |  SELECT query_id, vec_id, t_rank FROM (
+         |    SELECT q.query_id, c0.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.q_emb, c0.emb)
+         |          / (sqrt(q.q_nrm) * sqrt(c0.nrm)) DESC, c0.vec_id)
+         |        AS t_rank
+         |    FROM c0 JOIN q ON c0.vec_id <> q.query_id)
+         |  WHERE t_rank <= 20),
+         |ann AS (
+         |  SELECT query_id, vec_id, a_rank FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY list_dot_product(q_emb, emb)
+         |          / (sqrt(q_nrm) * sqrt(nrm)) DESC, vec_id) AS a_rank
+         |    FROM (SELECT q.query_id, c.vec_id, c.emb, c.nrm, q.q_emb,
+         |            q.q_nrm
+         |          FROM c JOIN q ON c.vec_id <> q.query_id
+         |            AND ($anyCollision)))
+         |  WHERE a_rank <= 20),
+         |ks AS (SELECT * FROM (VALUES (1), (5), (10), (20)) t(k))
+         |SELECT CAST(k AS BIGINT) AS k,
+         |  COUNT(DISTINCT t.query_id) AS n_queries,
+         |  COUNT(*) AS n_truth,
+         |  CAST(COALESCE(SUM(CASE WHEN a.a_rank <= k THEN 1 ELSE 0 END),
+         |    0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(SUM(CASE WHEN a.a_rank <= k THEN 1 ELSE 0 END),
+         |    0) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM truth t LEFT JOIN ann a
+         |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |CROSS JOIN ks
+         |WHERE t.t_rank <= k
+         |GROUP BY k ORDER BY k""".stripMargin
     }
   )
 }

@@ -465,6 +465,42 @@ object TextAnalysis extends QueryModule {
         .orderBy(col("source"))
     }),
 
+    // Collocation mining (phrase extraction): adjacent-token bigrams
+    // ranked by integer LIFT — cnt(a,b)·N / (cnt(a)·cnt(b)), the
+    // log-free PMI the text_keywords discipline established — with a
+    // min-support floor of 5 so rare-coincidence pairs don't dominate.
+    // The phrase-mining pass a tokenizer/vocabulary pipeline runs to
+    // decide which multi-word units deserve single tokens. Shape: one
+    // bigram explode + a (a,b) pair count (keyed on the pair — high
+    // cardinality, uniform), the unigram table joined back on each
+    // side (vocabulary-sized, NO broadcast hint — AQE decides, the
+    // text_tfidf contract), corpus scalar N rides broadcast; top-20
+    // is TakeOrdered, never a full sort.
+    "text_collocations" -> ((s, d) => {
+      val bg = documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> struct(toks[i - 1] as a, toks[i] as b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val uni = documents(s, d).select(explode(expr(toksExpr)).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val n = uni.agg(sum(col("c")).as("n"))
+      bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_pair"))
+        .filter(col("c_pair") >= 5)
+        .join(uni.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
+        .join(uni.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
+        .crossJoin(broadcast(n))
+        .withColumn("lift_ppm", expr(
+          "cast(cast(c_pair as decimal(38,0)) * n * 1000000" +
+            " div (c_a * c_b) as bigint)"))
+        .select(col("a"), col("b"), col("c_pair"), col("c_a"),
+          col("c_b"), col("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // Karp-Rabin content fingerprint: sequential modular fold over
     // character codes (base 257 mod 1e9+7). Order-dependent by design
     // — it IS the document identity — and exactly portable because
@@ -1270,6 +1306,27 @@ object TextAnalysis extends QueryModule {
          |GROUP BY d.source
          |ORDER BY d.source""".stripMargin
     },
+
+    "text_collocations" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |bg AS (
+         |  SELECT toks[i] AS a, toks[i + 1] AS b
+         |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) u(i)
+         |  WHERE len(toks) >= 2),
+         |uni AS (
+         |  SELECT tok AS t, COUNT(*) AS c FROM (
+         |    SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+         |n AS (SELECT SUM(c) AS n FROM uni),
+         |p AS (
+         |  SELECT a, b, COUNT(*) AS c_pair FROM bg GROUP BY 1, 2
+         |  HAVING COUNT(*) >= 5)
+         |SELECT a, b, c_pair, ua.c AS c_a, ub.c AS c_b,
+         |  CAST(CAST(c_pair AS HUGEINT) * n.n * 1000000
+         |    // (ua.c * ub.c) AS BIGINT) AS lift_ppm
+         |FROM p JOIN uni ua ON ua.t = a JOIN uni ub ON ub.t = b
+         |CROSS JOIN n
+         |ORDER BY lift_ppm DESC, a, b LIMIT 20""".stripMargin,
 
     "text_bigram_lm" -> {
       s"""WITH bg AS MATERIALIZED (

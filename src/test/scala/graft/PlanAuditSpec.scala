@@ -115,7 +115,18 @@ class PlanAuditSpec extends SparkSpec {
       "q_ab_readout",
       // fact scan × broadcast ONE-row max scalar; ≤1024-cell histogram
       // × broadcast ONE-row total (scalar ride-alongs)
-      "q_equi_depth_hist")
+      "q_equi_depth_hist",
+      // embeds sim_topk_brute's corpus × broadcast 10-probe truth
+      // pass, plus the bounded (query, neighbor) pairs × broadcast
+      // 4-row k table
+      "sim_recall_curve",
+      // fact scan × broadcast ONE-row reference max; ≤1024-cell
+      // current histogram × broadcast ≤8-row bucket-bound ranges;
+      // ×ONE-row period totals (all bounded probe sides)
+      "q_dist_drift",
+      // pair table × broadcast ONE-row token total N (scalar
+      // ride-along, same as corpus_epochs)
+      "text_collocations")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
