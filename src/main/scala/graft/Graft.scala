@@ -41,6 +41,10 @@ object Graft {
     "winnow_fps32" -> (exprs => expressions.WinnowFps(exprs.head,
       intLit(exprs(1), "winnow_fps32 k"),
       intLit(exprs(2), "winnow_fps32 w"))),
+    "block_mean_hash60" ->
+      (exprs => expressions.BlockMeanHash60(exprs.head)),
+    "frame_sums" -> (exprs => expressions.FrameSums(exprs.head,
+      intLit(exprs(1), "frame_sums frameLen"))),
     "py_json" -> (exprs => expressions.PyJson(exprs.head)),
     "full_change_rows" -> (exprs => expressions.FullChangeRows(exprs.head)),
     "bloom_might_contain" ->

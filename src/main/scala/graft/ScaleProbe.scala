@@ -236,7 +236,17 @@ object ScaleProbe {
       // pair count keys on the bigram (perturbed text -> per-copy-
       // disjoint bigram vocab, linear)
       "mm_keyframe_select", "emb_consistency_audit",
-      "text_collocations")
+      "text_collocations",
+      // wave-11: the media curate pass is digest groupBys + the
+      // banded blockhash pair kernel (perturbed copies keep per-copy
+      // dupe populations — linear); seasonal anomaly runs over the
+      // calendar-bounded day spine
+      "mm_curate", "q_anomaly_seasonal",
+      // wave-12: the sweep is ONE banding+verify pass fanned by a
+      // 3-row table; the shard index is the packer's metadata-only
+      // prefix sum + a per-shard window; categorical drift is one
+      // scan + a |types|-row aggregate
+      "dedup_threshold_sweep", "mm_shard_index", "q_cat_drift")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

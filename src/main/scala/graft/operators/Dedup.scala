@@ -164,6 +164,34 @@ object Dedup extends QueryModule {
       bandedMinhashPairs(wordGramSets(documents(s, d)), 0.8)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Threshold-sensitivity sweep — the tuning artifact read before
+    // committing a dedup threshold: verified pair counts and distinct
+    // docs-dropped (greedy min-id survivor rule) at 90/95/98% word-gram
+    // Jaccard, from ONE banding + ONE verify pass (the 3-row threshold
+    // table fans the verified pairs out — the sweep costs a bounded
+    // join, not three pipelines). A dedup rate that collapses between
+    // 95 and 98 says the dup population is borderline-similarity and
+    // the threshold choice is load-bearing; a flat curve says any cut
+    // works. Thresholds stay ≥ 0.9 where 16×3 banding recall is
+    // ~1−1e−9, so the LSH pair set EQUALS brute force and the oracle
+    // can brute-force it.
+    "dedup_threshold_sweep" -> ((s, d) => {
+      import s.implicits._
+      val pairs = bandedMinhashPairs(wordGramSets(documents(s, d)), 0.9)
+        .withColumn("jac_ppm", expr("inter * 1000000L div union_n"))
+      val ths = Seq(900000L, 950000L, 980000L).toDF("threshold_ppm")
+      val agg = pairs.crossJoin(broadcast(ths))
+        .filter(col("jac_ppm") >= col("threshold_ppm"))
+        .groupBy(col("threshold_ppm"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("b_id")).as("n_dropped"))
+      ths.join(agg, Seq("threshold_ppm"), "left")
+        .select(col("threshold_ppm"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .orderBy(col("threshold_ppm"))
+    }),
+
     // Text/embedding CONSISTENCY audit — the cross-modal sanity check
     // run before trusting an embedding index: documents the verified
     // near-dup pipeline says are near-identical text SHOULD be close
@@ -719,6 +747,42 @@ object Dedup extends QueryModule {
         |           JOIN sz b ON b.doc_id = b_id
         |WHERE inter * 100 >= (a.n + b.n - inter) * 80
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '')
+        |      AS toks
+        |  FROM documents),
+        |g AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' '
+        |      || toks[i + 2]), 1, 15))::BIGINT AS h
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 2)) u(i)
+        |  WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM g x JOIN g y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT a_id, b_id,
+        |    inter * 1000000 // (a.n + b.n - inter) AS jac_ppm
+        |  FROM pairs JOIN sz a ON a.doc_id = a_id
+        |             JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 10 >= (a.n + b.n - inter) * 9),
+        |ths AS (SELECT * FROM (VALUES (900000), (950000), (980000))
+        |  t(threshold_ppm)),
+        |agg AS (
+        |  SELECT threshold_ppm, COUNT(*) AS n_pairs,
+        |    COUNT(DISTINCT b_id) AS n_dropped
+        |  FROM m CROSS JOIN ths WHERE jac_ppm >= threshold_ppm
+        |  GROUP BY 1)
+        |SELECT CAST(threshold_ppm AS BIGINT) AS threshold_ppm,
+        |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped
+        |FROM ths LEFT JOIN agg USING (threshold_ppm)
+        |ORDER BY threshold_ppm""".stripMargin,
 
     "emb_consistency_audit" ->
       """WITH t AS (

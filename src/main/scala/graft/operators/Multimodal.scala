@@ -271,6 +271,51 @@ object Multimodal extends QueryModule {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // The composed end-to-end MEDIA curation pass — corpus_curate's
+    // multimodal sibling, one declared query with a composed oracle:
+    // ingest (base blobs + byte-identical re-uploads + lightly
+    // retouched re-encodes) → size gate (≥128 bytes) → exact dedup on
+    // content digest (survivor = min id) → perceptual near-dup
+    // collapse (block-mean-hash banding, Hamming ≤ 3 — the 4×15
+    // pigeonhole makes the banded pair set EQUAL to brute force at
+    // this radius, which is what lets the oracle brute-force it) →
+    // per-stage funnel counts. The drop rule is deterministic greedy
+    // min-id (a blob drops iff it Hamming-pairs with a smaller id),
+    // the dedup_survivors discipline without needing full connected
+    // components. Scale: each stage is a groupBy/anti-join on
+    // digest/id keys; the near stage is the banded pair kernel —
+    // nothing quadratic, nothing driver-side.
+    "mm_curate" -> ((s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val duped = base
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("X"), expr("substring(text, 2)")).as("text")))
+        .unionByName(base.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      val sized = duped.filter(length(col("text")) >= 128)
+      // groups are byte-identical, so min(text) IS the payload
+      val exact = sized.groupBy(md5(col("text")).as("dg"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+      val sigs = exact.select(col("doc_id"),
+        graft.expressions.BlockMeanHash60
+          .blockMeanHash60(col("text")).as("sig"))
+      val dropped = Dedup.hammingPairs(sigs, maxHamming = 3)
+        .select(col("b_id").as("doc_id")).distinct()
+      val near = exact.join(dropped, Seq("doc_id"), "left_anti")
+      def stage(order: Long, name: String,
+          df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_blobs"),
+          sum(length(col("text")).cast("long")).as("total_bytes"))
+          .select(lit(order).as("stage"), lit(name).as("stage_name"),
+            col("n_blobs"), col("total_bytes"))
+      stage(0L, "ingest", duped)
+        .unionByName(stage(1L, "size_gate", sized))
+        .unionByName(stage(2L, "exact_dedup", exact))
+        .unionByName(stage(3L, "neardup_survivors", near))
+        .orderBy(col("stage"))
+    }),
+
     // Shot-boundary (scene-cut) segmentation over the frame stream —
     // the classical pixel-intensity-difference baseline: a cut falls
     // between consecutive frames whose energy (per-frame code-point
@@ -352,6 +397,39 @@ object Multimodal extends QueryModule {
     // move until the archiver reads its assigned list), so the global
     // prefix sum is over metadata only; at larger scale the same exact
     // cumsum distributes as a range-partitioned two-pass prefix sum.
+    // Shard INDEX — the .idx companion the shard packer ships beside
+    // each archive (WebDataset/tar readers seek by it): per item, its
+    // shard, ordinal within the shard, and byte offset FROM THE
+    // SHARD'S START (not the global stream), derived from the same
+    // deterministic hash-priority order as mm_shard_pack so the two
+    // artifacts can never disagree about placement. Same scale
+    // contract as the packer: the prefix sum runs over the METADATA
+    // manifest only (range-partitioned two-pass cumsum at scale); the
+    // within-shard offset is one min-over-partition on the already
+    // computed running total.
+    "mm_shard_index" -> ((s, d) => {
+      val cap = 65536L
+      val manifest = documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_bytes"),
+          md5(concat(lit("sp"), col("doc_id").cast("string"))).as("pri"))
+      val w = Window.orderBy(col("pri"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val placed = manifest
+        .withColumn("cum", sum(col("n_bytes")).over(w))
+        .withColumn("start", col("cum") - col("n_bytes"))
+        .withColumn("shard", expr(s"start div $cap"))
+      val ws = Window.partitionBy(col("shard"))
+      placed
+        .withColumn("item_seq", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("pri"), col("doc_id"))).cast("long"))
+        .withColumn("offset_in_shard", col("start") - min(col("start")).over(ws))
+        .select(col("shard"), col("item_seq"), col("doc_id"),
+          col("n_bytes"), col("offset_in_shard"))
+        .orderBy(col("shard"), col("item_seq"))
+    }),
+
     "mm_shard_pack" -> ((s, d) => {
       val cap = 65536L
       val manifest = documents(s, d)
@@ -445,6 +523,34 @@ object Multimodal extends QueryModule {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Stateless per-row scene-cut report — the INGEST face of
+    * mm_scene_cuts: a clip arrives as one row, so the whole
+    * segmentation is a pure expression over the [[FrameSums]] array
+    * (no window, no shuffle, no state — exactly what a streaming
+    * media gate wants). Value-identical to the batch query's
+    * window/aggregate formulation; StreamingSceneCutParitySpec pins
+    * stream == batch row for row. Works on streaming DataFrames
+    * (where the batch side's windows are illegal). */
+  def sceneCutReport(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(length(col("text")) >= 128)
+      .withColumn("fs",
+        graft.expressions.FrameSums.frame_sums(col("text"), 64))
+      .withColumn("cuts", expr(
+        "filter(sequence(2, size(fs)), i ->" +
+          " abs(element_at(fs, i) - element_at(fs, i - 1)) > 1024)"))
+      .select(col("doc_id"),
+        size(col("fs")).cast("long").as("n_frames"),
+        size(col("cuts")).cast("long").as("n_cuts"),
+        expr(
+          // boundaries [1] ++ cuts ++ [n+1]; longest segment = max
+          // consecutive diff, folded in one pass
+          "aggregate(concat(cuts, array(size(fs) + 1))," +
+            " struct(1 as prev, 0L as best)," +
+            " (acc, b) -> struct(b as prev," +
+            " greatest(acc.best, cast(b - acc.prev as bigint)) as best)," +
+            " acc -> acc.best)").as("longest_seg"))
+
   /** Shared decode stage over the test corpus — stub decoder because
     * the corpus payloads are text bytes (see module note); the real
     * JDK decoder rides the same [[decodeBlobs]] plumbing. */
@@ -528,6 +634,54 @@ object Multimodal extends QueryModule {
         |  CAST(MAX(seg_frames) AS BIGINT) AS longest_seg
         |FROM per GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "mm_curate" -> {
+      val bitSum = (0 until 60).map { i =>
+        s"(CASE WHEN COALESCE(list_sum(cs[(($i * n) // 60 + 1):" +
+          s"((${i + 1} * n) // 60)]), 0) * n" +
+          s" > tsum * ((${i + 1} * n) // 60 - ($i * n) // 60)" +
+          s" THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |duped AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 100000, 'X' || substr(text, 2)
+         |  FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text FROM base WHERE doc_id % 10 = 5),
+         |sized AS (SELECT * FROM duped WHERE len(text) >= 128),
+         |exact AS (
+         |  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+         |  FROM sized GROUP BY md5(text)),
+         |t AS (
+         |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n,
+         |    list_transform(range(1, len(text) + 1),
+         |      i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS cs
+         |  FROM exact),
+         |t2 AS (SELECT doc_id, n, cs,
+         |  CAST(list_sum(cs) AS BIGINT) AS tsum FROM t),
+         |s AS (SELECT doc_id, $bitSum AS sig FROM t2),
+         |dropped AS (
+         |  SELECT DISTINCT b.doc_id FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |near AS (
+         |  SELECT * FROM exact
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         |SELECT CAST(0 AS BIGINT) AS stage, 'ingest' AS stage_name,
+         |  COUNT(*) AS n_blobs, CAST(SUM(len(text)) AS BIGINT)
+         |    AS total_bytes FROM duped
+         |UNION ALL
+         |SELECT 1, 'size_gate', COUNT(*),
+         |  CAST(SUM(len(text)) AS BIGINT) FROM sized
+         |UNION ALL
+         |SELECT 2, 'exact_dedup', COUNT(*),
+         |  CAST(SUM(len(text)) AS BIGINT) FROM exact
+         |UNION ALL
+         |SELECT 3, 'neardup_survivors', COUNT(*),
+         |  CAST(SUM(len(text)) AS BIGINT) FROM near
+         |ORDER BY stage""".stripMargin
+    },
 
     "mm_keyframe_select" ->
       """WITH t AS (
@@ -623,6 +777,30 @@ object Multimodal extends QueryModule {
         |  COUNT(*) AS n_items, MIN(doc_id) AS first_doc,
         |  MAX(doc_id) AS last_doc
         |FROM numbered GROUP BY 1, 2 ORDER BY shard, batch_id""".stripMargin,
+
+    "mm_shard_index" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_bytes,
+        |    md5('sp' || CAST(doc_id AS VARCHAR)) AS pri
+        |  FROM documents),
+        |placed AS (
+        |  SELECT doc_id, n_bytes, pri,
+        |    SUM(n_bytes) OVER (ORDER BY pri, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_bytes AS start
+        |  FROM m),
+        |sharded AS (
+        |  SELECT doc_id, n_bytes, pri, start,
+        |    start // 65536 AS shard
+        |  FROM placed)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY pri, doc_id) AS BIGINT) AS item_seq,
+        |  doc_id, n_bytes,
+        |  CAST(start - MIN(start) OVER (PARTITION BY shard) AS BIGINT)
+        |    AS offset_in_shard
+        |FROM sharded
+        |ORDER BY shard, item_seq""".stripMargin,
 
     "mm_shard_pack" ->
       """WITH m AS (

@@ -1376,6 +1376,43 @@ object Relational extends QueryModule {
         .orderBy(col("event_type"))
     }),
 
+    // Seasonally-adjusted anomaly screen — q_anomaly_mad's calendar-
+    // aware sibling: a Saturday that looks like a Saturday is normal
+    // even when it would flag against an all-days baseline, so the
+    // residual is computed WITHIN the day-of-week stratum. Integer-
+    // exact residual without a mean division: r = cnt·n_dow − tot_dow
+    // (= n_dow·(cnt − mean), same sign/scale per stratum), then the
+    // 3-MAD cut on |r| with MAD per stratum as a counting median over
+    // the day spine. Day-of-week from epoch-day arithmetic (the
+    // q_dow_hour_heatmap idiom — no engine-specific DAYOFWEEK). All
+    // windows run over the calendar-bounded day spine; the fact scan
+    // collapses to (day, cnt) first.
+    "q_anomaly_seasonal" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dow", (col("day") + 3) % 7)
+      val strat = daily.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_dow"), sum(col("cnt")).as("tot_dow"))
+      val r = daily.join(broadcast(strat), Seq("dow"))
+        .withColumn("r", col("cnt") * col("n_dow") - col("tot_dow"))
+        .withColumn("absr", abs(col("r")))
+      // counting median of |r| per stratum (lower-median convention)
+      val w = Window.partitionBy(col("dow")).orderBy(col("absr"))
+      val mad = r.groupBy(col("dow"), col("absr"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("tot",
+          sum(col("c")).over(Window.partitionBy(col("dow"))))
+        .filter(col("cum") >= expr("(tot + 1) div 2"))
+        .groupBy(col("dow")).agg(min(col("absr")).as("mad"))
+      r.join(broadcast(mad), Seq("dow"))
+        .select(col("day"), col("dow"), col("cnt"), col("r"),
+          col("mad"), (col("absr") > lit(3) * col("mad")).as("anomaly"))
+        .orderBy(col("day"))
+    }),
+
     // Per-key mode (most frequent value): neither engine defines
     // mode()'s tie order, so the portable formulation is count →
     // per-key max over a window → keep tied rows → MIN as the
@@ -2556,6 +2593,33 @@ object Relational extends QueryModule {
         .orderBy(col("bucket"))
     }),
 
+    // Categorical-column drift — the third member of the drift family
+    // (q_dist_drift = numeric distribution, text_source_drift =
+    // token-level by source): event-type MIX shift between the first
+    // and second half of the month, per type in exact ppm with the
+    // total-variation contribution. The schema-drift alarm a feature
+    // store fires when an upstream product change rebalances event
+    // emission. One scan, one |types|-row aggregate, scalar totals
+    // ride broadcast — scan-bound at any volume.
+    "q_cat_drift" -> ((s, d) => {
+      val per = events(s, d)
+        .select(col("event_type"),
+          (dayofmonth(col("ts")) <= 15).as("is_ref"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_rows"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_rows"))
+      val tot = per.agg(sum(col("ref_rows")).as("n_ref"),
+        sum(col("cur_rows")).as("n_cur"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("ref_ppm", expr("ref_rows * 1000000L div n_ref"))
+        .withColumn("cur_ppm", expr("cur_rows * 1000000L div n_cur"))
+        .withColumn("shift_ppm", col("cur_ppm") - col("ref_ppm"))
+        .select(col("event_type"), col("ref_rows"), col("cur_rows"),
+          col("ref_ppm"), col("cur_ppm"), col("shift_ppm"),
+          expr("cast(abs(shift_ppm) div 2 as bigint)").as("tvd_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
     // TPC-H Q20 shape (potential part promotion): suppliers who ship a
     // CONCENTRATED share of some red part's volume — the nested
     // per-part threshold subquery + semi-join chain that makes Q20 the
@@ -3534,6 +3598,38 @@ object Relational extends QueryModule {
         |  MAX(gap_s) AS max_gap_s
         |FROM w""".stripMargin,
 
+    "q_anomaly_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT day, cnt, (day + 3) % 7 AS dow FROM daily),
+        |strat AS (
+        |  SELECT dow, COUNT(*) AS n_dow, SUM(cnt) AS tot_dow
+        |  FROM d2 GROUP BY 1),
+        |r AS (
+        |  SELECT day, d2.dow, cnt,
+        |    cnt * n_dow - tot_dow AS r,
+        |    abs(cnt * n_dow - tot_dow) AS absr
+        |  FROM d2 JOIN strat ON d2.dow = strat.dow),
+        |madc AS (
+        |  SELECT dow, absr, COUNT(*) AS c FROM r GROUP BY 1, 2),
+        |madcum AS (
+        |  SELECT dow, absr,
+        |    SUM(c) OVER (PARTITION BY dow ORDER BY absr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY dow) AS tot
+        |  FROM madc),
+        |mad AS (
+        |  SELECT dow, MIN(absr) AS mad FROM madcum
+        |  WHERE cum >= (tot + 1) // 2 GROUP BY dow)
+        |SELECT day, r.dow, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(r AS BIGINT) AS r, CAST(mad AS BIGINT) AS mad,
+        |  absr > 3 * mad AS anomaly
+        |FROM r JOIN mad ON r.dow = mad.dow
+        |ORDER BY day""".stripMargin,
+
     "q_anomaly_mad" ->
       """WITH e AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
@@ -4188,6 +4284,30 @@ object Relational extends QueryModule {
         |  MIN(lo_cents) AS lo_cents, MAX(hi_cents) AS hi_cents
         |FROM cum CROSS JOIN n
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_cat_drift" ->
+      """WITH per AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END)
+        |      AS ref_rows,
+        |    SUM(CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END)
+        |      AS cur_rows
+        |  FROM events GROUP BY event_type),
+        |tot AS (
+        |  SELECT SUM(ref_rows) AS n_ref, SUM(cur_rows) AS n_cur
+        |  FROM per),
+        |j AS (
+        |  SELECT event_type, ref_rows, cur_rows,
+        |    ref_rows * 1000000 // n_ref AS ref_ppm,
+        |    cur_rows * 1000000 // n_cur AS cur_ppm
+        |  FROM per CROSS JOIN tot)
+        |SELECT event_type, CAST(ref_rows AS BIGINT) AS ref_rows,
+        |  CAST(cur_rows AS BIGINT) AS cur_rows,
+        |  CAST(ref_ppm AS BIGINT) AS ref_ppm,
+        |  CAST(cur_ppm AS BIGINT) AS cur_ppm,
+        |  CAST(cur_ppm - ref_ppm AS BIGINT) AS shift_ppm,
+        |  CAST(abs(cur_ppm - ref_ppm) // 2 AS BIGINT) AS tvd_ppm
+        |FROM j ORDER BY event_type""".stripMargin,
 
     "q_dist_drift" ->
       """WITH cents AS (

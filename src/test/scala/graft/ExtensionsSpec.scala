@@ -20,7 +20,8 @@ class ExtensionsSpec extends SparkSpec {
       .registerFunctions(ext, FunctionRegistry.builtin.clone())
     val expected = Seq("simhash64", "float_dot", "sorted_intersect_count",
       "shingle_hashes", "minhash_sig", "lsh_codes", "py_json",
-      "full_change_rows", "kmv_smallest", "token_md5_60", "md5_shingles32")
+      "full_change_rows", "kmv_smallest", "token_md5_60", "md5_shingles32",
+      "block_mean_hash60", "frame_sums")
     expected.foreach { name =>
       assert(reg.functionExists(FunctionIdentifier(name)),
         s"$name not registered via extensions")

@@ -326,20 +326,51 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("frame_sums equals the composed substring/aggregate formulation") {
+    val edge = Seq(
+      (1L, "a" * 64),                      // exactly one frame
+      (2L, "a" * 63),                      // below one frame -> empty
+      (3L, "abcdefgh" * 20),               // 160 chars, ragged tail
+      (4L, (0 until 640).map(i => ('a' + i % 26).toChar).mkString)
+    ).toDF("doc_id", "text")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, docs)) {
+      val native = df.select(col("doc_id"),
+        graft.expressions.FrameSums.frame_sums(col("text"), 64).as("fs"))
+        .as[(Long, Array[Long])].collect().toMap
+      val composed = df
+        .select(col("doc_id"), expr(
+          // sequence(1, 0) would descend, so the short-input case is
+          // guarded to an empty array explicitly
+          "CASE WHEN length(text) >= 64 THEN" +
+            " transform(sequence(1, length(text) div 64)," +
+            " f -> aggregate(filter(split(substring(text," +
+            " cast((f - 1) * 64 as int) + 1, 64), ''), c -> c != '')," +
+            " 0L, (a, c) -> a + ascii(c)))" +
+            " ELSE array() END").as("fs"))
+        .as[(Long, Array[Long])].collect().toMap
+      assert(native.keySet == composed.keySet)
+      for (k <- native.keySet)
+        assert(native(k).toSeq == composed(k).toSeq, s"doc $k")
+    }
+  }
+
   test("native expressions: interpreted eval matches codegen") {
     val df = spark.read.parquet(s"$sf/documents.parquet").limit(40)
       // multibyte row exercises BlockMeanHash60's code-point fallback
       .unionByName(Seq((999999L, "héllo wörld £" * 12))
         .toDF("doc_id", "text"), allowMissingColumns = true)
-    def run(): Seq[(Int, Seq[Long], Seq[Long], Long)] = df.select(
+    def run(): Seq[(Int, Seq[Long], Seq[Long], Long, Seq[Long])] = df.select(
       size(ShingleHashes.shingle_hashes(col("text"), 8)).as("ns"),
       MinHashSig.minhash_sig(
         ShingleHashes.shingle_hashes(col("text"), 8), 16).as("sig"),
       graft.expressions.TokenMd5.token_md5_60(col("text")).as("th"),
       graft.expressions.BlockMeanHash60
-        .blockMeanHash60(col("text")).as("bh"))
-      .as[(Int, Array[Long], Array[Long], Long)].collect().toSeq
-      .map { case (n, s, t, b) => (n, s.toSeq, t.toSeq, b) }
+        .blockMeanHash60(col("text")).as("bh"),
+      graft.expressions.FrameSums.frame_sums(col("text"), 64).as("fs"))
+      .as[(Int, Array[Long], Array[Long], Long, Array[Long])].collect().toSeq
+      .map { case (n, s, t, b, f) => (n, s.toSeq, t.toSeq, b, f.toSeq) }
     val viaCodegen = run()
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")

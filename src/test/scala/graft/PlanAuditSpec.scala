@@ -126,7 +126,12 @@ class PlanAuditSpec extends SparkSpec {
       "q_dist_drift",
       // pair table × broadcast ONE-row token total N (scalar
       // ride-along, same as corpus_epochs)
-      "text_collocations")
+      "text_collocations",
+      // verified pair table × broadcast 3-row threshold table (bounded
+      // fan-out, one banding+verify pass)
+      "dedup_threshold_sweep",
+      // |types|-row aggregate × broadcast ONE-row period totals
+      "q_cat_drift")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
