@@ -246,7 +246,13 @@ object ScaleProbe {
       // 3-row table; the shard index is the packer's metadata-only
       // prefix sum + a per-shard window; categorical drift is one
       // scan + a |types|-row aggregate
-      "dedup_threshold_sweep", "mm_shard_index", "q_cat_drift")
+      "dedup_threshold_sweep", "mm_shard_index", "q_cat_drift",
+      // wave-13: forward as-of is the one-shuffle carry window on
+      // user_id; split balance is two per-doc scans joined on doc_id
+      // + a 3-row rollup
+      "q_forward_asof", "corpus_split_balance",
+      // wave-14: SPC rules run over the calendar-bounded day spine
+      "q_spc_rules")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

@@ -266,6 +266,39 @@ object Pipeline extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    // Split DISTRIBUTION-PARITY audit — the release check after
+    // corpus_split_report (composition) and corpus_split_leakage
+    // (contamination): val/test must look like train on the quality
+    // axes, or held-out loss measures the skew, not the model. Per
+    // split: docs, Gopher pass rate (ppm), total/mean token mass, and
+    // mean doc length in chars — all integer-exact, all from ONE join
+    // of the split assignment with the per-doc rule battery. A pass
+    // rate or length mean that diverges across splits says the hash
+    // is fine but the corpus is stratified in a way 90/5/5 sampling
+    // exposes. Scale: two per-doc scans joined on doc_id, a 3-row
+    // rollup.
+    "corpus_split_balance" -> ((s, d) => {
+      val split = splitAssign(documents(s, d))
+        .select(col("doc_id"), col("split"))
+      val flags = graft.operators.TextAnalysis
+        .queries("text_gopher_rules")(s, d)
+        .select(col("doc_id"), col("n_tokens"), col("pass"))
+      val chars = documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      split.join(flags, Seq("doc_id")).join(chars, Seq("doc_id"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pass")).as("n_pass"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .withColumn("pass_ppm", expr("n_pass * 1000000L div n_docs"))
+        .withColumn("mean_tokens_milli",
+          expr("total_tokens * 1000L div n_docs"))
+        .withColumn("mean_chars_milli",
+          expr("total_chars * 1000L div n_docs"))
+        .orderBy(col("split"))
+    }),
+
     // Cross-split leakage audit: near-dup pairs whose members landed
     // in DIFFERENT splits. A content-hash split keeps byte-identical
     // duplicates together by construction, but a NEAR-dup at J>=0.8
@@ -1715,6 +1748,53 @@ object Pipeline extends QueryModule {
         |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_split_balance" ->
+      s"""WITH split AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 90 THEN 'train'
+         |         WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+         |    FROM documents)),
+         |t AS (
+         |  SELECT doc_id, text, len(text) AS n_chars,
+         |    ${TextAnalysis.sqlToks} AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum(list_prepend(0,
+         |      list_transform(toks, t -> len(t)))) AS BIGINT) AS tok_chars,
+         |    CAST(len(list_filter(toks,
+         |      t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+         |      AS BIGINT) AS n_sym,
+         |    CAST(len(list_filter(toks, t -> t IN
+         |      (${TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")})))
+         |      AS BIGINT) AS n_stop
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_tokens, n_chars,
+         |    CASE WHEN n_tokens >= 10 AND n_tokens <= 1000
+         |          AND CAST(tok_chars AS DOUBLE) / n_tokens >= 2.0
+         |          AND CAST(tok_chars AS DOUBLE) / n_tokens <= 8.0
+         |          AND CAST(n_sym AS DOUBLE) / n_chars < 0.1
+         |          AND CAST(n_alpha AS DOUBLE) / n_tokens > 0.8
+         |          AND n_stop >= 2
+         |      THEN 1 ELSE 0 END AS pass
+         |  FROM m)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(SUM(pass) AS BIGINT) AS n_pass,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(pass) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm,
+         |  CAST(SUM(n_tokens) * 1000 // COUNT(*) AS BIGINT)
+         |    AS mean_tokens_milli,
+         |  CAST(SUM(n_chars) * 1000 // COUNT(*) AS BIGINT)
+         |    AS mean_chars_milli
+         |FROM split JOIN r USING (doc_id)
+         |GROUP BY split
+         |ORDER BY split""".stripMargin,
 
     "corpus_split_leakage" ->
       """WITH sh AS (

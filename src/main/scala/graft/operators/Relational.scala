@@ -387,6 +387,38 @@ object Relational extends QueryModule {
         .orderBy(col("purchase_id"))
     }),
 
+    // FORWARD as-of join — q_asof_click's time-mirror, and the one a
+    // LABELING pipeline needs: for each view event, the NEXT purchase
+    // (ts >= view ts) by the same user — "did this impression convert,
+    // and to what" — where the backward form answers attribution.
+    // Same scalable union + carry window formulation, with the frame
+    // REVERSED (currentRow..unboundedFollowing) instead of a second
+    // sort: one user_id shuffle, linear per partition, no range probe.
+    // kind orders view BEFORE purchase at equal ts, so the view's
+    // forward frame still contains a same-instant purchase =>
+    // inclusive (>=).
+    "q_forward_asof" -> ((s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_id")).as("next_purchase_id"))
+        .select(col("user_id"), col("ts"), col("next_purchase_id"),
+          lit(1).as("kind"), lit(null).cast("long").as("view_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          lit(null).cast("long").as("next_purchase_id"), lit(0).as("kind"),
+          col("event_id").as("view_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      purchases.unionByName(views)
+        .withColumn("converts_to",
+          first(col("next_purchase_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 0)
+        .select(col("view_id"), col("user_id"), col("converts_to"))
+        .orderBy(col("view_id"))
+    }),
+
     // Range/theta join: equi-key plus inequality — per order, count
     // line-item pairs shipped in strictly increasing date order. The
     // equi key carries the shuffle; the inequality evaluates inside
@@ -1410,6 +1442,57 @@ object Relational extends QueryModule {
       r.join(broadcast(mad), Seq("dow"))
         .select(col("day"), col("dow"), col("cnt"), col("r"),
           col("mad"), (col("absr") > lit(3) * col("mad")).as("anomaly"))
+        .orderBy(col("day"))
+    }),
+
+    // Control-chart screening (Western Electric rules 1, 2 and 4) over
+    // daily event volume — the SPC discipline q_cusum/q_anomaly_mad
+    // complement: rule 1 = a point beyond 3σ, rule 2 = 2 of 3
+    // consecutive points beyond 2σ on the same side, rule 4 = 8
+    // consecutive points on one side of the mean. Everything integer:
+    // with n days, total S, r_t = n·x_t − S (= n·(x_t − mean)) and
+    // D = Σ r² (= n³·variance), "beyond kσ" is r²·n > k²·D
+    // cross-multiplied — no sqrt, no float σ, bit-identical engines.
+    // Decimal(38,0) keeps r² exact past 1e12 events/day. Rule 4's run
+    // length is gaps-and-islands on the sign. All windows run over
+    // the calendar-bounded day spine; the fact scan collapses first.
+    "q_spc_rules" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val scal = daily.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("s"))
+      val r = daily.crossJoin(broadcast(scal))
+        .withColumn("r", expr(
+          "cast(n as decimal(38,0)) * x - s"))
+      val dTot = r.agg(sum(col("r") * col("r")).as("dd"))
+      val w = Window.orderBy(col("day"))
+      val flagged = r.crossJoin(broadcast(dTot))
+        .withColumn("beyond3", expr("r * r * n > 9 * dd"))
+        .withColumn("beyond2", expr("r * r * n > 4 * dd"))
+        .withColumn("side", when(col("r") > 0, 1L)
+          .when(col("r") < 0, -1L).otherwise(0L))
+        .withColumn("b2pos", when(col("beyond2") && col("side") === 1, 1L)
+          .otherwise(0L))
+        .withColumn("b2neg", when(col("beyond2") && col("side") === -1, 1L)
+          .otherwise(0L))
+        .withColumn("rule2",
+          sum(col("b2pos")).over(w.rowsBetween(-2, 0)) >= 2 ||
+            sum(col("b2neg")).over(w.rowsBetween(-2, 0)) >= 2)
+        .withColumn("newRun",
+          when(lag(col("side"), 1).over(w).isNull ||
+            lag(col("side"), 1).over(w) =!= col("side"), 1L).otherwise(0L))
+        .withColumn("runId", sum(col("newRun"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val runLen = Window.partitionBy(col("runId")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      flagged
+        .withColumn("run_len", count(lit(1)).over(runLen))
+        .select(col("day"), col("x"),
+          expr("cast(r as bigint)").as("r"),
+          col("beyond3").as("rule1"), col("rule2"),
+          (col("run_len") >= 8 && col("side") =!= 0).as("rule4"))
         .orderBy(col("day"))
     }),
 
@@ -2804,6 +2887,21 @@ object Relational extends QueryModule {
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "q_forward_asof" ->
+      """WITH purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         MIN(event_id) AS next_purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |views AS (
+        |  SELECT event_id AS view_id, user_id,
+        |         CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'view')
+        |SELECT v.view_id, v.user_id,
+        |  p.next_purchase_id AS converts_to
+        |FROM views v ASOF LEFT JOIN purchases p
+        |  ON v.user_id = p.user_id AND v.ts <= p.ts
+        |ORDER BY v.view_id""".stripMargin,
+
     "q_asof_click" ->
       """WITH clicks AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -3597,6 +3695,48 @@ object Relational extends QueryModule {
         |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS p90_gap_s,
         |  MAX(gap_s) AS max_gap_s
         |FROM w""".stripMargin,
+
+    "q_spc_rules" ->
+      """WITH daily AS (
+        |  SELECT CAST(datediff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    COUNT(*) AS x
+        |  FROM events GROUP BY 1),
+        |scal AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily),
+        |r AS (
+        |  SELECT day, x, n, CAST(n AS HUGEINT) * x - s AS r
+        |  FROM daily CROSS JOIN scal),
+        |dd AS (SELECT SUM(r * r) AS dd FROM r),
+        |f AS (
+        |  SELECT day, x, r,
+        |    r * r * n > 9 * dd.dd AS beyond3,
+        |    r * r * n > 4 * dd.dd AS beyond2,
+        |    CASE WHEN r > 0 THEN 1 WHEN r < 0 THEN -1 ELSE 0 END AS side
+        |  FROM r CROSS JOIN dd),
+        |g AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN beyond2 AND side = 1 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2
+        |    OR SUM(CASE WHEN beyond2 AND side = -1 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2 AS rule2,
+        |    CASE WHEN LAG(side) OVER (ORDER BY day) IS NULL
+        |      OR LAG(side) OVER (ORDER BY day) <> side
+        |      THEN 1 ELSE 0 END AS newrun
+        |  FROM f),
+        |h AS (
+        |  SELECT *, SUM(newrun) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runid
+        |  FROM g),
+        |i AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY runid ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_len
+        |  FROM h)
+        |SELECT day, CAST(x AS BIGINT) AS x, CAST(r AS BIGINT) AS r,
+        |  beyond3 AS rule1, rule2,
+        |  (run_len >= 8 AND side <> 0) AS rule4
+        |FROM i ORDER BY day""".stripMargin,
 
     "q_anomaly_seasonal" ->
       """WITH daily AS (

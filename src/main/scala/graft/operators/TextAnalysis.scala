@@ -22,7 +22,7 @@ object TextAnalysis extends QueryModule {
   /** Non-empty whitespace tokens — identical semantics both engines. */
   private val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
 
-  private val stopwords =
+  private[operators] val stopwords =
     Seq("the", "and", "of", "to", "a", "in", "is", "it")
 
   /** Marker vocabularies for the language-ID heuristic. Priority codes
@@ -35,7 +35,7 @@ object TextAnalysis extends QueryModule {
     ("fr", 1, Seq("le", "les", "des", "est", "que", "une")),
     ("zh", 0, Seq("de", "shi", "bu", "zai", "you", "wo")))
 
-  private def sqlToks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+  private[operators] def sqlToks = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
 
   /** Positional 32-bit md5 window hashes — the native one-pass
     * replacement for

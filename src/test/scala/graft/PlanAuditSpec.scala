@@ -131,7 +131,10 @@ class PlanAuditSpec extends SparkSpec {
       // fan-out, one banding+verify pass)
       "dedup_threshold_sweep",
       // |types|-row aggregate × broadcast ONE-row period totals
-      "q_cat_drift")
+      "q_cat_drift",
+      // calendar-bounded day spine × broadcast ONE-row (n, S) and
+      // ONE-row Σr² scalars
+      "q_spc_rules")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
