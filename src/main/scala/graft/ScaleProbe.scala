@@ -252,7 +252,10 @@ object ScaleProbe {
       // + a 3-row rollup
       "q_forward_asof", "corpus_split_balance",
       // wave-14: SPC rules run over the calendar-bounded day spine
-      "q_spc_rules")
+      "q_spc_rules",
+      // wave-15: the JL projection is a linear scan (16 fixed dots per
+      // row); the audit join touches only the bounded truth pairs
+      "emb_jl_audit")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

@@ -449,6 +449,58 @@ object Similarity extends QueryModule {
             .as("n_hits"))
         .withColumn("recall_ppm", expr("n_hits * 1000000L div n_truth"))
         .orderBy(col("k"))
+    }),
+
+    // Johnson-Lindenstrauss projection fidelity audit — the check run
+    // before serving distance work from a cheap sketch: project the
+    // corpus to 16 dims through the SAME deterministic Rademacher
+    // planes the sign-LSH tables use (bit 0 of each table — real
+    // VALUES this time, not signs) and report, for every brute-force
+    // top-10 truth pair, the full-space cosine, the projected-space
+    // cosine, and |error| in milli. JL says error concentrates at
+    // O(sqrt(log n / k)); this measures it on the actual corpus. All
+    // dot products are the strict sequential fold (matches DuckDB's
+    // list_dot_product bit for bit — the dedup_embedding_cosine
+    // precedent), so even the double outputs hash-match. Scale: the
+    // projection is a linear scan with 16 fixed 64-term dots per row;
+    // the audit join touches only the bounded truth pairs.
+    "emb_jl_audit" -> ((s, d) => {
+      val c = corpus(s, d)
+      val q = querySet(c)
+      val dots = (0 until NumTables).map { t =>
+        val ws = planeWeights(t, 0)
+          .map(w => if (w > 0) "1.0D" else "-1.0D")
+          .mkString("array(", ",", ")")
+        s"aggregate(zip_with(embedding, $ws," +
+          s" (x, y) -> cast(x as double) * y)," +
+          s" cast(0.0 as double), (a, v) -> a + v)"
+      }
+      val dot16 = "aggregate(zip_with(%s, %s, (x, y) -> x * y)," +
+        " cast(0.0 as double), (a, v) -> a + v)"
+      val wb = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val truth = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", cosine(col("q_emb"), col("q_nrm"),
+          col("embedding"), col("nrm")))
+        .withColumn("rank", row_number().over(wb))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cosine"))
+      val proj = c
+        .select(col("vec_id"), expr(s"array(${dots.mkString(",")})").as("p"))
+        .withColumn("pn", expr(dot16.format("p", "p")))
+      truth
+        .join(proj.select(col("vec_id").as("query_id"),
+          col("p").as("qp"), col("pn").as("qn")), Seq("query_id"))
+        .join(proj.select(col("vec_id").as("neighbor_id"),
+          col("p").as("np"), col("pn").as("nn")), Seq("neighbor_id"))
+        .withColumn("jl_cosine", expr(dot16.format("qp", "np")) /
+          (sqrt(col("qn")) * sqrt(col("nn"))))
+        .withColumn("err_milli",
+          expr("cast(round(abs(cosine - jl_cosine) * 1000) as bigint)"))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("jl_cosine"), col("err_milli"))
+        .orderBy(col("query_id"), col("neighbor_id"))
     })
   )
 
@@ -1110,6 +1162,42 @@ object Similarity extends QueryModule {
          |CROSS JOIN ks
          |WHERE t.t_rank <= k
          |GROUP BY k ORDER BY k""".stripMargin
+    },
+
+    "emb_jl_audit" -> {
+      val projList = (0 until NumTables)
+        .map(t => s"list_dot_product(emb, ${weightsLit(t, 0)})")
+        .mkString("[", ", ", "]")
+      s"""WITH c0 AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                     CAST(embedding AS DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+         |      FROM c0 WHERE vec_id < 10),
+         |truth AS (
+         |  SELECT query_id, vec_id AS neighbor_id, cosine FROM (
+         |    SELECT q.query_id, c0.vec_id,
+         |      list_dot_product(q.q_emb, c0.emb)
+         |        / (sqrt(q.q_nrm) * sqrt(c0.nrm)) AS cosine,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.q_emb, c0.emb)
+         |          / (sqrt(q.q_nrm) * sqrt(c0.nrm)) DESC, c0.vec_id)
+         |        AS rank
+         |    FROM c0 JOIN q ON c0.vec_id <> q.query_id)
+         |  WHERE rank <= 10),
+         |proj AS (
+         |  SELECT vec_id, p, list_dot_product(p, p) AS pn FROM (
+         |    SELECT vec_id, $projList AS p FROM c0))
+         |SELECT t.query_id, t.neighbor_id, t.cosine,
+         |  list_dot_product(a.p, b.p) / (sqrt(a.pn) * sqrt(b.pn))
+         |    AS jl_cosine,
+         |  CAST(round(abs(t.cosine - list_dot_product(a.p, b.p)
+         |    / (sqrt(a.pn) * sqrt(b.pn))) * 1000) AS BIGINT) AS err_milli
+         |FROM truth t
+         |JOIN proj a ON a.vec_id = t.query_id
+         |JOIN proj b ON b.vec_id = t.neighbor_id
+         |ORDER BY t.query_id, t.neighbor_id""".stripMargin
     }
   )
 }

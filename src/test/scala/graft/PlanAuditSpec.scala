@@ -134,7 +134,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_cat_drift",
       // calendar-bounded day spine × broadcast ONE-row (n, S) and
       // ONE-row Σr² scalars
-      "q_spc_rules")
+      "q_spc_rules",
+      // embeds sim_topk_brute's corpus × broadcast 10-probe truth pass
+      "emb_jl_audit")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
