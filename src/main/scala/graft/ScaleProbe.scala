@@ -255,7 +255,10 @@ object ScaleProbe {
       "q_spc_rules",
       // wave-15: the JL projection is a linear scan (16 fixed dots per
       // row); the audit join touches only the bounded truth pairs
-      "emb_jl_audit")
+      "emb_jl_audit",
+      // wave-16: KN smoothing rides the bigram-keyed table family
+      // (perturbed text -> per-copy-disjoint vocab, linear)
+      "text_kn_fluency")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

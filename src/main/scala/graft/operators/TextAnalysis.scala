@@ -614,6 +614,53 @@ object TextAnalysis extends QueryModule {
     "text_bigram_lm" -> ((s, d) =>
       bigramFluency(s, d).orderBy(col("doc_id"))),
 
+    // Kneser-Ney smoothed bigram fluency — the real LM smoothing
+    // (text_bigram_lm is the unsmoothed MLE): with absolute discount
+    // d = 3/4,  p_KN(w2|w1) = max(c12 − d, 0)/c1
+    //                       + (d·N1+(w1·)/c1) · N1+(·w2)/B
+    // (continuation probability = how many contexts w2 FOLLOWS, over
+    // B = distinct bigram types — the insight that makes KN the
+    // standard). Entirely rational, so the per-bigram score clears to
+    // ONE exact integer division:
+    //   p_ppm = (max(4·c12 − 3, 0)·B + 3·f1·pre2) · 1e6
+    //             div (4·c1·B)                    (decimal(38,0)).
+    // Per doc: bigram count, mean and min p_ppm (the weakest-link
+    // bigram is the classic junk tell). Scale shape identical to
+    // text_bigram_lm: every aggregate/join keys on the bigram or its
+    // endpoints (vocabulary-sized, NO broadcast hint — AQE decides);
+    // B rides broadcast as the one scalar.
+    "text_kn_fluency" -> ((s, d) => {
+      val bg = documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> struct(toks[i - 1] as w1, toks[i] as w2," +
+            " concat(toks[i - 1], ' ', toks[i]) as big))")).as("e"))
+        .select(col("doc_id"), col("e.w1").as("w1"),
+          col("e.w2").as("w2"), col("e.big").as("big"))
+      val c2 = bg.groupBy(col("big"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val f1 = c2.groupBy(col("w1")).agg(count(lit(1)).as("f1"))
+      val pre2 = c2.groupBy(col("w2")).agg(count(lit(1)).as("pre2"))
+      val b = c2.agg(count(lit(1)).as("b"))
+      val probs = c2.join(c1, Seq("w1")).join(f1, Seq("w1"))
+        .join(pre2, Seq("w2"))
+        .crossJoin(broadcast(b))
+        .select(col("big"), expr(
+          "cast((greatest(4 * c2 - 3, 0L) * cast(b as decimal(38,0))" +
+            " + 3 * f1 * pre2) * 1000000" +
+            " div (4 * cast(c1 as decimal(38,0)) * b) as bigint)")
+          .as("p_ppm"))
+      bg.join(probs, Seq("big"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_ppm) div count(1)").as("mean_kn_ppm"),
+          min(col("p_ppm")).as("min_kn_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style quality bucketing (Wenzek et al. 2020 §4.3): split
     // each language's documents into head/middle/tail thirds by LM
     // fluency. CCNet assigns buckets by comparing each doc's score to
@@ -1306,6 +1353,34 @@ object TextAnalysis extends QueryModule {
          |GROUP BY d.source
          |ORDER BY d.source""".stripMargin
     },
+
+    "text_kn_fluency" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+         |    toks[i] || ' ' || toks[i + 1] AS big
+         |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) u(i)
+         |  WHERE len(toks) >= 2),
+         |c2 AS (
+         |  SELECT big, w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2, 3),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+         |f1 AS (SELECT w1, COUNT(*) AS f1 FROM c2 GROUP BY 1),
+         |pre2 AS (SELECT w2, COUNT(*) AS pre2 FROM c2 GROUP BY 1),
+         |b AS (SELECT COUNT(*) AS b FROM c2),
+         |probs AS (
+         |  SELECT big,
+         |    CAST((greatest(4 * c2.c2 - 3, 0)::HUGEINT * b.b
+         |      + 3 * f1.f1 * pre2.pre2) * 1000000
+         |      // (4 * c1.c1::HUGEINT * b.b) AS BIGINT) AS p_ppm
+         |  FROM c2 JOIN c1 USING (w1) JOIN f1 USING (w1)
+         |    JOIN pre2 USING (w2) CROSS JOIN b)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_kn_ppm,
+         |  MIN(p_ppm) AS min_kn_ppm
+         |FROM bg JOIN probs USING (big)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "text_collocations" ->
       s"""WITH t AS (

@@ -136,7 +136,9 @@ class PlanAuditSpec extends SparkSpec {
       // ONE-row Σr² scalars
       "q_spc_rules",
       // embeds sim_topk_brute's corpus × broadcast 10-probe truth pass
-      "emb_jl_audit")
+      "emb_jl_audit",
+      // bigram-type table × broadcast ONE-row type-count scalar B
+      "text_kn_fluency")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
