@@ -259,6 +259,11 @@ object ScaleProbe {
       // wave-16: KN smoothing rides the bigram-keyed table family
       // (perturbed text -> per-copy-disjoint vocab, linear)
       "text_kn_fluency")
+      // q_ts_similarity is deliberately absent (the q_record_linkage /
+      // emb_pair_hist precedent): with a FIXED 6-symbol blocking word,
+      // replicating users n-fold grows in-block pairs n^2 BY DESIGN —
+      // word length / alphabet granularity is the documented scale
+      // knob, so its ratio would measure the knob, not the pipeline.
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

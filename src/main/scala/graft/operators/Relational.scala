@@ -1496,6 +1496,68 @@ object Relational extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // Time-series SIMILARITY SEARCH with symbolic blocking (the
+    // SAX-style discipline: symbolize, block on the word, verify
+    // exactly — the same block-then-verify shape as every dedup tier
+    // here, applied to series): each user's activity becomes 6 weekly
+    // sums; the SAX-ish word is the per-week sign against the user's
+    // own mean (6·w_i vs Σw, cross-multiplied — level-invariant, so
+    // users with the same SHAPE share a word at any volume); candidate
+    // pairs come from an equi-join on the word; the verify is exact
+    // Pearson over the weekly sums in SIGNED SQUARED milli
+    // (sign(cov)·cov²·1e3 div (vx·vy) — integer, no sqrt), kept at
+    // |r| ≥ ~0.975 (r²_milli ≥ 950). Blocking-key granularity is the
+    // scale knob exactly as in q_record_linkage (longer words / finer
+    // quantiles shrink blocks as users grow); constant series (vx = 0)
+    // are unverifiable and excluded.
+    "q_ts_similarity" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("user_id"),
+          expr("cast(datediff(cast(ts as date), date '1970-01-01')" +
+            " as bigint) div 7").as("wk"))
+        .agg(count(lit(1)).as("cnt"))
+      val minWk = daily.agg(min(col("wk")).as("w0"))
+      val wide = daily.crossJoin(broadcast(minWk))
+        .withColumn("i", col("wk") - col("w0"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("i") === 0, col("cnt")).otherwise(0L)).as("w0"),
+          (1 until 6).map(i =>
+            sum(when(col("i") === i, col("cnt")).otherwise(0L))
+              .as(s"w$i")): _*)
+      val withStats = wide
+        .withColumn("sx", expr("w0+w1+w2+w3+w4+w5"))
+        .withColumn("sxx", expr(
+          "cast(w0 as decimal(38,0))*w0 + cast(w1 as decimal(38,0))*w1" +
+            " + cast(w2 as decimal(38,0))*w2 + cast(w3 as decimal(38,0))*w3" +
+            " + cast(w4 as decimal(38,0))*w4 + cast(w5 as decimal(38,0))*w5"))
+        .withColumn("vx", expr("6 * sxx - cast(sx as decimal(38,0)) * sx"))
+        .withColumn("word", expr(
+          (0 until 6).map(i =>
+            s"case when 6 * w$i > sx then 'a'" +
+              s" when 6 * w$i < sx then 'c' else 'b' end")
+            .mkString("concat(", ",", ")")))
+        .filter(col("vx") > 0)
+      val a = withStats.select(Seq(col("user_id").as("u1"), col("word")) ++
+        (0 until 6).map(i => col(s"w$i").as(s"a$i")) ++
+        Seq(col("sx").as("sxa"), col("vx").as("vxa")): _*)
+      val b = withStats.select(Seq(col("user_id").as("u2"), col("word")) ++
+        (0 until 6).map(i => col(s"w$i").as(s"b$i")) ++
+        Seq(col("sx").as("sxb"), col("vx").as("vxb")): _*)
+      a.join(b, Seq("word")).filter(col("u1") < col("u2"))
+        .withColumn("sxy", expr(
+          (0 until 6).map(i => s"cast(a$i as decimal(38,0)) * b$i")
+            .mkString(" + ")))
+        .withColumn("cov", expr(
+          "6 * sxy - cast(sxa as decimal(38,0)) * sxb"))
+        .withColumn("r2_signed_milli", expr(
+          "case when cov < 0 then -(cov * cov * 1000 div (vxa * vxb))" +
+            " else cov * cov * 1000 div (vxa * vxb) end"))
+        .filter(col("r2_signed_milli") >= 950)
+        .select(col("u1"), col("u2"), col("word"),
+          expr("cast(r2_signed_milli as bigint)").as("r2_milli"))
+        .orderBy(col("u1"), col("u2"))
+    }),
+
     // Per-key mode (most frequent value): neither engine defines
     // mode()'s tie order, so the portable formulation is count →
     // per-key max over a window → keep tied rows → MIN as the
@@ -3695,6 +3757,68 @@ object Relational extends QueryModule {
         |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS p90_gap_s,
         |  MAX(gap_s) AS max_gap_s
         |FROM w""".stripMargin,
+
+    "q_ts_similarity" ->
+      """WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) // 7 AS wk,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mw AS (SELECT MIN(wk) AS w0 FROM daily),
+        |wide AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN wk - w0 = 0 THEN cnt ELSE 0 END) AS w0c,
+        |    SUM(CASE WHEN wk - w0 = 1 THEN cnt ELSE 0 END) AS w1c,
+        |    SUM(CASE WHEN wk - w0 = 2 THEN cnt ELSE 0 END) AS w2c,
+        |    SUM(CASE WHEN wk - w0 = 3 THEN cnt ELSE 0 END) AS w3c,
+        |    SUM(CASE WHEN wk - w0 = 4 THEN cnt ELSE 0 END) AS w4c,
+        |    SUM(CASE WHEN wk - w0 = 5 THEN cnt ELSE 0 END) AS w5c
+        |  FROM daily CROSS JOIN mw GROUP BY 1),
+        |st AS (
+        |  SELECT user_id, w0c, w1c, w2c, w3c, w4c, w5c,
+        |    w0c + w1c + w2c + w3c + w4c + w5c AS sx,
+        |    6 * (w0c::HUGEINT*w0c + w1c::HUGEINT*w1c + w2c::HUGEINT*w2c
+        |       + w3c::HUGEINT*w3c + w4c::HUGEINT*w4c + w5c::HUGEINT*w5c)
+        |      - (w0c + w1c + w2c + w3c + w4c + w5c)::HUGEINT
+        |        * (w0c + w1c + w2c + w3c + w4c + w5c) AS vx,
+        |    (CASE WHEN 6*w0c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
+        |      WHEN 6*w0c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
+        |      ELSE 'b' END)
+        |    || (CASE WHEN 6*w1c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
+        |      WHEN 6*w1c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
+        |      ELSE 'b' END)
+        |    || (CASE WHEN 6*w2c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
+        |      WHEN 6*w2c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
+        |      ELSE 'b' END)
+        |    || (CASE WHEN 6*w3c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
+        |      WHEN 6*w3c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
+        |      ELSE 'b' END)
+        |    || (CASE WHEN 6*w4c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
+        |      WHEN 6*w4c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
+        |      ELSE 'b' END)
+        |    || (CASE WHEN 6*w5c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
+        |      WHEN 6*w5c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
+        |      ELSE 'b' END) AS word
+        |  FROM wide),
+        |cand AS (
+        |  SELECT x.user_id AS u1, y.user_id AS u2, x.word,
+        |    6 * (x.w0c::HUGEINT*y.w0c + x.w1c::HUGEINT*y.w1c
+        |       + x.w2c::HUGEINT*y.w2c + x.w3c::HUGEINT*y.w3c
+        |       + x.w4c::HUGEINT*y.w4c + x.w5c::HUGEINT*y.w5c)
+        |      - x.sx::HUGEINT * y.sx AS cov,
+        |    x.vx AS vxa, y.vx AS vxb
+        |  FROM st x JOIN st y
+        |    ON x.word = y.word AND x.user_id < y.user_id
+        |  WHERE x.vx > 0 AND y.vx > 0),
+        |scored AS (
+        |  SELECT u1, u2, word,
+        |    CASE WHEN cov < 0 THEN -(cov * cov * 1000 // (vxa * vxb))
+        |      ELSE cov * cov * 1000 // (vxa * vxb) END AS r2
+        |  FROM cand)
+        |SELECT u1, u2, word, CAST(r2 AS BIGINT) AS r2_milli
+        |FROM scored WHERE r2 >= 950
+        |ORDER BY u1, u2""".stripMargin,
 
     "q_spc_rules" ->
       """WITH daily AS (

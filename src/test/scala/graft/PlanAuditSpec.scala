@@ -138,7 +138,9 @@ class PlanAuditSpec extends SparkSpec {
       // embeds sim_topk_brute's corpus × broadcast 10-probe truth pass
       "emb_jl_audit",
       // bigram-type table × broadcast ONE-row type-count scalar B
-      "text_kn_fluency")
+      "text_kn_fluency",
+      // weekly aggregate × broadcast ONE-row min-week scalar
+      "q_ts_similarity")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
