@@ -258,7 +258,10 @@ object ScaleProbe {
       "emb_jl_audit",
       // wave-16: KN smoothing rides the bigram-keyed table family
       // (perturbed text -> per-copy-disjoint vocab, linear)
-      "text_kn_fluency")
+      "text_kn_fluency",
+      // wave-17: the backtest runs over the calendar-bounded monthly
+      // spine — only the ingest aggregate scales
+      "q_forecast_backtest")
       // q_ts_similarity is deliberately absent (the q_record_linkage /
       // emb_pair_hist precedent): with a FIXED 6-symbol blocking word,
       // replicating users n-fold grows in-block pairs n^2 BY DESIGN —

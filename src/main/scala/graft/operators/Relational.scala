@@ -1496,6 +1496,54 @@ object Relational extends QueryModule {
         .orderBy(col("day"))
     }),
 
+    // Forecast-baseline BACKTEST (the forecasting-101 artifact: before
+    // any model ships, know what naive / seasonal-naive / drift score
+    // — a model that can't beat the naive table is noise). One-step
+    // backtest over monthly revenue: naive = y_{t−1}, seasonal naive
+    // = y_{t−12}, drift = y_{t−1} + (y_{t−1} − y_1)/(t−2) (Hyndman's
+    // definitions). All predictions are lagged exact cents (drift's
+    // division is the one rational step: sign-split integer div, both
+    // engines identical); per method the table reports forecast
+    // count, MAE and mean signed bias in cents (exact divisions over
+    // non-negative counts). Windows run over the calendar-bounded
+    // monthly spine; the fact scan collapses first.
+    "q_forecast_backtest" -> ((s, d) => {
+      import s.implicits._
+      val monthly = orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("m"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as decimal(38,0))"))
+          .as("y"))
+      val w = Window.orderBy(col("m"))
+      val withPreds = monthly
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("prev", lag(col("y"), 1).over(w))
+        .withColumn("naive", col("prev"))
+        .withColumn("snaive", lag(col("y"), 12).over(w))
+        .withColumn("y1", first(col("y")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("drift", when(col("t") >= 3,
+          col("prev") + expr(
+            "case when prev - y1 < 0" +
+              " then -((y1 - prev) div (t - 2))" +
+              " else (prev - y1) div (t - 2) end")))
+      val errs = Seq(("naive", "naive"), ("seasonal_naive", "snaive"),
+        ("drift", "drift"))
+      errs.map { case (name, c) =>
+        withPreds.filter(col(c).isNotNull)
+          .agg(count(lit(1)).as("n_forecasts"),
+            sum(abs(col("y") - col(c))).as("abs_err"),
+            sum(col("y") - col(c)).as("bias"))
+          .select(lit(name).as("method"), col("n_forecasts"),
+            expr("cast(abs_err div n_forecasts as bigint)")
+              .as("mae_cents"),
+            expr("cast(case when bias < 0" +
+              " then -((-bias) div n_forecasts)" +
+              " else bias div n_forecasts end as bigint)")
+              .as("bias_cents"))
+      }.reduce(_.unionByName(_)).orderBy(col("method"))
+    }),
+
     // Time-series SIMILARITY SEARCH with symbolic blocking (the
     // SAX-style discipline: symbolize, block on the word, verify
     // exactly — the same block-then-verify shape as every dedup tier
@@ -3757,6 +3805,43 @@ object Relational extends QueryModule {
         |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS p90_gap_s,
         |  MAX(gap_s) AS max_gap_s
         |FROM w""".stripMargin,
+
+    "q_forecast_backtest" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |    SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS y
+        |  FROM orders GROUP BY 1),
+        |wp AS (
+        |  SELECT m, y,
+        |    ROW_NUMBER() OVER (ORDER BY m) AS t,
+        |    LAG(y, 1) OVER (ORDER BY m) AS prev,
+        |    LAG(y, 12) OVER (ORDER BY m) AS snaive,
+        |    FIRST_VALUE(y) OVER (ORDER BY m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y1
+        |  FROM monthly),
+        |wp2 AS (
+        |  SELECT *, prev AS naive,
+        |    CASE WHEN t >= 3 THEN prev +
+        |      (CASE WHEN prev - y1 < 0 THEN -((y1 - prev) // (t - 2))
+        |        ELSE (prev - y1) // (t - 2) END) END AS drift
+        |  FROM wp),
+        |res AS (
+        |  SELECT 'naive' AS method, COUNT(*) AS n_forecasts,
+        |    SUM(abs(y - naive)) AS abs_err, SUM(y - naive) AS bias
+        |  FROM wp2 WHERE naive IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'seasonal_naive', COUNT(*), SUM(abs(y - snaive)),
+        |    SUM(y - snaive)
+        |  FROM wp2 WHERE snaive IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'drift', COUNT(*), SUM(abs(y - drift)),
+        |    SUM(y - drift)
+        |  FROM wp2 WHERE drift IS NOT NULL)
+        |SELECT method, n_forecasts,
+        |  CAST(abs_err // n_forecasts AS BIGINT) AS mae_cents,
+        |  CAST(CASE WHEN bias < 0 THEN -((-bias) // n_forecasts)
+        |    ELSE bias // n_forecasts END AS BIGINT) AS bias_cents
+        |FROM res ORDER BY method""".stripMargin,
 
     "q_ts_similarity" ->
       """WITH daily AS (
