@@ -339,8 +339,8 @@ object CdcQueries extends QueryModule {
         |FROM events ORDER BY xid""".stripMargin,
 
     "cdc_scd2" ->
-      """WITH base AS (SELECT event_id, value FROM events),
-        |changes AS (
+      """WITH base AS MATERIALIZED (SELECT event_id, value FROM events),
+        |changes AS MATERIALIZED (
         |  SELECT event_id, 'update' AS op, value * 2 AS new_value,
         |    event_id * 2 AS lsn
         |  FROM base WHERE event_id % 3 = 0

@@ -80,14 +80,32 @@ def main():
             n_bad += 1
             continue
         bad = None
-        for i in range(len(exp)):
-            for c in exp.columns:
-                a, b = exp.iloc[i][c], got.iloc[i][c]
-                if not cell_eq(a, b):
-                    bad = (i, c, a, b)
+        # Vectorized fast path: dtype-respecting frame equality covers
+        # ~every passing query without the 90k-iloc python loop (which
+        # made large-output queries read as "SLOW oracle" when all the
+        # time was the compare). The per-cell loop (which alone knows
+        # cell_eq's -0.0 / int-vs-float / nested-list semantics) runs
+        # only when the frames are not trivially identical.
+        # Stringified equality is driver-faithful (the driver hashes
+        # stringified values) and strictly sufficient for a pass:
+        # "5" vs "5.0" (dtype drift) and "-0.0" vs "0.0" both differ
+        # as strings and fall through to the exact per-cell verdict.
+        # Array-valued cells stringify differently per source (list vs
+        # ndarray) and simply take the slow path as before.
+        trivially_equal = False
+        try:
+            trivially_equal = exp.astype(str).equals(got.astype(str))
+        except Exception:
+            pass
+        if not trivially_equal:
+            for i in range(len(exp)):
+                for c in exp.columns:
+                    a, b = exp.iloc[i][c], got.iloc[i][c]
+                    if not cell_eq(a, b):
+                        bad = (i, c, a, b)
+                        break
+                if bad:
                     break
-            if bad:
-                break
         if bad:
             i, c, a, b = bad
             print(f"FAIL {name}: row {i} col {c}: oracle={a!r} spark={b!r}")
