@@ -25,6 +25,20 @@ object Monitors {
         count(lit(1)).as("rows"))
       .withColumn("layout", lit(layout))
 
+  /** The cents-exact monthly revenue spine — the ONE aggregate the
+    * time-series family (q_acf, q_forecast_backtest) reads: month
+    * index year·12+month, revenue as decimal(38,0) cents. `df` must
+    * carry `o_orderdate`/`o_totalprice`. Streaming face: the same
+    * sum maintained incrementally in complete mode — the spine is
+    * CALENDAR-bounded, so its full state is ~tens of rows however
+    * large the feed (StreamingMonitorParitySpec pins stream ==
+    * batch). */
+  def monthlyCents(df: DataFrame): DataFrame =
+    df.groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      .as("m"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as decimal(38,0))"))
+        .as("rq"))
+
   /** Per-(event_type, user) engagement counts — the contingency input
     * under q_ab_readout's 2×2 chi-square. Batch face: q_ab_readout.
     * Streaming face: the count maintained incrementally (complete

@@ -1509,11 +1509,9 @@ object Relational extends QueryModule {
     // monthly spine; the fact scan collapses first.
     "q_forecast_backtest" -> ((s, d) => {
       import s.implicits._
-      val monthly = orders(s, d)
-        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-          .as("m"))
-        .agg(sum(expr("cast(round(o_totalprice * 100) as decimal(38,0))"))
-          .as("y"))
+      // shared kernel (StreamingMonitorParitySpec): same spine as q_acf
+      val monthly = graft.functions.Monitors.monthlyCents(orders(s, d))
+        .withColumnRenamed("rq", "y")
       val w = Window.orderBy(col("m"))
       val withPreds = monthly
         .withColumn("t", row_number().over(w).cast("long"))
@@ -2565,11 +2563,9 @@ object Relational extends QueryModule {
     // discipline).
     "q_acf" -> ((s, d) => {
       import s.implicits._
-      val monthly = orders(s, d)
-        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-          .as("m"))
-        .agg(sum(expr("cast(round(o_totalprice * 100) as decimal(38,0))"))
-          .as("rq"))
+      // shared kernel: the streaming face maintains the identical
+      // calendar-bounded spine (StreamingMonitorParitySpec)
+      val monthly = graft.functions.Monitors.monthlyCents(orders(s, d))
       val scal = monthly.agg(count(lit(1)).as("n"), sum(col("rq")).as("s"))
       val cent = monthly.crossJoin(broadcast(scal))
         .select(col("m"), col("n"), (col("n") * col("rq") - col("s")).as("c"))

@@ -48,6 +48,35 @@ class StreamingMonitorParitySpec extends SparkSpec {
       s"streaming zone-map stats != batch (${streamed} vs ${batch})")
   }
 
+  test("streaming monthly revenue spine across batches == batch spine") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("string"), col("o_totalprice"))
+      .as[(String, Double)].collect().toSeq
+    assert(o.size >= 100)
+    val in = MemoryStream[(String, Double)]
+    val spine = graft.functions.Monitors.monthlyCents(
+      in.toDF().toDF("o_orderdate", "o_totalprice")
+        .withColumn("o_orderdate", col("o_orderdate").cast("date")))
+    val q = spine.writeStream.format("memory").queryName("spine_stream")
+      .outputMode(OutputMode.Complete).start()
+    o.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .foreach { case (_, b) =>
+        in.addData(b.map(_._1)); q.processAllAvailable()
+      }
+    val streamed = spark.table("spine_stream")
+      .select(col("m"), col("rq").cast("string"))
+      .as[(Int, String)].collect().sorted.toSeq
+    q.stop()
+    val batch = graft.functions.Monitors.monthlyCents(
+      Tables.orders(spark, sf))
+      .select(col("m"), col("rq").cast("string"))
+      .as[(Int, String)].collect().sorted.toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streaming spine != batch (${streamed.size} vs ${batch.size})")
+  }
+
   test("streaming engagement counts across batches == batch counts") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ev = Tables.events(spark, sf)
