@@ -676,7 +676,7 @@ object Corpus extends QueryModule {
          |      ORDER BY score_micro DESC, doc_id) AS rank
          |  FROM scored)
          |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
-         |  n_terms, score_micro
+         |  n_terms, CAST(score_micro AS BIGINT) AS score_micro
          |FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 

@@ -4066,7 +4066,7 @@ object Relational extends QueryModule {
         |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2),
         |ref AS (
-        |  SELECT event_type, SUM(c) // COUNT(*) AS mu
+        |  SELECT event_type, CAST(SUM(c) // COUNT(*) AS BIGINT) AS mu
         |  FROM daily WHERE day < DATE '2024-01-16' GROUP BY 1),
         |mon AS (
         |  SELECT d.event_type, r.mu, d.day,

@@ -10,6 +10,7 @@ values exactly (the driver hash-compares, so exact equality is the bar).
 """
 import sys, json, glob, math, time
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -37,8 +38,15 @@ def cell_eq(a, b):
             return True
     except (TypeError, ValueError):
         pass
-    a_f, b_f = isinstance(a, float), isinstance(b, float)
-    if a_f != b_f and isinstance(a, (int, float)) and isinstance(b, (int, float)):
+    # Parquet cells arrive as numpy scalars (np.int64 is NOT a python
+    # int), so the drift guard must cover numpy kinds too — a HUGEINT
+    # oracle column (pandas float64/object) vs an int64 Spark column
+    # must FAIL here exactly like the driver's stringified hash would.
+    a_f = isinstance(a, (float, np.floating))
+    b_f = isinstance(b, (float, np.floating))
+    a_num = a_f or isinstance(a, (int, np.integer))
+    b_num = b_f or isinstance(b, (int, np.integer))
+    if a_f != b_f and a_num and b_num:
         return False  # int-vs-float dtype drift: driver hash would differ
     if a_f and b_f:
         if math.isnan(a) and math.isnan(b):
@@ -92,9 +100,17 @@ def main():
         # as strings and fall through to the exact per-cell verdict.
         # Array-valued cells stringify differently per source (list vs
         # ndarray) and simply take the slow path as before.
+        # The fast path additionally requires dtype-kind agreement per
+        # column: stringified equality alone could mask an int-vs-float
+        # drift that pandas happens to stringify identically (object
+        # columns holding python ints vs np.int64, etc.). Kind mismatch
+        # → slow path, where cell_eq gives the exact verdict.
         trivially_equal = False
         try:
-            trivially_equal = exp.astype(str).equals(got.astype(str))
+            kinds_agree = all(
+                exp.dtypes[c].kind == got.dtypes[c].kind for c in exp.columns)
+            trivially_equal = (
+                kinds_agree and exp.astype(str).equals(got.astype(str)))
         except Exception:
             pass
         if not trivially_equal:
