@@ -235,10 +235,13 @@ object Dedup extends QueryModule {
     // Scale: index banding is the one-time cost; per batch the probe
     // is |batch| × bands explode + a bucket equi-join — the streaming
     // face (StreamingDedup) holds the same buckets as state. Oracle =
-    // brute-force straddling pairs at word-gram J >= 0.8; on this
-    // corpus true pairs sit at J >= 0.9 where 16-band/3-row recall is
-    // 1 - (1 - 0.9^3)^16 ≈ 1 - 1e-9 (the dedup_minhash_words
-    // argument), so the LSH output EQUALS it.
+    // brute-force straddling pairs at word-gram J >= 0.9 — the verify
+    // threshold sits INSIDE the banding's reliable-recall band:
+    // 16-band/3-row recall at J = 0.9 is 1 - (1 - 0.9^3)^16 ≈ 1 - 1e-9
+    // (the dedup_minhash_words argument), so the LSH output EQUALS the
+    // brute force. (It was 0.8 through round 10; at 0.8 recall is only
+    // ~0.9998, so equality leaned on the corpus having no pairs in the
+    // 0.8-0.9 gap rather than on the banding math.)
     "dedup_incremental" -> ((s, d) => {
       val sets = wordGramSets(documents(s, d))
       val sigs = sets.withColumn("sig",
@@ -254,7 +257,7 @@ object Dedup extends QueryModule {
           col("b.band") === col("x.band") && col("b.bh") === col("x.bh"))
         .select(col("b.doc_id").as("a_id"), col("x.doc_id").as("b_id"))
         .distinct()
-      val matches = verifyJaccard(cand, sets, 0.8)
+      val matches = verifyJaccard(cand, sets, 0.9)
       val per = matches.groupBy(col("a_id"))
         .agg(count(lit(1)).as("n_matches"),
           min(col("b_id")).as("first_index_id"),
@@ -841,7 +844,7 @@ object Dedup extends QueryModule {
         |  SELECT a_id, b_id, inter, a.n + b.n - inter AS union_n
         |  FROM pairs JOIN sz a ON a.doc_id = a_id
         |             JOIN sz b ON b.doc_id = b_id
-        |  WHERE inter * 100 >= (a.n + b.n - inter) * 80),
+        |  WHERE inter * 100 >= (a.n + b.n - inter) * 90),
         |per AS (
         |  SELECT a_id, COUNT(*) AS n_matches, MIN(b_id) AS first_index_id,
         |    MAX(inter * 1000000 // union_n) AS best_jac_ppm

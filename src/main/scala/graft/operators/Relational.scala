@@ -2671,12 +2671,17 @@ object Relational extends QueryModule {
           .otherwise(0L)).as("conv0"),
           sum(when(pmod(col("user_id"), lit(2)) === 1 && col("conv"), 1L)
             .otherwise(0L)).as("conv1"))
+      // degenerate-arm guards (n0 = 0 / n1 = 0): impossible on the
+      // synthetic corpus but a one-arm slice must read as rate 0 /
+      // chi2 0, not a null (Spark div) vs crash (DuckDB //) divergence
       conv
-        .withColumn("rate0_ppm", expr("conv0 * 1000000L div n0"))
-        .withColumn("rate1_ppm", expr("conv1 * 1000000L div n1"))
+        .withColumn("rate0_ppm",
+          expr("case when n0 = 0 then 0L else conv0 * 1000000L div n0 end"))
+        .withColumn("rate1_ppm",
+          expr("case when n1 = 0 then 0L else conv1 * 1000000L div n1 end"))
         .withColumn("lift_ppm", col("rate1_ppm") - col("rate0_ppm"))
         .withColumn("chi2_milli", expr(
-          "case when conv0 + conv1 = 0" +
+          "case when n0 = 0 or n1 = 0 or conv0 + conv1 = 0" +
             " or n0 + n1 - conv0 - conv1 = 0 then 0L else" +
             " cast(1000 * (n0 + n1)" +
             " * cast(conv1 * (n0 - conv0) - (n1 - conv1) * conv0" +
@@ -4587,9 +4592,11 @@ object Relational extends QueryModule {
         |  GROUP BY 1, 2, 3),
         |j AS (
         |  SELECT event_type, n0, n1, conv0, conv1,
-        |    conv0 * 1000000 // n0 AS rate0_ppm,
-        |    conv1 * 1000000 // n1 AS rate1_ppm,
-        |    CASE WHEN conv0 + conv1 = 0
+        |    CASE WHEN n0 = 0 THEN 0
+        |      ELSE conv0 * 1000000 // n0 END AS rate0_ppm,
+        |    CASE WHEN n1 = 0 THEN 0
+        |      ELSE conv1 * 1000000 // n1 END AS rate1_ppm,
+        |    CASE WHEN n0 = 0 OR n1 = 0 OR conv0 + conv1 = 0
         |      OR n0 + n1 - conv0 - conv1 = 0 THEN 0 ELSE
         |    1000 * (n0 + n1)
         |      * CAST(conv1 * (n0 - conv0) - (n1 - conv1) * conv0

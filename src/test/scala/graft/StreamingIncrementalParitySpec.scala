@@ -53,7 +53,7 @@ class StreamingIncrementalParitySpec extends SparkSpec {
       }
     }.distinct
     val verified = Dedup.verifyJaccard(probes.toDF("a_id", "b_id"),
-      Dedup.wordGramSets(Tables.documents(spark, sf)), 0.8)
+      Dedup.wordGramSets(Tables.documents(spark, sf)), 0.9)
     val per = verified.groupBy(col("a_id"))
       .agg(count(lit(1)).as("n_matches"),
         min(col("b_id")).as("first_index_id"),
