@@ -32,7 +32,8 @@ case class GraftConfig(
     maxRecordsPerTrigger: Long = Long.MaxValue,
     slotName: String = "graft",
     createSlot: Boolean = false,
-    recreateSlot: Boolean = false) {
+    recreateSlot: Boolean = false,
+    dryRun: Boolean = false) {
   def expandedOps: Seq[String] =
     // reference __main__.py:42-43: `if 'all' in operations` — 'all'
     // ANYWHERE in the multi-flag list expands to the four DMLs
@@ -69,7 +70,7 @@ object GraftJob {
       case "wal2json" =>
         // transport chosen by path ("pg:<conn>" → walsender source)
         val raw = graft.sources.CdcSource.rawStream(spark, cfg.sourcePath,
-          cfg.maxRecordsPerTrigger)
+          cfg.maxRecordsPerTrigger, cfg.dryRun)
         if (cfg.fullChange) {
           Cdc.parseWal2JsonFull(raw, "payload", cfg.tablePat)
             .withColumn("fmt_msg", Cdc.operationGate(col("operation"),
@@ -85,7 +86,7 @@ object GraftJob {
         // the PK extraction tail is shared with the batch parser
         val split = CdcPipeline
           .transformTestDecoding(spark, cfg.sourcePath,
-            cfg.maxRecordsPerTrigger)
+            cfg.maxRecordsPerTrigger, cfg.dryRun)
           .toDF("lsn", "xid", "table_name", "operation", "body")
           .filter(col("table_name").rlike(cfg.tablePat))
         Cdc.testDecodingPkey(split, "body", pkCatalog)
@@ -117,14 +118,52 @@ object GraftJob {
       else if (cfg.createSlot) slotAdmin.createSlot(cfg.slotName, cfg.plugin)
     }
 
+  /** Dry-run preview line writer — injectable so specs can capture
+    * the peeked messages (default stderr, like the progress lines). */
+  @volatile var dryRunOut: String => Unit =
+    line => System.err.println(line)
+
+  /** Per-batch preview cap for --dry-run: the peek surface is a human
+    * diagnostic, so the driver-side take() is bounded by construction
+    * (the pipeline itself still runs distributed end to end). */
+  val DryRunPreviewRows = 100
+
   /** Start the full job (ordered KPL-format sink, LSN feedback via the
-    * source's commit). */
+    * source's commit).
+    *
+    * With cfg.dryRun (the `pg_logical_slot_peek_changes` parity
+    * surface): the FULL pipeline runs — source, parse, xact state,
+    * gate, format — but (a) the source never acks (peek option: no
+    * standby feedback / no .feedback append, so the slot position is
+    * untouched), (b) nothing is put to the sink and the sink stream is
+    * neither created nor awaited; each batch prints a WAL-ordered
+    * bounded preview of what WOULD be put, and (c) streaming progress
+    * checkpoints under a fresh temp dir, so a later REAL run replays
+    * from the slot exactly as if the peek never happened. */
   def start(spark: SparkSession, cfg: GraftConfig, pkCatalog: DataFrame,
       putClient: PutClient = null,
       slotAdmin: graft.sources.SlotAdmin = null,
       streamLifecycle: graft.streaming.StreamLifecycle = null)
       : StreamingQuery = {
     prepareSlot(cfg, slotAdmin)
+    if (cfg.dryRun) {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-peek-ckpt").toString
+      return transform(spark, cfg, pkCatalog)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(cfg.sendWindowSecs * 1000L))
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            val rows = df.filter(col("fmt_msg").isNotNull)
+              .sort(col("lsn")).limit(DryRunPreviewRows).collect()
+            rows.foreach(r => dryRunOut(
+              s"DRY-RUN would put: ${r.getAs[String]("fmt_msg")}"))
+            ()
+        }
+        .start()
+    }
     // S4 (reference stream.py:19-30): create-tolerate-exists, then
     // block until ACTIVE before the first put
     if (streamLifecycle != null)

@@ -43,6 +43,13 @@ import graft.sources.SlotAdmin
   *   --once                  drain available input, then stop (smoke
   *                           runs and batch-replay; default: run until
   *                           terminated, like the reference)
+  *   --dry-run               peek mode (pg_logical_slot_peek_changes
+  *                           parity): the full pipeline runs but the
+  *                           source never acks, nothing is put, and
+  *                           each flush window prints a WAL-ordered
+  *                           bounded preview of what WOULD be put —
+  *                           the slot position is untouched, so a
+  *                           later real run replays everything
   */
 object Main {
 
@@ -69,7 +76,8 @@ object Main {
       pkCatalogPath: Option[String] = None,
       sendWindowSecs: Int = 13,
       maxRecordsPerTrigger: Long = Long.MaxValue,
-      once: Boolean = false) {
+      once: Boolean = false,
+      dryRun: Boolean = false) {
 
     /** Reference slot.py:40-45: psycopg2 connect kwargs → JDBC url.
       * Host empty = localhost (the reference's own default). */
@@ -93,7 +101,8 @@ object Main {
       maxRecordsPerTrigger = maxRecordsPerTrigger,
       slotName = slotName,
       createSlot = createSlot,
-      recreateSlot = recreateSlot)
+      recreateSlot = recreateSlot,
+      dryRun = dryRun)
   }
 
   private val Operations =
@@ -108,6 +117,7 @@ object Main {
       |  [--recreate-slot] [--operations all|insert|update|delete|truncate]...
       |  [--source-path PATH] [--checkpoint-dir PATH] [--pk-catalog PATH]
       |  [--send-window-secs N] [--max-records-per-trigger N] [--once]
+      |  [--dry-run]
       |""".stripMargin
 
   /** Pure argument parser (spec-driven; main() is a thin shell around
@@ -167,6 +177,7 @@ object Main {
           case "--create-slot" => loop(tail, o.copy(createSlot = true))
           case "--recreate-slot" => loop(tail, o.copy(recreateSlot = true))
           case "--once" => loop(tail, o.copy(once = true))
+          case "--dry-run" => loop(tail, o.copy(dryRun = true))
           case "--source-path" =>
             valued((v, o) => Right(o.copy(sourcePath = Some(v))))
           case "--checkpoint-dir" =>

@@ -33,7 +33,9 @@ object ScaleProbe {
     // corrupt every ratio built on the replicated data.
     val offset = 10000000L
     def replicate(df: DataFrame, idCols: Seq[String], copies: Int,
-        perturb: Option[String] = None): DataFrame = {
+        perturb: Option[String] = None,
+        perturbRow: Option[(DataFrame, Int) => DataFrame] = None)
+        : DataFrame = {
       // greatest() needs >=2 args; reduce handles 1-column tables
       val maxes = df.agg(idCols.map(c => max(col(c).cast("long")))
         .reduce((a, b) => greatest(a, b))).head()
@@ -63,7 +65,11 @@ object ScaleProbe {
             val rot = 1 + (i - 1) % (src.length - 1)
             val dst = src.drop(rot) + src.take(rot)
             shifted.withColumn(c, translate(col(c), src, dst))
-          case _ => shifted
+          case _ =>
+            perturbRow match {
+              case Some(f) if i > 0 => f(shifted, i)
+              case _ => shifted
+            }
         }
       }.reduce(_ unionByName _)
     }
@@ -89,7 +95,21 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$tmp/part.parquet")
     replicate(Tables.supplier(spark, d), Seq("s_suppkey"), n)
       .write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
-    replicate(Tables.events(spark, d), Seq("event_id", "user_id"), n)
+    // events perturbation: copy i drops a week-and-copy-dependent
+    // hash slice of events (drop rate = ((wk * (1 + i%5) + i) % 7)/12,
+    // i.e. 0-50% varying by week with a per-copy stride+phase), so
+    // each copy's users carry DIFFERENT weekly-shape profiles. Without
+    // it the copies are exact time-series clones of copy 0 and
+    // q_ts_similarity's ratio would measure true clone-pair output
+    // blowup (the dedup_semantic caveat), not pipeline scaling. Other
+    // event queries see an ~0.75x-per-copy but still linear corpus.
+    val weekShapeDrop: (DataFrame, Int) => DataFrame = (df, i) =>
+      df.filter(expr(
+        "abs(xxhash64(event_id)) % 12 >= " +
+          "(cast(datediff(cast(ts as date), date '1970-01-01') as bigint)" +
+          s" div 7 * ${1 + i % 5} + $i) % 7"))
+    replicate(Tables.events(spark, d), Seq("event_id", "user_id"), n,
+      perturbRow = Some(weekShapeDrop))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
     Tables.nation(spark, d)
       .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
@@ -261,12 +281,19 @@ object ScaleProbe {
       "text_kn_fluency",
       // wave-17: the backtest runs over the calendar-bounded monthly
       // spine — only the ingest aggregate scales
-      "q_forecast_backtest")
-      // q_ts_similarity is deliberately absent (the q_record_linkage /
-      // emb_pair_hist precedent): with a FIXED 6-symbol blocking word,
-      // replicating users n-fold grows in-block pairs n^2 BY DESIGN —
-      // word length / alphabet granularity is the documented scale
-      // knob, so its ratio would measure the knob, not the pipeline.
+      "q_forecast_backtest",
+      // round-11: the composed release gate — every stage is an
+      // already-probed kernel (curation stages, the output-sized
+      // cluster map, the banded pair kernel, the 3-row card rollup)
+      "corpus_release",
+      // round-11: both former fixed-blocking exclusions are now
+      // corpus-ADAPTIVE (SaxBlocking word ladder + continuous
+      // equi-depth volume key; linkage suffix-digit ladder), so their
+      // ratios measure the pipeline — the week-shape events
+      // perturbation keeps copies from being time-series clones, and
+      // linkage pair volume is key-driven (clone names only shift the
+      // lev distribution, not the candidate count)
+      "q_ts_similarity", "q_record_linkage")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.SaxBlocking
+
+/** Shared kernels for time-series similarity (q_ts_similarity) — the
+  * Monitors.scala discipline: the INGEST side maintains the compact
+  * per-(user, week) count table (a single streaming-compatible
+  * Complete-mode aggregate at 100 TB — the only stage that ever scans
+  * raw events), and the blocking + verify kernel runs over that
+  * bounded table. Both the batch query and the streaming face
+  * (StreamingTsSimilarityParitySpec) call THESE definitions, so a
+  * blocking change lands on both faces or neither. */
+object TimeSeries {
+
+  /** Ingest-maintained kernel: per-(user_id, absolute-week) event
+    * counts. Streaming-compatible: one groupBy aggregate, no joins. */
+  def weeklyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"),
+      expr("cast(datediff(cast(ts as date), date '1970-01-01')" +
+        " as bigint) div 7").as("wk"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Corpus-adaptive SAX blocking + exact-Pearson verify over the
+    * maintained weekly-count table. See the q_ts_similarity Scaladoc
+    * (Relational.scala) and SaxBlocking for the blocking design; the
+    * input here is |users|x|weeks|-bounded, never the raw corpus. */
+  def similarPairs(weekly: DataFrame): DataFrame = {
+    val minWk = weekly.agg(min(col("wk")).as("w0"))
+    val wide = weekly.crossJoin(broadcast(minWk))
+      .withColumn("i", col("wk") - col("w0"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("i") === 0, col("cnt")).otherwise(0L)).as("w0"),
+        (1 until 6).map(i =>
+          sum(when(col("i") === i, col("cnt")).otherwise(0L))
+            .as(s"w$i")): _*)
+    val withStats = wide
+      .withColumn("sx", expr("w0+w1+w2+w3+w4+w5"))
+      .withColumn("sxx", expr(
+        "cast(w0 as decimal(38,0))*w0 + cast(w1 as decimal(38,0))*w1" +
+          " + cast(w2 as decimal(38,0))*w2 + cast(w3 as decimal(38,0))*w3" +
+          " + cast(w4 as decimal(38,0))*w4 + cast(w5 as decimal(38,0))*w5"))
+      .withColumn("vx", expr("6 * sxx - cast(sx as decimal(38,0)) * sx"))
+      .filter(col("vx") > 0)
+    val nUsers = withStats.agg(count(lit(1)).as("n_users"))
+    val mx = withStats.agg(max(col("sx")).as("mx"))
+    // bounded pre-histogram -> equi-depth volume bucket map
+    // (≤ 1024 rows end to end; the cumulative window is tiny)
+    val cells = withStats.crossJoin(broadcast(mx))
+      .select(expr(
+        "cast(cast(sx as decimal(38,0)) * 1024 div (mx + 1) as bigint)")
+        .as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+    val wCell = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cellMap = cells.withColumn("cum", sum(col("cnt")).over(wCell))
+      .crossJoin(broadcast(nUsers))
+      .withColumn("k", expr("greatest(1L, least(1024L, n_users div 64))"))
+      .select(col("cell"),
+        expr("least(k - 1, (cum - cnt) * k div n_users)")
+          .as("vol_bucket"))
+    val keyed = (0 until 6).foldLeft(
+      withStats.crossJoin(broadcast(nUsers))) { (df, i) =>
+        df.withColumn(s"d$i", expr(s"6 * w$i - sx"))
+          .withColumn(s"q$i",
+            expr(s"cast(d$i as decimal(38,0)) * d$i * 1000"))
+      }
+      .withColumn("b", expr(SaxBlocking.bLadderSql("n_users")))
+      .withColumn("word", expr(SaxBlocking.wordSqlSpark("b",
+        (0 until 6).map(i => s"d$i"), (0 until 6).map(i => s"q$i"),
+        "vx")))
+      .crossJoin(broadcast(mx))
+      .withColumn("cell", expr(
+        "cast(cast(sx as decimal(38,0)) * 1024 div (mx + 1) as bigint)"))
+      .join(broadcast(cellMap), Seq("cell"))
+    val a = keyed.select(Seq(col("user_id").as("u1"), col("word"),
+      col("vol_bucket")) ++
+      (0 until 6).map(i => col(s"w$i").as(s"a$i")) ++
+      Seq(col("sx").as("sxa"), col("vx").as("vxa")): _*)
+    val b = keyed.select(Seq(col("user_id").as("u2"), col("word"),
+      col("vol_bucket")) ++
+      (0 until 6).map(i => col(s"w$i").as(s"b$i")) ++
+      Seq(col("sx").as("sxb"), col("vx").as("vxb")): _*)
+    a.join(b, Seq("word", "vol_bucket")).filter(col("u1") < col("u2"))
+      .withColumn("sxy", expr(
+        (0 until 6).map(i => s"cast(a$i as decimal(38,0)) * b$i")
+          .mkString(" + ")))
+      .withColumn("cov", expr(
+        "6 * sxy - cast(sxa as decimal(38,0)) * sxb"))
+      .withColumn("r2_signed_milli", expr(
+        "case when cov < 0 then -(cov * cov * 1000 div (vxa * vxb))" +
+          " else cov * cov * 1000 div (vxa * vxb) end"))
+      .filter(col("r2_signed_milli") >= 950)
+      .select(col("u1"), col("u2"), col("word"),
+        expr("cast(r2_signed_milli as bigint)").as("r2_milli"))
+      .orderBy(col("u1"), col("u2"))
+  }
+}

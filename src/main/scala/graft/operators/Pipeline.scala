@@ -196,6 +196,44 @@ object Pipeline extends QueryModule {
   /** Content-hash train/val/test assignment shared by corpus_split,
     * its stratification report, and the leakage audit: bucket =
     * first-8-hex of md5(text) mod 100, 90/5/5. */
+  /** The curation pipeline's stages, shared by corpus_curate (shard
+    * rollup), corpus_funnel (per-stage counts) and corpus_release (the
+    * composed release card): input (docs >= 20, the rest are the
+    * benchmark set), quality (>= 20 tokens), exact (md5 first-doc
+    * dedup), surv (near-dup cluster representatives only), clean
+    * (decontaminated at >= 80 shared 8-gram shingles vs the
+    * benchmark). Each frame carries (doc_id, text, n_toks). */
+  private def curationStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = documents(s, d).withColumn("n_toks",
+      expr("size(filter(split(text, '\\\\s+'), t -> t != ''))")
+        .cast("long"))
+    val input = docs.filter(col("doc_id") >= 20)
+    val quality = input.filter(col("n_toks") >= 20)
+    val firsts = quality.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val exact = quality.join(firsts.select(col("doc_id")), Seq("doc_id"))
+    val surv = exact.join(
+      clusters(s, d).filter(col("doc_id") =!= col("cluster_id")),
+      Seq("doc_id"), "left_anti")
+    val sets = Dedup.shingleSets(documents(s, d))
+    def shingles(df: DataFrame) =
+      df.select(col("doc_id"), explode(col("set")).as("h"))
+    val bench = shingles(sets.filter(col("doc_id") < 20))
+      .withColumnRenamed("doc_id", "bench_id")
+    // DROP threshold 80, not the >= 8 the pair-REPORT uses: the
+    // report optimizes recall (flag anything worth a look); a drop
+    // rule optimizes precision (see corpus_curate's Scaladoc)
+    val contam = shingles(sets.filter(col("doc_id") >= 20))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 80)
+      .select(col("doc_id")).distinct()
+    val clean = surv.join(contam, Seq("doc_id"), "left_anti")
+    (input, quality, exact, surv, clean)
+  }
+
   private def splitAssign(docs: DataFrame): DataFrame =
     docs
       .withColumn("bucket", expr(
@@ -737,35 +775,10 @@ object Pipeline extends QueryModule {
     // SMALL id sets — non-survivors and contaminated docs are tiny
     // relative to the corpus; shard rollup groups 32 keys).
     "corpus_curate" -> ((s, d) => {
-      val docs = documents(s, d).withColumn("n_toks",
-        expr("size(filter(split(text, '\\\\s+'), t -> t != ''))")
-          .cast("long"))
-      val corpus = docs.filter(col("doc_id") >= 20)
-        .filter(col("n_toks") >= 20)
-      val firsts = corpus.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val exact = corpus.join(firsts.select(col("doc_id")), Seq("doc_id"))
-      val surv = exact.join(
-        clusters(s, d).filter(col("doc_id") =!= col("cluster_id")),
-        Seq("doc_id"), "left_anti")
-      val sets = Dedup.shingleSets(documents(s, d))
-      def shingles(df: DataFrame) =
-        df.select(col("doc_id"), explode(col("set")).as("h"))
-      val bench = shingles(sets.filter(col("doc_id") < 20))
-        .withColumnRenamed("doc_id", "bench_id")
-      // DROP threshold 80, not the >= 8 the pair-REPORT uses: the
-      // report optimizes recall (flag anything worth a look);
-      // a drop rule optimizes precision. On this shared-vocabulary
-      // corpus every doc shares tens of 8-char shingles with some
-      // benchmark doc by wording alone (median max-shared 47,
-      // p99 90) — 80 isolates genuine content overlap.
-      val contam = shingles(sets.filter(col("doc_id") >= 20))
-        .join(broadcast(bench), Seq("h"))
-        .groupBy(col("doc_id"), col("bench_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 80)
-        .select(col("doc_id")).distinct()
-      surv.join(contam, Seq("doc_id"), "left_anti")
+      // stages shared with corpus_funnel / corpus_release
+      // (curationStages); the drop-threshold rationale lives there
+      val (_, _, _, _, clean) = curationStages(s, d)
+      clean
         .withColumn("shard", expr(
           "cast(conv(substring(md5(concat('sh', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 32"))
         .groupBy(col("shard"))
@@ -783,30 +796,7 @@ object Pipeline extends QueryModule {
     // into a 5-row funnel. If corpus_curate's stage semantics change,
     // change them here too.
     "corpus_funnel" -> ((s, d) => {
-      val docs = documents(s, d).withColumn("n_toks",
-        expr("size(filter(split(text, '\\\\s+'), t -> t != ''))")
-          .cast("long"))
-      val input = docs.filter(col("doc_id") >= 20)
-      val quality = input.filter(col("n_toks") >= 20)
-      val firsts = quality.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val exact = quality.join(firsts.select(col("doc_id")),
-        Seq("doc_id"))
-      val surv = exact.join(
-        clusters(s, d).filter(col("doc_id") =!= col("cluster_id")),
-        Seq("doc_id"), "left_anti")
-      val sets = Dedup.shingleSets(documents(s, d))
-      def shingles(df: DataFrame) =
-        df.select(col("doc_id"), explode(col("set")).as("h"))
-      val bench = shingles(sets.filter(col("doc_id") < 20))
-        .withColumnRenamed("doc_id", "bench_id")
-      val contam = shingles(sets.filter(col("doc_id") >= 20))
-        .join(broadcast(bench), Seq("h"))
-        .groupBy(col("doc_id"), col("bench_id"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 80)
-        .select(col("doc_id")).distinct()
-      val clean = surv.join(contam, Seq("doc_id"), "left_anti")
+      val (input, quality, exact, surv, clean) = curationStages(s, d)
       def stage(name: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n_docs"))
           .select(lit(name).as("stage"), col("n_docs"))
@@ -816,6 +806,56 @@ object Pipeline extends QueryModule {
         .unionByName(stage("4_neardup_survivors", surv))
         .unionByName(stage("5_decontaminated", clean))
         .orderBy(col("stage"))
+    }),
+
+    // The composed RELEASE gate — the one query a data team runs
+    // before a corpus ships: curation (corpus_curate's clean set) →
+    // cluster-safe split assignment (corpus_split_safe's rep-bucket
+    // inheritance) → cross-split near-dup leakage over the RELEASED
+    // docs → the per-split dataset card (docs, token mass, mean
+    // length, source diversity, leak count, the release-ok bit).
+    // With the safe assignment, leakage is zero BY CONSTRUCTION for
+    // pairs whose members both survive curation — the card proves it
+    // instead of assuming it (leak_pairs is computed, not hardcoded).
+    // Scale: every stage is a composition of already-probed kernels
+    // (curation stages, the output-sized cluster map, the banded pair
+    // kernel); the card rollup is a 3-row aggregate.
+    "corpus_release" -> ((s, d) => {
+      val (_, _, _, _, clean) = curationStages(s, d)
+      val safe = queries("corpus_split_safe")(s, d)
+        .select(col("doc_id"), col("split"))
+      // three consumers (two leak-label joins + the card rollup) —
+      // materialize the narrow released table once (distributed
+      // localCheckpoint, the text_winnow_pairs discipline) instead of
+      // re-running the whole curation chain per consumer
+      val rel = clean.select(col("doc_id"), col("n_toks"))
+        .join(safe, Seq("doc_id"))
+        .join(documents(s, d).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .localCheckpoint()
+      val leakPairs = broadcast(Dedup.minhashPairs(documents(s, d)))
+        .join(rel.select(col("doc_id").as("a_id"),
+          col("split").as("a_split")), Seq("a_id"))
+        .join(rel.select(col("doc_id").as("b_id"),
+          col("split").as("b_split")), Seq("b_id"))
+        .filter(col("a_split") =!= col("b_split"))
+      val leaks = leakPairs.select(col("a_split").as("split"))
+        .unionByName(leakPairs.select(col("b_split").as("split")))
+        .groupBy(col("split")).agg(count(lit(1)).as("leak_pairs"))
+      rel.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .withColumn("mean_tokens_milli",
+          expr("cast(total_tokens * 1000 div n_docs as bigint)"))
+        .join(leaks, Seq("split"), "left")
+        .select(col("split"), col("n_docs"),
+          col("total_tokens").cast("long").as("total_tokens"),
+          col("mean_tokens_milli"),
+          col("n_sources").cast("long").as("n_sources"),
+          coalesce(col("leak_pairs"), lit(0L)).as("leak_pairs"),
+          (coalesce(col("leak_pairs"), lit(0L)) === 0).as("release_ok"))
+        .orderBy(col("split"))
     }),
 
     // Corpus-mix accounting: per (source, lang) document/char counts
@@ -1545,6 +1585,84 @@ object Pipeline extends QueryModule {
         |    (SELECT node FROM clusters WHERE node <> cluster_id)
         |  AND doc_id NOT IN (SELECT doc_id FROM contam)
         |GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "corpus_release" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, u.s FROM documents,
+        |  UNNEST(list_transform(generate_series(1, greatest(1, len(text) - 7)),
+        |    i -> substr(text, i, 8))) u(s)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |np AS (
+        |  SELECT a_id, b_id FROM pairs
+        |  JOIN sz a ON a.doc_id = a_id JOIN sz b ON b.doc_id = b_id
+        |  WHERE inter * 5 >= (a.n + b.n - inter) * 4),
+        |edges(a, b) AS (
+        |  SELECT a_id, b_id FROM np UNION SELECT b_id, a_id FROM np),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |tk AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |corpus AS (SELECT * FROM tk WHERE doc_id >= 20 AND n_toks >= 20),
+        |firsts AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+        |exact AS (SELECT c.* FROM corpus c JOIN firsts USING (doc_id)),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT c.doc_id FROM sh c
+        |    JOIN (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20) b
+        |      ON c.s = b.s
+        |    WHERE c.doc_id >= 20
+        |    GROUP BY c.doc_id, b.bench_id HAVING COUNT(*) >= 80)),
+        |clean AS (
+        |  SELECT * FROM exact
+        |  WHERE doc_id NOT IN
+        |      (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |h AS (SELECT doc_id,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b0
+        |  FROM documents),
+        |j AS (SELECT h.doc_id, COALESCE(cl.cluster_id, h.doc_id) AS rep_id
+        |  FROM h LEFT JOIN cl ON cl.doc_id = h.doc_id),
+        |sp AS (
+        |  SELECT j.doc_id, CASE WHEN rh.b0 < 90 THEN 'train'
+        |    WHEN rh.b0 < 95 THEN 'val' ELSE 'test' END AS split
+        |  FROM j JOIN h rh ON rh.doc_id = j.rep_id),
+        |rel AS (
+        |  SELECT c.doc_id, c.n_toks, d.source, sp.split
+        |  FROM clean c JOIN sp ON sp.doc_id = c.doc_id
+        |  JOIN documents d ON d.doc_id = c.doc_id),
+        |lp AS (
+        |  SELECT ra.split AS a_split, rb.split AS b_split
+        |  FROM np JOIN rel ra ON ra.doc_id = np.a_id
+        |  JOIN rel rb ON rb.doc_id = np.b_id
+        |  WHERE ra.split != rb.split),
+        |leaks AS (
+        |  SELECT split, COUNT(*) AS leak_pairs FROM (
+        |    SELECT a_split AS split FROM lp
+        |    UNION ALL SELECT b_split FROM lp) t GROUP BY 1),
+        |card AS (
+        |  SELECT split, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(n_toks) * 1000 // COUNT(*) AS BIGINT)
+        |      AS mean_tokens_milli,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM rel GROUP BY 1)
+        |SELECT card.split, n_docs, total_tokens, mean_tokens_milli,
+        |  n_sources, CAST(COALESCE(leak_pairs, 0) AS BIGINT) AS leak_pairs,
+        |  COALESCE(leak_pairs, 0) = 0 AS release_ok
+        |FROM card LEFT JOIN leaks ON leaks.split = card.split
+        |ORDER BY card.split""".stripMargin,
 
     "dedup_source_stats" ->
       """WITH RECURSIVE sh AS (

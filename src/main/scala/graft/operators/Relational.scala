@@ -36,6 +36,17 @@ object Relational extends QueryModule {
 
   private def tsLit(s: String) = lit(s).cast("timestamp")
 
+  /** q_record_linkage's corpus-adaptive blocking-suffix length: D
+    * entity-number digits give 25 nations x 10^D blocks; D steps up
+    * when expected block size would exceed ~64 customers
+    * (n > 25 * 64 * 10^(D-1)). Valid in both Spark SQL and DuckDB —
+    * both engines derive the identical D from COUNT(customer). */
+  private def linkageDigitsSql(nCol: String): String =
+    (8 to 2 by -1).map { dd =>
+      val thresh = 25L * 64L * math.pow(10, dd - 1).toLong
+      s"WHEN $nCol > $thresh THEN $dd"
+    }.mkString("CASE ", " ", " ELSE 1 END")
+
   /** SQL-surface queries against a shared SparkSession: register the
     * input under a per-invocation-unique temp view (Verify runs
     * queries CONCURRENTLY — a fixed name would race), build the
@@ -1543,66 +1554,31 @@ object Relational extends QueryModule {
     }),
 
     // Time-series SIMILARITY SEARCH with symbolic blocking (the
-    // SAX-style discipline: symbolize, block on the word, verify
+    // SAX-style discipline: symbolize, block on the key, verify
     // exactly — the same block-then-verify shape as every dedup tier
     // here, applied to series): each user's activity becomes 6 weekly
-    // sums; the SAX-ish word is the per-week sign against the user's
-    // own mean (6·w_i vs Σw, cross-multiplied — level-invariant, so
-    // users with the same SHAPE share a word at any volume); candidate
-    // pairs come from an equi-join on the word; the verify is exact
-    // Pearson over the weekly sums in SIGNED SQUARED milli
-    // (sign(cov)·cov²·1e3 div (vx·vy) — integer, no sqrt), kept at
-    // |r| ≥ ~0.975 (r²_milli ≥ 950). Blocking-key granularity is the
-    // scale knob exactly as in q_record_linkage (longer words / finer
-    // quantiles shrink blocks as users grow); constant series (vx = 0)
-    // are unverifiable and excluded.
-    "q_ts_similarity" -> ((s, d) => {
-      val daily = events(s, d)
-        .groupBy(col("user_id"),
-          expr("cast(datediff(cast(ts as date), date '1970-01-01')" +
-            " as bigint) div 7").as("wk"))
-        .agg(count(lit(1)).as("cnt"))
-      val minWk = daily.agg(min(col("wk")).as("w0"))
-      val wide = daily.crossJoin(broadcast(minWk))
-        .withColumn("i", col("wk") - col("w0"))
-        .groupBy(col("user_id"))
-        .agg(sum(when(col("i") === 0, col("cnt")).otherwise(0L)).as("w0"),
-          (1 until 6).map(i =>
-            sum(when(col("i") === i, col("cnt")).otherwise(0L))
-              .as(s"w$i")): _*)
-      val withStats = wide
-        .withColumn("sx", expr("w0+w1+w2+w3+w4+w5"))
-        .withColumn("sxx", expr(
-          "cast(w0 as decimal(38,0))*w0 + cast(w1 as decimal(38,0))*w1" +
-            " + cast(w2 as decimal(38,0))*w2 + cast(w3 as decimal(38,0))*w3" +
-            " + cast(w4 as decimal(38,0))*w4 + cast(w5 as decimal(38,0))*w5"))
-        .withColumn("vx", expr("6 * sxx - cast(sx as decimal(38,0)) * sx"))
-        .withColumn("word", expr(
-          (0 until 6).map(i =>
-            s"case when 6 * w$i > sx then 'a'" +
-              s" when 6 * w$i < sx then 'c' else 'b' end")
-            .mkString("concat(", ",", ")")))
-        .filter(col("vx") > 0)
-      val a = withStats.select(Seq(col("user_id").as("u1"), col("word")) ++
-        (0 until 6).map(i => col(s"w$i").as(s"a$i")) ++
-        Seq(col("sx").as("sxa"), col("vx").as("vxa")): _*)
-      val b = withStats.select(Seq(col("user_id").as("u2"), col("word")) ++
-        (0 until 6).map(i => col(s"w$i").as(s"b$i")) ++
-        Seq(col("sx").as("sxb"), col("vx").as("vxb")): _*)
-      a.join(b, Seq("word")).filter(col("u1") < col("u2"))
-        .withColumn("sxy", expr(
-          (0 until 6).map(i => s"cast(a$i as decimal(38,0)) * b$i")
-            .mkString(" + ")))
-        .withColumn("cov", expr(
-          "6 * sxy - cast(sxa as decimal(38,0)) * sxb"))
-        .withColumn("r2_signed_milli", expr(
-          "case when cov < 0 then -(cov * cov * 1000 div (vxa * vxb))" +
-            " else cov * cov * 1000 div (vxa * vxb) end"))
-        .filter(col("r2_signed_milli") >= 950)
-        .select(col("u1"), col("u2"), col("word"),
-          expr("cast(r2_signed_milli as bigint)").as("r2_milli"))
-        .orderBy(col("u1"), col("u2"))
-    }),
+    // sums; the SAX word quantizes each week's deviation from the
+    // user's own mean, normalized by the user's own variance
+    // (cross-multiplied — level- and variance-invariant); candidate
+    // pairs come from an equi-join on (word, volume bucket); the
+    // verify is exact Pearson over the weekly sums in SIGNED SQUARED
+    // milli (sign(cov)·cov²·1e3 div (vx·vy) — integer, no sqrt), kept
+    // at |r| ≥ ~0.975 (r²_milli ≥ 950). Blocking granularity is
+    // CORPUS-ADAPTIVE (SaxBlocking, the round-11 de-cliff): the word
+    // alphabet steps up a ladder with the user count, and the second
+    // key — an equi-depth volume bucket with k = clamp(n/64, 1, 1024)
+    // buckets from a bounded 1024-cell pre-histogram — scales
+    // continuously, so expected block size stays ~64 and candidate
+    // pairs grow LINEARLY with users (at 150/1500 test users the
+    // ladder sits at b = 1, the original sign word). Constant series
+    // (vx = 0) are unverifiable and excluded.
+    "q_ts_similarity" -> ((s, d) =>
+      // shared kernel (graft.functions.TimeSeries): the streaming face
+      // maintains the identical per-(user, week) counts and runs THIS
+      // blocking+verify kernel over them
+      // (StreamingTsSimilarityParitySpec)
+      graft.functions.TimeSeries.similarPairs(
+        graft.functions.TimeSeries.weeklyCounts(events(s, d)))),
 
     // Per-key mode (most frequent value): neither engine defines
     // mode()'s tie order, so the portable formulation is count →
@@ -2853,24 +2829,32 @@ object Relational extends QueryModule {
 
     // Record linkage (entity resolution) with blocking: candidate
     // customer-supplier pairs come from an EQUI-join on the blocking
-    // key (nation, last phone digit) — the step that turns the
+    // key (nation, entity-number suffix) — the step that turns the
     // quadratic all-pairs compare into O(block^2) per block, which is
     // the whole entity-resolution scale story at 100 TB (pick blocking
     // keys so blocks stay bounded; the compare inside a block is then
-    // embarrassingly parallel). Inside a block the comparator is full
-    // Levenshtein on the records' 9-digit entity-number suffixes
+    // embarrassingly parallel). The suffix LENGTH is corpus-adaptive
+    // (the round-11 de-cliff, same discipline as q_ts_similarity):
+    // D digits give 25 nations x 10^D blocks, and D steps up a CASE
+    // ladder as customers grow so expected block size stays ~64 —
+    // D = 1 at the test scales (both engines compute the identical
+    // ladder from COUNT(customer)). Inside a block the comparator is
+    // full Levenshtein on the records' 9-digit entity-number suffixes
     // (identical classic edit distance in both engines): distance 0 is
     // a same-entity link, small distances are noisy-identifier
     // variants. Per nation: candidate volume, pairs within distance 2,
     // the minimum distance seen, and the deterministic best pair
     // (rank-1 by (distance, custkey, suppkey)).
     "q_record_linkage" -> ((s, d) => {
-      val c = customer(s, d).select(col("c_custkey"), col("c_nationkey"),
-        expr("right(c_name, 9)").as("c_ent"),
-        expr("right(c_name, 1)").as("blk"))
-      val sup = supplier(s, d).select(col("s_suppkey"),
-        col("s_nationkey"), expr("right(s_name, 9)").as("s_ent"),
-        expr("right(s_name, 1)").as("blk"))
+      val nC = customer(s, d).agg(count(lit(1)).as("n_c"))
+      val c = customer(s, d).crossJoin(broadcast(nC))
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("right(c_name, 9)").as("c_ent"),
+          expr(s"right(c_name, ${linkageDigitsSql("n_c")})").as("blk"))
+      val sup = supplier(s, d).crossJoin(broadcast(nC))
+        .select(col("s_suppkey"),
+          col("s_nationkey"), expr("right(s_name, 9)").as("s_ent"),
+          expr(s"right(s_name, ${linkageDigitsSql("n_c")})").as("blk"))
       val cand = c.join(sup,
         col("c_nationkey") === col("s_nationkey") &&
           c("blk") === sup("blk"))
@@ -3845,7 +3829,7 @@ object Relational extends QueryModule {
         |FROM res ORDER BY method""".stripMargin,
 
     "q_ts_similarity" ->
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT user_id,
         |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
         |      AS BIGINT) // 7 AS wk,
@@ -3867,26 +3851,35 @@ object Relational extends QueryModule {
         |    6 * (w0c::HUGEINT*w0c + w1c::HUGEINT*w1c + w2c::HUGEINT*w2c
         |       + w3c::HUGEINT*w3c + w4c::HUGEINT*w4c + w5c::HUGEINT*w5c)
         |      - (w0c + w1c + w2c + w3c + w4c + w5c)::HUGEINT
-        |        * (w0c + w1c + w2c + w3c + w4c + w5c) AS vx,
-        |    (CASE WHEN 6*w0c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
-        |      WHEN 6*w0c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
-        |      ELSE 'b' END)
-        |    || (CASE WHEN 6*w1c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
-        |      WHEN 6*w1c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
-        |      ELSE 'b' END)
-        |    || (CASE WHEN 6*w2c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
-        |      WHEN 6*w2c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
-        |      ELSE 'b' END)
-        |    || (CASE WHEN 6*w3c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
-        |      WHEN 6*w3c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
-        |      ELSE 'b' END)
-        |    || (CASE WHEN 6*w4c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
-        |      WHEN 6*w4c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
-        |      ELSE 'b' END)
-        |    || (CASE WHEN 6*w5c > (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'a'
-        |      WHEN 6*w5c < (w0c+w1c+w2c+w3c+w4c+w5c) THEN 'c'
-        |      ELSE 'b' END) AS word
+        |        * (w0c + w1c + w2c + w3c + w4c + w5c) AS vx
         |  FROM wide),
+        |f AS (SELECT * FROM st WHERE vx > 0),
+        |nn AS (SELECT COUNT(*) AS n_users,
+        |  GREATEST(1, LEAST(1024, COUNT(*) // 64)) AS k FROM f),
+        |mxx AS (SELECT MAX(sx) AS mx FROM f),
+        |cells AS (
+        |  SELECT CAST(sx::HUGEINT * 1024 // (mx + 1) AS BIGINT) AS cell,
+        |    COUNT(*) AS cnt
+        |  FROM f CROSS JOIN mxx GROUP BY 1),
+        |cm AS (
+        |  SELECT cell, LEAST(k - 1,
+        |    (SUM(cnt) OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) - cnt) * k // n_users)
+        |    AS vol_bucket
+        |  FROM cells CROSS JOIN nn),
+        |sb AS (
+        |  SELECT f.*, ${SaxBlocking.bLadderSql("n_users")} AS b,
+        |    CAST(sx::HUGEINT * 1024 // (mx + 1) AS BIGINT) AS cell,
+        |    ${(0 until 6).map(i =>
+                s"6 * w${i}c - sx AS d$i, (6 * w${i}c - sx)::HUGEINT" +
+                  s" * (6 * w${i}c - sx) * 1000 AS q$i").mkString(", ")}
+        |  FROM f CROSS JOIN nn CROSS JOIN mxx),
+        |sym AS (
+        |  SELECT sb.*, cm.vol_bucket,
+        |    ${SaxBlocking.wordSqlDuck("b",
+               (0 until 6).map(i => s"d$i"), (0 until 6).map(i => s"q$i"),
+               "vx")} AS word
+        |  FROM sb JOIN cm USING (cell)),
         |cand AS (
         |  SELECT x.user_id AS u1, y.user_id AS u2, x.word,
         |    6 * (x.w0c::HUGEINT*y.w0c + x.w1c::HUGEINT*y.w1c
@@ -3894,9 +3887,9 @@ object Relational extends QueryModule {
         |       + x.w4c::HUGEINT*y.w4c + x.w5c::HUGEINT*y.w5c)
         |      - x.sx::HUGEINT * y.sx AS cov,
         |    x.vx AS vxa, y.vx AS vxb
-        |  FROM st x JOIN st y
-        |    ON x.word = y.word AND x.user_id < y.user_id
-        |  WHERE x.vx > 0 AND y.vx > 0),
+        |  FROM sym x JOIN sym y
+        |    ON x.word = y.word AND x.vol_bucket = y.vol_bucket
+        |      AND x.user_id < y.user_id),
         |scored AS (
         |  SELECT u1, u2, word,
         |    CASE WHEN cov < 0 THEN -(cov * cov * 1000 // (vxa * vxb))
@@ -4737,12 +4730,14 @@ object Relational extends QueryModule {
         |ORDER BY s_suppkey""".stripMargin,
 
     "q_record_linkage" ->
-      """WITH cand AS (
+      s"""WITH ncc AS (SELECT COUNT(*) AS n_c FROM customer),
+        |cand AS (
         |  SELECT c_nationkey, c_custkey, s_suppkey,
         |    levenshtein(right(c_name, 9), right(s_name, 9)) AS lev
-        |  FROM customer JOIN supplier
+        |  FROM customer CROSS JOIN ncc JOIN supplier
         |    ON c_nationkey = s_nationkey
-        |   AND right(c_name, 1) = right(s_name, 1)),
+        |   AND right(c_name, ${linkageDigitsSql("n_c")})
+        |     = right(s_name, ${linkageDigitsSql("n_c")})),
         |best AS (
         |  SELECT c_nationkey, c_custkey AS best_cust,
         |    s_suppkey AS best_supp

@@ -44,7 +44,8 @@ class CdcFileSourceProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new CdcFileTable(properties.get("path"),
       Option(properties.get("maxRecordsPerTrigger")).map(_.toLong)
-        .getOrElse(Long.MaxValue))
+        .getOrElse(Long.MaxValue),
+      Option(properties.get("peek")).exists(_.toBoolean))
   override def supportsExternalMetadata(): Boolean = true
 }
 
@@ -79,7 +80,8 @@ object CdcFileSource {
   }
 }
 
-class CdcFileTable(path: String, maxPerTrigger: Long)
+class CdcFileTable(path: String, maxPerTrigger: Long,
+    peek: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"cdc-file($path)"
   override def schema(): StructType = CdcFileSource.Schema
@@ -89,7 +91,8 @@ class CdcFileTable(path: String, maxPerTrigger: Long)
     () => new Scan {
       override def readSchema(): StructType = CdcFileSource.Schema
       override def toMicroBatchStream(checkpointLocation: String)
-          : MicroBatchStream = new CdcFileMicroBatchStream(path, maxPerTrigger)
+          : MicroBatchStream =
+        new CdcFileMicroBatchStream(path, maxPerTrigger, peek)
     }
 }
 
@@ -97,7 +100,8 @@ case class LsnOffset(lsn: Long) extends Offset {
   override def json(): String = s"""{"lsn":$lsn}"""
 }
 
-class CdcFileMicroBatchStream(path: String, maxPerTrigger: Long)
+class CdcFileMicroBatchStream(path: String, maxPerTrigger: Long,
+    peek: Boolean = false)
     extends MicroBatchStream {
   // Tracks the last offset this stream has *planned*, so each trigger
   // admits at most maxPerTrigger new lines even while the file grows.
@@ -138,6 +142,10 @@ class CdcFileMicroBatchStream(path: String, maxPerTrigger: Long)
     * same contract as the reference's post-put send_feedback). */
   override def commit(end: Offset): Unit = {
     val lsn = end.asInstanceOf[LsnOffset].lsn
+    // peek mode (pg_logical_slot_peek_changes parity): consume without
+    // acking — the slot's restart pointer never advances, so a later
+    // real run replays everything from the same position
+    if (peek) { PgReplicationSource.logPeeked(lsn); return }
     Files.write(Paths.get(path + ".feedback"),
       s"$lsn\n".getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

@@ -15,19 +15,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CdcSource {
   def rawStream(spark: SparkSession, sourcePath: String,
-      maxRecordsPerTrigger: Long = Long.MaxValue): DataFrame = {
+      maxRecordsPerTrigger: Long = Long.MaxValue,
+      peek: Boolean = false): DataFrame = {
     val raw =
       if (sourcePath.startsWith("pg:"))
         spark.readStream
           .format(classOf[PgReplicationSourceProvider].getName)
           .option("connection", sourcePath.stripPrefix("pg:"))
           .option("maxRecordsPerTrigger", maxRecordsPerTrigger.toString)
+          .option("peek", peek.toString)
           .load()
       else
         spark.readStream
           .format(classOf[CdcFileSourceProvider].getName)
           .option("path", sourcePath)
           .option("maxRecordsPerTrigger", maxRecordsPerTrigger.toString)
+          .option("peek", peek.toString)
           .load()
     // Raw-side counters for the reference's 10 s progress line
     // (__main__.py:88-93: EVERY consumed change ticks count and

@@ -73,7 +73,8 @@ class PgReplicationSourceProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new PgReplicationTable(properties.get("connection"),
       Option(properties.get("maxRecordsPerTrigger")).map(_.toLong)
-        .getOrElse(Long.MaxValue))
+        .getOrElse(Long.MaxValue),
+      Option(properties.get("peek")).exists(_.toBoolean))
   override def supportsExternalMetadata(): Boolean = true
 }
 
@@ -89,6 +90,12 @@ object PgReplicationSource {
   @volatile var logFlushed: Long => Unit =
     lsn => System.err.println(s"Flushed LSN: $lsn")
 
+  /** Peek-mode counterpart: the LSN was consumed but deliberately NOT
+    * acked (pg_logical_slot_peek_changes parity — the slot keeps its
+    * restart pointer). Injectable like logFlushed. */
+  @volatile var logPeeked: Long => Unit =
+    lsn => System.err.println(s"Peeked LSN (not flushed): $lsn")
+
   /** Register a connection factory under a name referenced by the
     * `connection` option. */
   def registerConnection(name: String, f: () => ReplicationStream): Unit =
@@ -101,7 +108,8 @@ object PgReplicationSource {
   }
 }
 
-class PgReplicationTable(connection: String, maxPerTrigger: Long)
+class PgReplicationTable(connection: String, maxPerTrigger: Long,
+    peek: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"cdc-pg($connection)"
   override def schema(): StructType = CdcFileSource.Schema
@@ -112,11 +120,12 @@ class PgReplicationTable(connection: String, maxPerTrigger: Long)
       override def readSchema(): StructType = CdcFileSource.Schema
       override def toMicroBatchStream(checkpointLocation: String)
           : MicroBatchStream =
-        new PgReplicationMicroBatchStream(connection, maxPerTrigger)
+        new PgReplicationMicroBatchStream(connection, maxPerTrigger, peek)
     }
 }
 
-class PgReplicationMicroBatchStream(connection: String, maxPerTrigger: Long)
+class PgReplicationMicroBatchStream(connection: String,
+    maxPerTrigger: Long, peek: Boolean = false)
     extends MicroBatchStream {
   // driver-side control connection: admission (headLsn) + feedback
   private lazy val conn = PgReplicationSource.connect(connection)
@@ -153,6 +162,9 @@ class PgReplicationMicroBatchStream(connection: String, maxPerTrigger: Long)
     * epoch (engine behavior) — replay-only lag, at-least-once kept. */
   override def commit(end: Offset): Unit = {
     val lsn = end.asInstanceOf[LsnOffset].lsn
+    // peek mode: consume without standby feedback — the server keeps
+    // WAL and the slot position (pg_logical_slot_peek_changes parity)
+    if (peek) { PgReplicationSource.logPeeked(lsn); return }
     conn.flushed(lsn)
     // reference __main__.py:103-104: every feedback ack logs its LSN
     PgReplicationSource.logFlushed(lsn)

@@ -55,12 +55,13 @@ object CdcPipeline {
     * semantics as Cdc.parseTestDecoding.
     */
   def transformTestDecoding(spark: SparkSession, sourcePath: String,
-      maxRecordsPerTrigger: Long = Long.MaxValue)
+      maxRecordsPerTrigger: Long = Long.MaxValue,
+      peek: Boolean = false)
       : org.apache.spark.sql.Dataset[(Long, Long, String, String, String)] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val raw = graft.sources.CdcSource.rawStream(spark, sourcePath,
-      maxRecordsPerTrigger)
+      maxRecordsPerTrigger, peek)
       .select(col("lsn"), col("payload")).as[(Long, String)]
     val TableLine = "^table ([^:]+): (\\w+): (.*)$".r
     raw

@@ -326,6 +326,77 @@ class GraftJobSpec extends SparkSpec {
     assert(cli.size == 6, s"expected 6 gated records, got ${cli.size}")
   }
 
+  test("--dry-run: full pipeline, preview only, slot position untouched") {
+    // the pg_logical_slot_peek_changes parity surface: everything
+    // runs — source, parse, gate, format — but the source never acks,
+    // nothing is put, and a later REAL run replays from the start
+    val dir = tmp()
+    val src = Paths.get(dir, "wal.jsonl")
+    Files.write(src, (0 until 5).map(i =>
+      s"""{"xid": $i, "change": [{"kind": "insert", "schema": "public",""" +
+        s""" "table": "species", "columnnames": ["id"],""" +
+        s""" "columntypes": ["integer"], "columnvalues": [$i]}]}""")
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val pk = Paths.get(dir, "pk.jsonl")
+    Files.write(pk,
+      ("""{"table_name":"public.species","col_name":"id",""" +
+        """"col_type":"integer","col_ord_pos":1}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val previews = scala.collection.mutable.ArrayBuffer.empty[String]
+    val peekedLsns = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val oldOut = GraftJob.dryRunOut
+    val oldPeek = graft.sources.PgReplicationSource.logPeeked
+    GraftJob.dryRunOut = line => previews.synchronized { previews += line }
+    graft.sources.PgReplicationSource.logPeeked =
+      lsn => peekedLsns.synchronized { peekedLsns += lsn }
+    try {
+      val o = Main.parse(Seq(
+        "--source-path", src.toString,
+        "--stream-name", s"$dir/sink",
+        "--pk-catalog", pk.toString,
+        "--pg-slot-output-plugin", "wal2json",
+        "--message-formatter", "CSV",
+        "--send-window-secs", "0", "--dry-run", "--once"))
+        .fold(e => fail(e), identity)
+      assert(o.dryRun && o.toConfig.dryRun)
+      val q = Main.start(spark, o)
+      q.processAllAvailable()
+      // the engine acks epoch N only while constructing batch N+1
+      // (the documented trailing-epoch contract) — drive one more
+      // batch, then wait for the peek-commit log
+      Files.write(src,
+        ("""{"xid": 5, "change": [{"kind": "insert", "schema":""" +
+          """ "public", "table": "species", "columnnames": ["id"],""" +
+          """ "columntypes": ["integer"], "columnvalues": [5]}]}""" + "\n")
+          .getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.APPEND)
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      while (peekedLsns.synchronized(peekedLsns.isEmpty) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      q.stop()
+    } finally {
+      GraftJob.dryRunOut = oldOut
+      graft.sources.PgReplicationSource.logPeeked = oldPeek
+    }
+    assert(previews.toSeq == (0 until 6).map(i =>
+      s"DRY-RUN would put: 0,CDC,$i,public.species,insert,$i"),
+      s"preview lines: $previews")
+    assert(peekedLsns.nonEmpty, "peek commits must still log the LSN")
+    assert(!Files.exists(Paths.get(src.toString + ".feedback")),
+      "peek must NOT append feedback — the slot position is untouched")
+    assert(!Files.exists(Paths.get(s"$dir/sink")),
+      "dry-run must not create or write the sink stream")
+    // the same records remain fully replayable by a REAL run (ack
+    // behavior of real runs is StreamingSpec/CdcSourceContractSpec's
+    // business)
+    run(GraftConfig(src.toString, s"$dir/sink", s"$dir/ckpt",
+      formatter = "CSV", operations = Seq("insert"), sendWindowSecs = 0))
+    assert(records(s"$dir/sink") == (0 until 6).map(i =>
+      s"0,CDC,$i,public.species,insert,$i"),
+      "real run after a peek must see every change from the start")
+  }
+
   test("full-change requires wal2json + CSVPayload, like the reference") {
     intercept[IllegalArgumentException] {
       GraftJob.transform(spark, GraftConfig("/nope", "/nope", "/nope",

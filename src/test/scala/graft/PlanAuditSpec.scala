@@ -139,8 +139,13 @@ class PlanAuditSpec extends SparkSpec {
       "emb_jl_audit",
       // bigram-type table × broadcast ONE-row type-count scalar B
       "text_kn_fluency",
-      // weekly aggregate × broadcast ONE-row min-week scalar
-      "q_ts_similarity")
+      // weekly aggregate × broadcast ONE-row min-week scalar, plus
+      // ONE-row user-count / max-volume scalars feeding the adaptive
+      // blocking granularity (alphabet ladder + equi-depth volume key)
+      "q_ts_similarity",
+      // customer/supplier scans × broadcast ONE-row customer-count
+      // scalar selecting the adaptive blocking-suffix length
+      "q_record_linkage")
 
   /** The audited predicate, factored out so the mutation test below can
     * prove it actually fires (the previous disjunctive form was vacuous:
@@ -187,6 +192,9 @@ class PlanAuditSpec extends SparkSpec {
       "corpus_curate",
       // same memoized cluster fixpoint as corpus_curate
       "corpus_funnel", "dedup_survivors_quality", "dedup_cluster_hist",
+      // composes corpus_curate's stages + corpus_split_safe — same
+      // memoized cluster fixpoint
+      "corpus_release",
       // per-iteration 64-row eigenvector checkpoints: without them the
       // deflated second power chain squares the lineage tree and
       // Catalyst analysis goes exponential (see emb_pca2)
