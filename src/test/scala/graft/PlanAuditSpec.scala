@@ -193,7 +193,8 @@ class PlanAuditSpec extends SparkSpec {
       // same memoized cluster fixpoint as corpus_curate
       "corpus_funnel", "dedup_survivors_quality", "dedup_cluster_hist",
       // composes corpus_curate's stages + corpus_split_safe — same
-      // memoized cluster fixpoint
+      // memoized cluster fixpoint, plus the released-table
+      // localCheckpoint (three consumers)
       "corpus_release",
       // per-iteration 64-row eigenvector checkpoints: without them the
       // deflated second power chain squares the lineage tree and
