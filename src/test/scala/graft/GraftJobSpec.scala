@@ -397,6 +397,61 @@ class GraftJobSpec extends SparkSpec {
       "real run after a peek must see every change from the start")
   }
 
+  test("--dry-run over the walsender transport never sends standby feedback") {
+    import graft.sources.{PgReplicationSource, ReplicationStream, WalRecord}
+    val wal = new java.util.concurrent.CopyOnWriteArrayList[WalRecord]()
+    val flushes =
+      new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]()
+    (0 until 3).foreach(i => wal.add(WalRecord(i.toLong,
+      s"""{"xid": ${800 + i}, "change": [{"kind": "insert",""" +
+        s""" "schema": "public", "table": "species",""" +
+        s""" "columnnames": ["id"], "columntypes": ["integer"],""" +
+        s""" "columnvalues": [$i]}]}""")))
+    val connName = s"peek-fake-${java.util.UUID.randomUUID().toString.take(8)}"
+    PgReplicationSource.registerConnection(connName, () =>
+      new ReplicationStream {
+        override def headLsn(): Long = wal.size().toLong
+        override def read(start: Long, end: Long): Iterator[WalRecord] = {
+          import scala.jdk.CollectionConverters._
+          wal.iterator().asScala.filter(r => r.lsn >= start && r.lsn < end)
+        }
+        override def flushed(lsn: Long): Unit = flushes.add(lsn)
+      })
+    val previews = scala.collection.mutable.ArrayBuffer.empty[String]
+    val peeked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val oldOut = GraftJob.dryRunOut
+    val oldPeek = PgReplicationSource.logPeeked
+    GraftJob.dryRunOut = line => previews.synchronized { previews += line }
+    PgReplicationSource.logPeeked =
+      lsn => peeked.synchronized { peeked += lsn }
+    try {
+      val dir = tmp()
+      val q = GraftJob.start(spark, GraftConfig(s"pg:$connName",
+        s"$dir/sink", s"$dir/ckpt", formatter = "CSV",
+        sendWindowSecs = 0, dryRun = true), cat)
+      q.processAllAvailable()
+      // one more record drives the next batch so epoch 0's peek
+      // commit fires (the trailing-epoch contract)
+      wal.add(WalRecord(3L,
+        """{"xid": 803, "change": [{"kind": "insert", "schema":""" +
+          """ "public", "table": "species", "columnnames": ["id"],""" +
+          """ "columntypes": ["integer"], "columnvalues": [3]}]}"""))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      while (peeked.synchronized(peeked.isEmpty) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      q.stop()
+    } finally {
+      GraftJob.dryRunOut = oldOut
+      PgReplicationSource.logPeeked = oldPeek
+    }
+    assert(previews.size == 4, s"previews: $previews")
+    assert(peeked.nonEmpty, "peek commits must log")
+    assert(flushes.isEmpty,
+      "dry-run must NEVER call ReplicationStream.flushed — the server" +
+        " keeps WAL and the slot position")
+  }
+
   test("full-change requires wal2json + CSVPayload, like the reference") {
     intercept[IllegalArgumentException] {
       GraftJob.transform(spark, GraftConfig("/nope", "/nope", "/nope",
