@@ -293,7 +293,10 @@ object ScaleProbe {
       // perturbation keeps copies from being time-series clones, and
       // linkage pair volume is key-driven (clone names only shift the
       // lev distribution, not the candidate count)
-      "q_ts_similarity", "q_record_linkage")
+      "q_ts_similarity", "q_record_linkage",
+      // per-user symbolization audit — a pure per-user map over the
+      // bounded feature table
+      "q_sax_words")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

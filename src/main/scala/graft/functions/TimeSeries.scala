@@ -26,8 +26,16 @@ object TimeSeries {
   /** Corpus-adaptive SAX blocking + exact-Pearson verify over the
     * maintained weekly-count table. See the q_ts_similarity Scaladoc
     * (Relational.scala) and SaxBlocking for the blocking design; the
-    * input here is |users|x|weeks|-bounded, never the raw corpus. */
-  def similarPairs(weekly: DataFrame): DataFrame = {
+    * input here is |users|x|weeks|-bounded, never the raw corpus.
+    *
+    * @param bOverride pin the word alphabet to a fixed band count
+    *                  instead of the corpus ladder (the shape-precision
+    *                  knob; see also [[saxWords]] for the per-user
+    *                  symbolization audit)
+    * @param kOverride pin the volume-bucket count instead of
+    *                  clamp(n/64, 1, 1024) */
+  def similarPairs(weekly: DataFrame, bOverride: Option[Int] = None,
+      kOverride: Option[Long] = None): DataFrame = {
     val minWk = weekly.agg(min(col("wk")).as("w0"))
     val wide = weekly.crossJoin(broadcast(minWk))
       .withColumn("i", col("wk") - col("w0"))
@@ -66,9 +74,13 @@ object TimeSeries {
       .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
     val wCell = Window.orderBy(col("cell"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kSql = kOverride.map(k => s"${k}L")
+      .getOrElse("greatest(1L, least(1024L, n_users div 64))")
+    val bSql = bOverride.map(_.toString)
+      .getOrElse(SaxBlocking.bLadderSql("n_users"))
     val cellMap = cells.withColumn("cum", sum(col("cnt")).over(wCell))
       .crossJoin(broadcast(nUsers))
-      .withColumn("k", expr("greatest(1L, least(1024L, n_users div 64))"))
+      .withColumn("k", expr(kSql))
       .select(col("cell"),
         expr("least(k - 1, (cum - cnt) * k div n_users)")
           .as("vol_bucket"))
@@ -78,7 +90,7 @@ object TimeSeries {
           .withColumn(s"q$i",
             expr(s"cast(d$i as decimal(38,0)) * d$i * 1000"))
       }
-      .withColumn("b", expr(SaxBlocking.bLadderSql("n_users")))
+      .withColumn("b", expr(bSql))
       .withColumn("word", expr(SaxBlocking.wordSqlSpark("b",
         (0 until 6).map(i => s"d$i"), (0 until 6).map(i => s"q$i"),
         "vx")))
@@ -107,5 +119,46 @@ object TimeSeries {
       .select(col("u1"), col("u2"), col("word"),
         expr("cast(r2_signed_milli as bigint)").as("r2_milli"))
       .orderBy(col("u1"), col("u2"))
+  }
+
+  /** Per-user SAX symbolization audit (q_sax_words): each user's
+    * weekly-shape word at FIXED alphabets (the fine b > 1 arms of the
+    * generated word SQL the corpus ladder never reaches at test
+    * scale), byte-for-byte comparable across engines. The inspection
+    * surface behind similarPairs — which symbols a user's weeks
+    * quantize to, at each granularity. Pure per-user map over the
+    * bounded feature table; never vacuous (one row per active user).
+    * The b columns are string literals, so the engine constant-folds
+    * each word CASE down to its single live arm. */
+  def saxWords(weekly: DataFrame, bs: Seq[Int]): DataFrame = {
+    val minWk = weekly.agg(min(col("wk")).as("w0"))
+    val wide = weekly.crossJoin(broadcast(minWk))
+      .withColumn("i", col("wk") - col("w0"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("i") === 0, col("cnt")).otherwise(0L)).as("w0"),
+        (1 until 6).map(i =>
+          sum(when(col("i") === i, col("cnt")).otherwise(0L))
+            .as(s"w$i")): _*)
+    val withStats = wide
+      .withColumn("sx", expr("w0+w1+w2+w3+w4+w5"))
+      .withColumn("sxx", expr(
+        "cast(w0 as decimal(38,0))*w0 + cast(w1 as decimal(38,0))*w1" +
+          " + cast(w2 as decimal(38,0))*w2 + cast(w3 as decimal(38,0))*w3" +
+          " + cast(w4 as decimal(38,0))*w4 + cast(w5 as decimal(38,0))*w5"))
+      .withColumn("vx", expr("6 * sxx - cast(sx as decimal(38,0)) * sx"))
+      .filter(col("vx") > 0)
+    val withD = (0 until 6).foldLeft(withStats) { (df, i) =>
+      df.withColumn(s"d$i", expr(s"6 * w$i - sx"))
+        .withColumn(s"q$i",
+          expr(s"cast(d$i as decimal(38,0)) * d$i * 1000"))
+    }
+    bs.foldLeft(withD) { (df, b) =>
+      df.withColumn(s"word_b$b", expr(SaxBlocking.wordSqlSpark(
+        b.toString, (0 until 6).map(i => s"d$i"),
+        (0 until 6).map(i => s"q$i"), "vx")))
+    }
+      .select(col("user_id") +: col("sx") +:
+        bs.map(b => col(s"word_b$b")): _*)
+      .orderBy(col("user_id"))
   }
 }

@@ -1580,6 +1580,20 @@ object Relational extends QueryModule {
       graft.functions.TimeSeries.similarPairs(
         graft.functions.TimeSeries.weeklyCounts(events(s, d)))),
 
+    // Per-user SAX symbolization audit at FIXED fine alphabets (b = 2
+    // and b = 3): the test corpora sit at b = 1 on the corpus ladder,
+    // so without this the b > 1 arms of the generated word SQL would
+    // only ever be exercised by SaxBlockingSpec's hand-computed cases
+    // — here every user's b = 2 / b = 3 word is checked byte-for-byte
+    // against the DuckDB oracle on real data (a stronger exercise
+    // than a pair set, and never vacuous: one row per active user).
+    // Also the inspection surface behind the similarity search: which
+    // symbols a user's weeks quantize to at each granularity.
+    "q_sax_words" -> ((s, d) =>
+      graft.functions.TimeSeries.saxWords(
+        graft.functions.TimeSeries.weeklyCounts(events(s, d)),
+        Seq(2, 3))),
+
     // Per-key mode (most frequent value): neither engine defines
     // mode()'s tie order, so the portable formulation is count →
     // per-key max over a window → keep tied rows → MIN as the
@@ -3898,6 +3912,47 @@ object Relational extends QueryModule {
         |SELECT u1, u2, word, CAST(r2 AS BIGINT) AS r2_milli
         |FROM scored WHERE r2 >= 950
         |ORDER BY u1, u2""".stripMargin,
+
+    "q_sax_words" ->
+      s"""WITH daily AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) // 7 AS wk,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mw AS (SELECT MIN(wk) AS w0 FROM daily),
+        |wide AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN wk - w0 = 0 THEN cnt ELSE 0 END) AS w0c,
+        |    SUM(CASE WHEN wk - w0 = 1 THEN cnt ELSE 0 END) AS w1c,
+        |    SUM(CASE WHEN wk - w0 = 2 THEN cnt ELSE 0 END) AS w2c,
+        |    SUM(CASE WHEN wk - w0 = 3 THEN cnt ELSE 0 END) AS w3c,
+        |    SUM(CASE WHEN wk - w0 = 4 THEN cnt ELSE 0 END) AS w4c,
+        |    SUM(CASE WHEN wk - w0 = 5 THEN cnt ELSE 0 END) AS w5c
+        |  FROM daily CROSS JOIN mw GROUP BY 1),
+        |st AS (
+        |  SELECT user_id, w0c, w1c, w2c, w3c, w4c, w5c,
+        |    w0c + w1c + w2c + w3c + w4c + w5c AS sx,
+        |    6 * (w0c::HUGEINT*w0c + w1c::HUGEINT*w1c + w2c::HUGEINT*w2c
+        |       + w3c::HUGEINT*w3c + w4c::HUGEINT*w4c + w5c::HUGEINT*w5c)
+        |      - (w0c + w1c + w2c + w3c + w4c + w5c)::HUGEINT
+        |        * (w0c + w1c + w2c + w3c + w4c + w5c) AS vx
+        |  FROM wide),
+        |f AS (SELECT * FROM st WHERE vx > 0),
+        |sb AS (
+        |  SELECT f.*,
+        |    ${(0 until 6).map(i =>
+                s"6 * w${i}c - sx AS d$i, (6 * w${i}c - sx)::HUGEINT" +
+                  s" * (6 * w${i}c - sx) * 1000 AS q$i").mkString(", ")}
+        |  FROM f)
+        |SELECT user_id, CAST(sx AS BIGINT) AS sx,
+        |  ${SaxBlocking.wordSqlDuck("2",
+             (0 until 6).map(i => s"d$i"), (0 until 6).map(i => s"q$i"),
+             "vx")} AS word_b2,
+        |  ${SaxBlocking.wordSqlDuck("3",
+             (0 until 6).map(i => s"d$i"), (0 until 6).map(i => s"q$i"),
+             "vx")} AS word_b3
+        |FROM sb ORDER BY user_id""".stripMargin,
 
     "q_spc_rules" ->
       """WITH daily AS (

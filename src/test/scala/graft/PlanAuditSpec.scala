@@ -143,6 +143,9 @@ class PlanAuditSpec extends SparkSpec {
       // ONE-row user-count / max-volume scalars feeding the adaptive
       // blocking granularity (alphabet ladder + equi-depth volume key)
       "q_ts_similarity",
+      // per-user symbolization audit: weekly aggregate × the same
+      // broadcast ONE-row min-week scalar
+      "q_sax_words",
       // customer/supplier scans × broadcast ONE-row customer-count
       // scalar selecting the adaptive blocking-suffix length
       "q_record_linkage")
