@@ -28,11 +28,17 @@ class DeterminismSpec extends SparkSpec {
   // mergeable SpaceSaving (text_heavy_hitters — the merge-order bug
   // this spec exists to catch), PQ code assignment + ADC
   // (sim_ann_pq).
+  // Round-11 families: corpus-adaptive SAX blocking (q_ts_similarity
+  // — generated CASE words, equi-depth bucket floor divisions, and a
+  // cached feature table, all under varying parallelism) and the
+  // composed release gate (corpus_release — curation chain + safe
+  // split + leakage count through a localCheckpoint).
   private val representative = Seq("q1_pricing", "dedup_semantic",
     "emb_kmeans_step", "corpus_mix_temp", "text_tfidf", "sample_priority",
     "emb_pca_power", "text_bigram_lm",
     "q_argmax_events", "q_stats_corr", "q_anomaly_mad", "q_kmv_setops",
-    "text_heavy_hitters", "sim_ann_pq")
+    "text_heavy_hitters", "sim_ann_pq",
+    "q_ts_similarity", "corpus_release")
 
   test("query results are invariant to shuffle partition count") {
     val key = "spark.sql.shuffle.partitions"
