@@ -102,4 +102,48 @@ object PkCatalog {
       cached
     }
   }
+
+  /** HUP-triggered catalog refresh — the OTHER half of the
+    * reference's roadmap item (README.rst:136-138: "Refresh primary
+    * key cache on HUP signal / on a schedule"; [[refreshing]] is the
+    * schedule half). Returns (provider, trigger): the provider serves
+    * the cached snapshot until `trigger()` marks it dirty, and the
+    * NEXT provider call — i.e. the next micro-batch, never mid-batch
+    * — re-reads. The trigger is an injected seam: production wires it
+    * to SIGHUP via [[onSigHup]]; specs call it directly. The dirty
+    * flag is atomic because the signal thread races the micro-batch
+    * loop; the cache itself stays batch-loop-confined like
+    * [[refreshing]]'s. */
+  def hupRefreshing(read: () => DataFrame)
+      : (() => DataFrame, () => Unit) = {
+    val dirty = new java.util.concurrent.atomic.AtomicBoolean(true)
+    var cached: DataFrame = null
+    val provider = () => {
+      if (dirty.getAndSet(false) || cached == null) cached = read()
+      cached
+    }
+    (provider, () => dirty.set(true))
+  }
+
+  /** Wire a refresh trigger to SIGHUP where the JVM supports signal
+    * handling (jdk.unsupported's sun.misc.Signal — present on the
+    * JDKs Spark supports). Returns false when unavailable; the
+    * trigger can still be invoked programmatically. Reflection keeps
+    * the compile-time surface free of the unsupported API. */
+  def onSigHup(trigger: () => Unit): Boolean =
+    try {
+      val sigCls = Class.forName("sun.misc.Signal")
+      val handlerCls = Class.forName("sun.misc.SignalHandler")
+      val handler = java.lang.reflect.Proxy.newProxyInstance(
+        handlerCls.getClassLoader, Array(handlerCls),
+        (_, method, _) => {
+          if (method.getName == "handle") trigger()
+          null
+        })
+      val sig = sigCls.getConstructor(classOf[String])
+        .newInstance("HUP").asInstanceOf[Object]
+      sigCls.getMethod("handle", sigCls, handlerCls)
+        .invoke(null, sig, handler)
+      true
+    } catch { case _: Throwable => false }
 }

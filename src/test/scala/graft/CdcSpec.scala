@@ -281,4 +281,37 @@ class CdcSpec extends SparkSpec {
     clock = 1500L
     assert(provider().count() == 2 && reads == 2)
   }
+
+  test("HUP-triggered catalog re-reads only after the trigger fires") {
+    // the signal half of the same roadmap item (README.rst:136-138:
+    // "Refresh primary key cache on HUP signal"): the provider serves
+    // the cached snapshot until the trigger marks it dirty; the next
+    // call — the next micro-batch, never mid-batch — re-reads
+    var reads = 0
+    var tables = Seq(PrimaryKeyMapItem("public.events", "id", "bigint", 1))
+    val (provider, trigger) = PkCatalog.hupRefreshing(
+      () => { reads += 1; PkCatalog.fromItems(spark, tables) })
+    assert(provider().count() == 1 && reads == 1)
+    // no trigger: cached, mid-flight ADD TABLE not yet visible
+    tables = tables :+ PrimaryKeyMapItem("public.orders", "oid", "bigint", 1)
+    assert(provider().count() == 1 && reads == 1)
+    // trigger (the SIGHUP seam): the NEXT call re-reads, once
+    trigger()
+    assert(provider().count() == 2 && reads == 2)
+    assert(provider().count() == 2 && reads == 2)
+    // the production wiring reports availability (Linux JVMs: true);
+    // a wired trigger behaves identically to the direct call
+    var fired = 0
+    val wired = PkCatalog.onSigHup(() => fired += 1)
+    if (wired) {
+      // raise SIGHUP at ourselves and wait for the handler thread
+      val pid = ProcessHandle.current().pid()
+      new ProcessBuilder("kill", "-HUP", pid.toString)
+        .inheritIO().start().waitFor()
+      val deadline = System.currentTimeMillis() + 5000
+      while (fired == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(fired >= 1, "SIGHUP handler did not fire")
+    }
+  }
 }
