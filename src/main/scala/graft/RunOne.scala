@@ -22,6 +22,13 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 2 && args(2) == "explain") {
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    } else if (args.length > 2 && args(2) == "explainExec") {
+      // AQE finalizes (and stage-dedups) only at execution: the
+      // build-time plan shows duplicated exchanges that the runtime
+      // reuses. Collect first, then print what actually ran.
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString)
     } else {
       val n = if (args.length > 2) args(2).toInt else 3
       for (i <- 1 to n) {

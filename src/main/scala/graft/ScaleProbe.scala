@@ -105,7 +105,9 @@ object ScaleProbe {
     // event queries see an ~0.75x-per-copy but still linear corpus.
     val weekShapeDrop: (DataFrame, Int) => DataFrame = (df, i) =>
       df.filter(expr(
-        "abs(xxhash64(event_id)) % 12 >= " +
+        // pmod, not abs(..)%12: abs(Long.MinValue) overflows negative
+        // and the % would silently drop that row in every copy
+        "pmod(xxhash64(event_id), 12) >= " +
           "(cast(datediff(cast(ts as date), date '1970-01-01') as bigint)" +
           s" div 7 * ${1 + i % 5} + $i) % 7"))
     replicate(Tables.events(spark, d), Seq("event_id", "user_id"), n,
@@ -296,7 +298,13 @@ object ScaleProbe {
       "q_ts_similarity", "q_record_linkage",
       // per-user symbolization audit — a pure per-user map over the
       // bounded feature table
-      "q_sax_words")
+      "q_sax_words",
+      // round-12: the two remaining DistributedRank swaps (ntile and
+      // shard_index ride the kernel too and were already probed) —
+      // rank/prefix-sum is now a sampled range shuffle + broadcast
+      // offsets, so the ratio should be the linear shuffle growth,
+      // never a single-task sort
+      "q_revenue_pareto", "mm_shard_pack")
       // optional focus: probe only a comma-separated subset (fast
       // re-probe of newly added ops without re-timing the full set)
       .filter(sys.env.get("SPARK_GRAFT_PROBE_OPS") match {

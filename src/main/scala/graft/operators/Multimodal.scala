@@ -394,9 +394,11 @@ object Multimodal extends QueryModule {
     // each blob to the shard its START offset falls in (items never
     // split; a shard overshoots by at most one blob). This runs on the
     // MANIFEST (one metadata row per blob — the payload bytes never
-    // move until the archiver reads its assigned list), so the global
-    // prefix sum is over metadata only; at larger scale the same exact
-    // cumsum distributes as a range-partitioned two-pass prefix sum.
+    // move until the archiver reads its assigned list), and the
+    // prefix sum itself is DistributedRank's range-partitioned
+    // two-pass kernel: sampled ranges, per-range byte sums, broadcast
+    // cumulative offsets — no single-task WindowExec at any manifest
+    // size.
     // Shard INDEX — the .idx companion the shard packer ships beside
     // each archive (WebDataset/tar readers seek by it): per item, its
     // shard, ordinal within the shard, and byte offset FROM THE
@@ -404,7 +406,7 @@ object Multimodal extends QueryModule {
     // deterministic hash-priority order as mm_shard_pack so the two
     // artifacts can never disagree about placement. Same scale
     // contract as the packer: the prefix sum runs over the METADATA
-    // manifest only (range-partitioned two-pass cumsum at scale); the
+    // manifest only (DistributedRank's two-pass cumsum kernel); the
     // within-shard offset is one min-over-partition on the already
     // computed running total.
     "mm_shard_index" -> ((s, d) => {
@@ -413,10 +415,10 @@ object Multimodal extends QueryModule {
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_bytes"),
           md5(concat(lit("sp"), col("doc_id").cast("string"))).as("pri"))
-      val w = Window.orderBy(col("pri"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val placed = manifest
-        .withColumn("cum", sum(col("n_bytes")).over(w))
+      val (withCum, _) = DistributedRank.rankPrefix(
+        manifest, Seq(col("pri"), col("doc_id")), "__rn",
+        value = Some(col("n_bytes")), cumName = "cum")
+      val placed = withCum
         .withColumn("start", col("cum") - col("n_bytes"))
         .withColumn("shard", expr(s"start div $cap"))
       val ws = Window.partitionBy(col("shard"))
@@ -436,10 +438,10 @@ object Multimodal extends QueryModule {
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_bytes"),
           md5(concat(lit("sp"), col("doc_id").cast("string"))).as("pri"))
-      val w = Window.orderBy(col("pri"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      manifest
-        .withColumn("cum", sum(col("n_bytes")).over(w))
+      val (withCum, _) = DistributedRank.rankPrefix(
+        manifest, Seq(col("pri"), col("doc_id")), "__rn",
+        value = Some(col("n_bytes")), cumName = "cum")
+      withCum
         .withColumn("shard", expr(s"(cum - n_bytes) div $cap"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_items"),

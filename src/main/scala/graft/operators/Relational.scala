@@ -2067,22 +2067,22 @@ object Relational extends QueryModule {
     // row per decile — the marketing "value segment" cut. NTILE's
     // equal-fill-remainder-first semantics are identical across
     // engines given a total order, so the (total_spent DESC, custkey)
-    // tie-break makes bucket membership deterministic. The window
-    // input is the per-customer aggregate — orders of magnitude
-    // smaller than the fact table — but it IS a global window
-    // (WindowExec single-partitions an unpartitioned NTILE); past
-    // driver-friendly |customers|, the production swap is a
-    // range-partitioned sort + per-partition offsets (distributed
-    // positional rank, same answer) or the q_rfm_segments
-    // counting-quantile cutoffs (value-based deciles).
+    // tie-break makes bucket membership deterministic. No global
+    // WindowExec: the position comes from DistributedRank's two-pass
+    // range-partitioned rank (sampled ranges + broadcast offsets) and
+    // the NTILE bucket is pure arithmetic on (rank, n) — n rides from
+    // the bounded per-range table, never a rescan. Scales to any
+    // |customers|: the sort runs as `parts` parallel tasks.
     "q_ntile_spend" -> ((s, d) => {
       val spend = orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(dsum(col("o_totalprice")).as("total_spent"))
-      spend
-        .withColumn("decile", ntile(10).over(Window
-          .orderBy(col("total_spent").desc, col("o_custkey")))
-          .cast("long"))
+      val (ranked, totals) = DistributedRank.rankPrefix(
+        spend, Seq(col("total_spent").desc, col("o_custkey")), "__rn")
+      ranked
+        .crossJoin(broadcast(totals.select(col("__n"))))
+        .withColumn("decile",
+          DistributedRank.ntileOf(col("__rn"), col("__n"), 10))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"),
           dsum(col("total_spent")).as("decile_spend"),
@@ -2327,24 +2327,23 @@ object Relational extends QueryModule {
     // revenue held by the top 1% / 10% / 20% of customers. The
     // cumulative sum runs in quantized decimal (the q_window_running
     // discipline) so the running total is reassociation-exact, and
-    // the percentile cut rows are exact integer ceilings. Same
-    // global-window caveat-and-swap as q_ntile_spend: the window
-    // input is the per-customer aggregate, and past driver-friendly
-    // |customers| the positional scan becomes a range-partitioned
-    // sort with per-partition offsets.
+    // the percentile cut rows are exact integer ceilings. Both the
+    // position AND the running revenue come from DistributedRank's
+    // range-partitioned two-pass kernel (no single-task WindowExec),
+    // and the (n_customers, total_revenue) scalars ride from its
+    // bounded per-range totals — the per-customer aggregate is
+    // range-shuffled once and never rescanned.
     "q_revenue_pareto" -> ((s, d) => {
       val spend = orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(dsum(col("o_totalprice")).as("spent"))
-      val w = Window.orderBy(col("spent").desc, col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = spend.agg(count(lit(1)).as("n_customers"),
-        dsum(col("spent")).as("total_revenue"))
-      spend
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("spent").desc, col("o_custkey"))).cast("long"))
-        .withColumn("cum",
-          (sum(dsumExpr(col("spent"))).over(w).cast("double") / 1e8))
+      val (ranked, totals) = DistributedRank.rankPrefix(
+        spend, Seq(col("spent").desc, col("o_custkey")), "rn",
+        value = Some(dsumExpr(col("spent"))), cumName = "__cumq")
+      val tot = totals.select(col("__n").as("n_customers"),
+        (col("__vtot").cast("double") / 1e8).as("total_revenue"))
+      ranked
+        .withColumn("cum", col("__cumq").cast("double") / 1e8)
         .crossJoin(broadcast(tot))
         .agg(max(col("n_customers")).as("n_customers"),
           max(col("total_revenue")).as("total_revenue"),

@@ -33,12 +33,19 @@ class DeterminismSpec extends SparkSpec {
   // cached feature table, all under varying parallelism) and the
   // composed release gate (corpus_release — curation chain + safe
   // split + leakage count through a localCheckpoint).
+  // Round-12 family: the DistributedRank two-pass kernel (sampled
+  // range boundaries + spark_partition_id offsets) — boundaries MOVE
+  // with parallelism, so these four prove rank/prefix-sum output is
+  // invariant to where the range cuts land (q_ntile_spend = rank→NTILE
+  // arithmetic, q_revenue_pareto = decimal prefix sum + ride-along
+  // totals, mm_shard_pack/index = long byte cumsum → shard assignment).
   private val representative = Seq("q1_pricing", "dedup_semantic",
     "emb_kmeans_step", "corpus_mix_temp", "text_tfidf", "sample_priority",
     "emb_pca_power", "text_bigram_lm",
     "q_argmax_events", "q_stats_corr", "q_anomaly_mad", "q_kmv_setops",
     "text_heavy_hitters", "sim_ann_pq",
-    "q_ts_similarity", "corpus_release")
+    "q_ts_similarity", "corpus_release",
+    "q_ntile_spend", "q_revenue_pareto", "mm_shard_pack", "mm_shard_index")
 
   test("query results are invariant to shuffle partition count") {
     val key = "spark.sql.shuffle.partitions"

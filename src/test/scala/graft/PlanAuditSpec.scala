@@ -65,6 +65,9 @@ class PlanAuditSpec extends SparkSpec {
       // per-customer aggregate × the broadcast ONE-row total
       // (scalar-aggregate ride-along, same as q_important_parts)
       "q_revenue_pareto",
+      // ranked per-customer rows × the broadcast ONE-row __n from
+      // DistributedRank's bounded per-range totals (NTILE arithmetic)
+      "q_ntile_spend",
       // corpus × the broadcast 10-probe set, twice-scored (full and
       // int8-reconstructed) — same bounded shape as sim_topk_brute
       "emb_quantize_recall",
@@ -288,6 +291,109 @@ class PlanAuditSpec extends SparkSpec {
       assert(expensiveFilterLines("text_repetition").nonEmpty,
         "mutation probe: expected an inferred expensive filter with the rule active")
     } finally spark.conf.set(key, saved)
+  }
+
+  // ---------------------------------------------------------------
+  // Global-window audit: an unpartitioned Window is the one window
+  // shape that does NOT distribute (WindowExec single-partitions — one
+  // task sorts and holds the whole input). Legitimate ONLY over inputs
+  // provably bounded as the corpus grows. Every such site must either
+  // be the DistributedRank kernel's per-range offsets table
+  // (recognized structurally: the window sits directly over the
+  // aggregate grouped by the kernel's __pid range id, ≤ parts rows by
+  // construction) or carry an entry here naming WHY its input is
+  // bounded. Set-EQUALITY against reality below, so a stale entry
+  // fails the build just like a missing one.
+  //
+  //  - calendar/time-domain-bounded spines: q_gapfill_hours (|hours|
+  //    spine from a 2-scalar aggregate), q_running_distinct (day
+  //    spine), q_spc_rules (day spine), q_seasonal_decompose /
+  //    q_forecast_backtest (monthly spine), q_conversion_time /
+  //    q_interarrival (distinct integer-second gap values of a
+  //    bounded time domain)
+  //  - bounded-cell histogram / bounded-domain distinct-value tables:
+  //    q_equi_depth_hist, q_dist_drift (≤1024 cells), q_rfm_segments
+  //    (distinct days/counts/whole-dollar values of bounded domains),
+  //    q_skyline (per-p_size table, |size domain| rows),
+  //    q_ts_similarity (1024-cell volume pre-histogram), q_benford
+  //    (9 leading-digit rows), text_curriculum (quartile cutoffs from
+  //    a bounded difficulty histogram)
+  //  - top-k / fixed-fan-out inputs (a limit or constant split sits
+  //    below the window): sample_priority (top-40), text_zipf
+  //    (top-40), text_vocab_growth (10 decile rows), text_bpe_learn
+  //    (|vocab| merge candidates), corpus_mix / corpus_mix_temp
+  //    (|sources|-row mix tables)
+  //  - cdc_test_decoding_roundtrip: the WAL is ONE totally-ordered
+  //    stream by definition — the batch face orders one micro-batch
+  //    (bounded by maxRecordsPerTrigger / the 13 s flush window); the
+  //    streaming face replaces the window with keyed state
+  // (the names asserted below are computed from the ACTUAL optimized
+  // plans; this comment is the rationale index, the assertion is the
+  // contract — both sides fail on drift)
+  private lazy val globalWindowOk: Set[String] = Set(
+    "cdc_test_decoding_roundtrip", "corpus_mix", "corpus_mix_temp",
+    "q_benford", "q_conversion_time", "q_dist_drift",
+    "q_equi_depth_hist", "q_forecast_backtest", "q_gapfill_hours",
+    "q_interarrival", "q_rfm_segments", "q_running_distinct",
+    "q_seasonal_decompose", "q_skyline", "q_spc_rules",
+    "q_ts_similarity", "sample_priority", "text_bpe_learn",
+    "text_curriculum", "text_vocab_growth", "text_zipf")
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+    LogicalPlan, Window => LWindow}
+
+  /** The kernel's one legitimate global window: directly (through
+    * unary Project/Filter nodes) over the per-range-id aggregate —
+    * ≤ `parts` rows by construction. */
+  @annotation.tailrec
+  private def isRangeOffsetsTable(p: LogicalPlan): Boolean = p match {
+    case a: Aggregate =>
+      a.groupingExpressions.exists(_.references.exists(_.name == "__pid"))
+    case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode =>
+      isRangeOffsetsTable(u.child)
+    case _ => false
+  }
+
+  private def unboundedGlobalWindows(
+      df: org.apache.spark.sql.DataFrame): Seq[LWindow] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        !isRangeOffsetsTable(w.child) => w
+    }
+
+  test("no query plans an unpartitioned window over a corpus-growing input") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      unboundedGlobalWindows(SparkEntry.queries(name)(spark, sf)).nonEmpty
+    }.toSet
+    val unexplained = offenders -- globalWindowOk
+    val stale = globalWindowOk -- offenders
+    assert(unexplained.isEmpty && stale.isEmpty,
+      s"global (single-task) windows without a bounded-input entry " +
+        s"(distribute via DistributedRank or document the bound): " +
+        s"[${unexplained.toSeq.sorted.mkString(", ")}]; stale " +
+        s"globalWindowOk entries (no global window in plan): " +
+        s"[${stale.toSeq.sorted.mkString(", ")}]")
+  }
+
+  test("the global-window audit fires on a corpus-sized NTILE (mutation probe)") {
+    // the OLD q_ntile_spend shape — exactly what round 12 removed
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val mutated = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("spend"))
+      .withColumn("decile", ntile(10).over(
+        W.orderBy(col("spend").desc, col("o_custkey"))))
+    assert(unboundedGlobalWindows(mutated).nonEmpty,
+      "audit failed to flag an unpartitioned corpus-sized window")
+    // ...and the kernel that replaced it passes: its only global
+    // window is the ≤parts-row per-range offsets table
+    val (ranked, _) = operators.DistributedRank.rankPrefix(
+      Tables.orders(spark, sf).groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("spend")),
+      Seq(col("spend").desc, col("o_custkey")), "rn")
+    assert(unboundedGlobalWindows(ranked).isEmpty,
+      "kernel's bounded offsets window wrongly flagged")
   }
 
   test("every batch query keeps a whole-stage-codegen span") {
