@@ -89,6 +89,7 @@ object Bench {
       val times = (1 to attempts).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         graft.operators.Pipeline.resetMemo()
+        graft.functions.TimeSeries.resetMemo()
         val t0 = System.nanoTime()
         // A query that throws must not masquerade as a fast success:
         // record it as -1 (and say so on stderr), never as its
@@ -122,6 +123,7 @@ object Bench {
         }
         spark.sharedState.cacheManager.clearCache()
         graft.operators.Pipeline.resetMemo()
+        graft.functions.TimeSeries.resetMemo()
         val t0 = System.nanoTime()
         val t2 =
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

@@ -321,6 +321,7 @@ object ScaleProbe {
     // (~0.1 s) against a full 10x computation and the ratio is noise
     spark.sharedState.cacheManager.clearCache()
     graft.operators.Pipeline.resetMemo()
+    graft.functions.TimeSeries.resetMemo()
     val r = ops.flatMap { op =>
       val t1 = time(SparkEntry.queries(op)(spark, d).count())
       val tN = time(SparkEntry.queries(op)(spark, tmp).count())

@@ -23,6 +23,81 @@ object TimeSeries {
         " as bigint) div 7").as("wk"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Per-user feature table: the 6-week shape vector plus its exact
+    * integer/decimal sufficient stats (sx, sxx, 6·var), constant users
+    * (vx = 0) dropped. This is the ONE table every TS-similarity
+    * consumer derives from — [[similarPairs]]' six downstream stages
+    * AND [[saxWords]]' symbolization audit — so it is built here once
+    * and shared through [[features]]' session cache. */
+  def featureTable(weekly: DataFrame): DataFrame = {
+    val minWk = weekly.agg(min(col("wk")).as("w0"))
+    weekly.crossJoin(broadcast(minWk))
+      .withColumn("i", col("wk") - col("w0"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("i") === 0, col("cnt")).otherwise(0L)).as("w0"),
+        (1 until 6).map(i =>
+          sum(when(col("i") === i, col("cnt")).otherwise(0L))
+            .as(s"w$i")): _*)
+      .withColumn("sx", expr("w0+w1+w2+w3+w4+w5"))
+      .withColumn("sxx", expr(
+        "cast(w0 as decimal(38,0))*w0 + cast(w1 as decimal(38,0))*w1" +
+          " + cast(w2 as decimal(38,0))*w2 + cast(w3 as decimal(38,0))*w3" +
+          " + cast(w4 as decimal(38,0))*w4 + cast(w5 as decimal(38,0))*w5"))
+      .withColumn("vx", expr("6 * sxx - cast(sx as decimal(38,0)) * sx"))
+      .filter(col("vx") > 0)
+  }
+
+  /** Session-scoped cache of the feature table, ONE entry per session
+    * with the caller's weekly lineage as the guard key: a repeat call
+    * with the same source (q_ts_similarity and q_sax_words in one
+    * Verify/Bench run) shares the cached table — the raw-event
+    * aggregation happens ONCE per action across BOTH queries — while a
+    * call with a NEW source (the production periodic re-block per
+    * ingest refresh) unpersists the previous entry before caching its
+    * replacement, so refreshes can run forever without accreting
+    * InMemoryRelations in the CacheManager. cache(), not
+    * localCheckpoint: lazy (no build-time jobs — PlanAuditSpec's
+    * no-eager rule holds) and ~3x faster end-to-end (the checkpoint's
+    * materialization job + lost whole-stage fusion cost more than it
+    * saved at bench SF). */
+  private case class Entry(
+      key: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      weekly: DataFrame, feats: DataFrame) {
+    def unpersistAll(): Unit = {
+      try feats.unpersist() catch { case _: Throwable => () }
+      try weekly.unpersist() catch { case _: Throwable => () }
+    }
+  }
+  private val featMemo = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, Entry]()
+
+  /** Drop (and unpersist) every memoized feature table — benchmarks
+    * and probes call this next to Pipeline.resetMemo() when they need
+    * a cold re-computation. */
+  def resetMemo(): Unit = {
+    featMemo.values.forEach(_.unpersistAll())
+    featMemo.clear()
+  }
+
+  private def memoEntry(weekly: DataFrame): Entry = {
+    featMemo.keySet.removeIf(_.sparkContext.isStopped)
+    val key = weekly.queryExecution.logical.canonicalized
+    featMemo.compute(weekly.sparkSession, (_, prev) =>
+      if (prev != null && prev.key == key) prev
+      else {
+        if (prev != null) prev.unpersistAll()
+        // cache the weekly table too: featureTable needs it twice
+        // (global min week + the pivot), so an uncached build scans
+        // raw events TWICE — with the |users|x|weeks|-bounded weekly
+        // cache the corpus is scanned exactly once per build
+        val w = weekly.cache()
+        Entry(key, w, featureTable(w).cache())
+      })
+  }
+
+  private def features(weekly: DataFrame): DataFrame =
+    memoEntry(weekly).feats
+
   /** Corpus-adaptive SAX blocking + exact-Pearson verify over the
     * maintained weekly-count table. See the q_ts_similarity Scaladoc
     * (Relational.scala) and SaxBlocking for the blocking design; the
@@ -36,33 +111,15 @@ object TimeSeries {
     *                  clamp(n/64, 1, 1024) */
   def similarPairs(weekly: DataFrame, bOverride: Option[Int] = None,
       kOverride: Option[Long] = None): DataFrame = {
-    val minWk = weekly.agg(min(col("wk")).as("w0"))
-    val wide = weekly.crossJoin(broadcast(minWk))
-      .withColumn("i", col("wk") - col("w0"))
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("i") === 0, col("cnt")).otherwise(0L)).as("w0"),
-        (1 until 6).map(i =>
-          sum(when(col("i") === i, col("cnt")).otherwise(0L))
-            .as(s"w$i")): _*)
     // The per-user feature table feeds SIX downstream consumers
     // (n-count, max, histogram cells, and the keyed a/b self-join
-    // sides) — cache it so the raw-event aggregation happens ONCE per
-    // action. Without this the executed plan re-derives the whole
-    // aggregation per consumer (measured: 27 parquet scans of events
-    // at sf0.01); with the |users|-bounded InMemoryRelation the
-    // corpus is scanned once. cache(), not localCheckpoint: lazy (no
-    // build-time jobs, PlanAuditSpec's no-eager rule holds) and ~3x
-    // faster end-to-end here (the checkpoint's materialization job +
-    // lost whole-stage fusion cost more than it saved at bench SF).
-    val withStats = wide
-      .withColumn("sx", expr("w0+w1+w2+w3+w4+w5"))
-      .withColumn("sxx", expr(
-        "cast(w0 as decimal(38,0))*w0 + cast(w1 as decimal(38,0))*w1" +
-          " + cast(w2 as decimal(38,0))*w2 + cast(w3 as decimal(38,0))*w3" +
-          " + cast(w4 as decimal(38,0))*w4 + cast(w5 as decimal(38,0))*w5"))
-      .withColumn("vx", expr("6 * sxx - cast(sx as decimal(38,0)) * sx"))
-      .filter(col("vx") > 0)
-      .cache()
+    // sides) — the shared session cache in [[features]] makes the
+    // raw-event aggregation happen ONCE per action. Without it the
+    // executed plan re-derives the whole aggregation per consumer
+    // (measured: 27 parquet scans of events at sf0.01); with the
+    // |users|-bounded InMemoryRelation the corpus is scanned once —
+    // and q_sax_words reads the same entry for free.
+    val withStats = features(weekly)
     val nUsers = withStats.agg(count(lit(1)).as("n_users"))
     val mx = withStats.agg(max(col("sx")).as("mx"))
     // bounded pre-histogram -> equi-depth volume bucket map
@@ -131,23 +188,13 @@ object TimeSeries {
     * The b columns are string literals, so the engine constant-folds
     * each word CASE down to its single live arm. */
   def saxWords(weekly: DataFrame, bs: Seq[Int]): DataFrame = {
-    val minWk = weekly.agg(min(col("wk")).as("w0"))
-    val wide = weekly.crossJoin(broadcast(minWk))
-      .withColumn("i", col("wk") - col("w0"))
-      .groupBy(col("user_id"))
-      .agg(sum(when(col("i") === 0, col("cnt")).otherwise(0L)).as("w0"),
-        (1 until 6).map(i =>
-          sum(when(col("i") === i, col("cnt")).otherwise(0L))
-            .as(s"w$i")): _*)
-    val withStats = wide
-      .withColumn("sx", expr("w0+w1+w2+w3+w4+w5"))
-      .withColumn("sxx", expr(
-        "cast(w0 as decimal(38,0))*w0 + cast(w1 as decimal(38,0))*w1" +
-          " + cast(w2 as decimal(38,0))*w2 + cast(w3 as decimal(38,0))*w3" +
-          " + cast(w4 as decimal(38,0))*w4 + cast(w5 as decimal(38,0))*w5"))
-      .withColumn("vx", expr("6 * sxx - cast(sx as decimal(38,0)) * sx"))
-      .filter(col("vx") > 0)
-    val withD = (0 until 6).foldLeft(withStats) { (df, i) =>
+    // shares the memoized WEEKLY cache with similarPairs — in a run
+    // that executes both queries the raw events scan happens once
+    // total — but pivots its own uncached featureTable lineage over
+    // it: this audit is the table's only consumer here, so paying the
+    // feats-cache materialization would be pure overhead standalone
+    val withD = (0 until 6).foldLeft(
+      featureTable(memoEntry(weekly).weekly)) { (df, i) =>
       df.withColumn(s"d$i", expr(s"6 * w$i - sx"))
         .withColumn(s"q$i",
           expr(s"cast(d$i as decimal(38,0)) * d$i * 1000"))
