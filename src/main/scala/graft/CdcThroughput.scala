@@ -19,11 +19,16 @@ import org.apache.spark.sql.SparkSession
   * with KPL aggregation the wire cap is 1 MB/s. This probe's local
   * sink removes the network so the number is the ENGINE's ceiling.
   *
+  * SPARK_GRAFT_CDC_LANES > 1 measures the per-key multi-lane sink
+  * (the horizontal scale-out the reference's one shard cannot do;
+  * ordering contract weakens to per-xid — see OrderedAggregatingWriter).
+  *
   * Usage: SPARK_GRAFT_CDC_N=200000 sbt "runMain graft.CdcThroughput"
   */
 object CdcThroughput {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_CDC_N", "200000").toInt
+    val lanes = sys.env.getOrElse("SPARK_GRAFT_CDC_LANES", "1").toInt
     val dir = Files.createTempDirectory("graft-cdc-tp").toString
     val src = Paths.get(dir, "wal.jsonl")
     val w = Files.newBufferedWriter(src, StandardCharsets.UTF_8)
@@ -48,7 +53,7 @@ object CdcThroughput {
     val cat = catalog.PkCatalog.fromItems(spark, Seq(
       core.PrimaryKeyMapItem("public.species", "id", "integer", 1)))
     val cfg = GraftConfig(src.toString, s"$dir/sink", s"$dir/ckpt",
-      formatter = "CSVPayload", sendWindowSecs = 0)
+      formatter = "CSVPayload", sendWindowSecs = 0, sinkLanes = lanes)
     val t0 = System.nanoTime()
     val q = GraftJob.start(spark, cfg, cat)
     q.processAllAvailable()
@@ -64,7 +69,7 @@ object CdcThroughput {
       else 0
     }
     spark.stop()
-    println(f"""{"metric":"cdc_throughput","n_msgs":$n,"sunk":$sunk,""" +
+    println(f"""{"metric":"cdc_throughput","n_msgs":$n,"lanes":$lanes,"sunk":$sunk,""" +
       f""""wal_mb":${bytes / 1e6}%.1f,"secs":$secs%.2f,""" +
       f""""msgs_per_s":${n / secs}%.0f,"mb_per_s":${bytes / 1e6 / secs}%.1f}""")
   }

@@ -33,7 +33,12 @@ case class GraftConfig(
     slotName: String = "graft",
     createSlot: Boolean = false,
     recreateSlot: Boolean = false,
-    dryRun: Boolean = false) {
+    dryRun: Boolean = false,
+    // 1 = the reference's one-shard TOTAL order (stream.py:15-20);
+    // > 1 = per-key ordered lanes (hash(xid)-routed, the horizontal
+    // scale-out past the one-shard throughput cap — see
+    // OrderedAggregatingWriter)
+    sinkLanes: Int = 1) {
   def expandedOps: Seq[String] =
     // reference __main__.py:42-43: `if 'all' in operations` — 'all'
     // ANYWHERE in the multi-flag list expands to the four DMLs
@@ -145,7 +150,16 @@ object GraftJob {
       slotAdmin: graft.sources.SlotAdmin = null,
       streamLifecycle: graft.streaming.StreamLifecycle = null)
       : StreamingQuery = {
-    prepareSlot(cfg, slotAdmin)
+    // Dry-run promises the slot position is UNTOUCHED (so a later
+    // real run replays everything) — executing --create-slot /
+    // --recreate-slot DDL under it would silently discard the
+    // retained WAL. Peek semantics win: slot DDL is skipped with a
+    // warning, not run.
+    if (cfg.dryRun && (cfg.createSlot || cfg.recreateSlot))
+      System.err.println("graft: --dry-run peeks the existing slot; " +
+        "ignoring --create-slot/--recreate-slot (run without --dry-run " +
+        "to apply slot DDL)")
+    if (!cfg.dryRun) prepareSlot(cfg, slotAdmin)
     if (cfg.dryRun) {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-peek-ckpt").toString
@@ -171,7 +185,8 @@ object GraftJob {
         cfg.sinkDir)
     val client = if (putClient != null) putClient
       else new graft.streaming.LocalFilePutClient(cfg.sinkDir)
-    val writer = new OrderedAggregatingWriter(client)
+    val writer = new OrderedAggregatingWriter(client,
+      lanes = cfg.sinkLanes)
     transform(spark, cfg, pkCatalog)
       .writeStream
       .option("checkpointLocation", cfg.checkpointDir)

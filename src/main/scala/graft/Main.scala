@@ -227,6 +227,12 @@ object Main {
         PkCatalog.fromJdbc(spark, o.jdbcUrl, jdbcProps(o))
       case None => PkCatalog.fromItems(spark, Seq.empty)
     }
+    // Reference roadmap README.rst:136-138 ("refresh primary key
+    // cache on HUP"): snapshot the catalog and arm SIGHUP to drop and
+    // re-arm that cache — the next micro-batch re-runs the underlying
+    // JDBC/file read. Harmless for the literal-items fallback (a
+    // refresh recomputes the same literals).
+    PkCatalog.hupRefreshable(cat)
     // Slot DDL needs a live statement executor; only wire one when a
     // DDL flag asks for it AND a database is configured (a JDBC driver
     // must be on the classpath at that point — same deploy-time

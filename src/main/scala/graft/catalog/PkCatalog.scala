@@ -146,4 +146,31 @@ object PkCatalog {
         .invoke(null, sig, handler)
       true
     } catch { case _: Throwable => false }
+
+  /** Production HUP wiring for a RUNNING streaming job. A streaming
+    * plan bakes the catalog's logical subtree in at start — the
+    * [[hupRefreshing]] provider (a per-call DataFrame swap) can never
+    * be re-consulted by it. What IS re-consulted, every micro-batch,
+    * is the cache: each batch builds a fresh QueryExecution over the
+    * fixed plan and substitutes cached data for matching subtrees. So
+    * the refresh that reaches a live job is: persist the catalog
+    * (frozen snapshot served to every batch), and on HUP drop and
+    * re-arm that cache — the NEXT batch's execution finds no valid
+    * entry, re-runs the underlying read (the PK_SQL JDBC query /
+    * catalog file), and re-caches. Mid-batch consistency is free:
+    * unpersist never tears data out from under a running execution.
+    *
+    * Returns the trigger (also wired to SIGHUP via [[onSigHup]] when
+    * the JVM supports it) so callers and specs can fire it directly.
+    */
+  def hupRefreshable(cat: DataFrame): () => Unit = {
+    cat.persist()
+    val trigger: () => Unit = () => {
+      cat.unpersist(blocking = false)
+      cat.persist()
+      ()
+    }
+    onSigHup(trigger)
+    trigger
+  }
 }

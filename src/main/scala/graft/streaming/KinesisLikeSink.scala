@@ -41,6 +41,13 @@ trait PutClient extends Serializable {
     * AWS path keeps the reference's at-least-once contract
     * (README.rst:15-18) unchanged. */
   def beginBatch(batchId: Long): Unit = ()
+  /** Multi-lane variant: called before the puts of one (batch, lane) —
+    * a lane is one ordered delivery sequence (one Kinesis shard). The
+    * default ignores the lane (single-shard clients); lane-aware
+    * clients use it to key deliveries on (batchId, lane, position) so
+    * concurrent lane tasks never collide and replays stay idempotent
+    * per lane. */
+  def beginBatch(batchId: Long, lane: Int): Unit = beginBatch(batchId)
 }
 
 class ThrottlingException(msg: String) extends RuntimeException(msg)
@@ -103,9 +110,16 @@ class LocalFilePutClient(dir: String, failFirstAttemptEvery: Int = 0)
   // driver's -1 keeps the legacy rec-<seq> fallback reachable for
   // writers that never call beginBatch.
   private var curBatch: Long = -1L
+  private var curLane: Int = -1
   private var posInBatch: Long = 0L
   override def beginBatch(batchId: Long): Unit = {
     curBatch = batchId
+    curLane = -1
+    posInBatch = 0L
+  }
+  override def beginBatch(batchId: Long, lane: Int): Unit = {
+    curBatch = batchId
+    curLane = lane
     posInBatch = 0L
   }
   override def put(seq: Long, data: Array[Byte]): Unit = {
@@ -115,8 +129,11 @@ class LocalFilePutClient(dir: String, failFirstAttemptEvery: Int = 0)
     }
     val d = Paths.get(dir)
     Files.createDirectories(d)
-    val name = if (curBatch >= 0) f"rec-$curBatch%09d-$posInBatch%06d"
-               else f"rec-$seq%09d"
+    val name =
+      if (curBatch >= 0 && curLane >= 0)
+        f"rec-$curBatch%09d-L$curLane%04d-$posInBatch%06d"
+      else if (curBatch >= 0) f"rec-$curBatch%09d-$posInBatch%06d"
+      else f"rec-$seq%09d"
     Files.write(d.resolve(name), data)
     posInBatch += 1
   }
@@ -172,50 +189,89 @@ class RecordAggregator(maxBytes: Int) {
 class OrderedAggregatingWriter(client: PutClient,
     maxAggBytes: Int = 1 << 20,
     backoffBaseMs: Long = 50,
-    backoffLimitMs: Long = 60000) extends Serializable {
+    backoffLimitMs: Long = 60000,
+    lanes: Int = 1) extends Serializable {
 
-  /** foreachBatch body: single ordered lane, KPL-style packing,
+  /** foreachBatch body: ordered delivery lanes, KPL-style packing,
     * in-task bounded backoff. Null fmt_msg rows (operation-gated,
     * F2) flow through without contributing records — preserving the
     * reference's "filtered messages still tick the batcher" cadence.
-    */
+    *
+    * lanes = 1 (default) is the reference's contract verbatim: ONE
+    * shard, TOTAL WAL order (stream.py:15-20) — the batch coalesces to
+    * one task sorted by LSN. lanes > 1 is the engine's horizontal
+    * scale-out past the reference's one-shard throughput cap
+    * (ARCHITECTURE.md "per-key lanes"): the ordering contract weakens
+    * to PER-KEY — every record of one partition key (xid,
+    * stream.py:36) lands on one deterministic lane (hash(xid) mod
+    * lanes ≡ Kinesis's own key→shard routing) and is delivered in LSN
+    * order with lane-local sequence numbers, while distinct keys ride
+    * `lanes` parallel tasks. Exactly the semantics a multi-shard
+    * Kinesis stream gives a consumer: ordered within a partition key,
+    * unordered across keys. */
   def writeBatch(batch: DataFrame, batchId: Long): Unit = {
     val c = client
     val maxB = maxAggBytes
     val base = backoffBaseMs
     val limit = backoffLimitMs
-    batch.select(col("lsn"), col("fmt_msg"), col("xid"))
-      .coalesce(1)
-      .sortWithinPartitions("lsn")
-      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val agg = new RecordAggregator(maxB)
-        c.beginBatch(batchId)
-        var seq = c.deliveredCount()
-        def send(data: Array[Byte]): Unit = {
-          var backoff = base
-          var waited = 0L
-          var done = false
-          while (!done) {
-            try { c.put(seq, data); done = true }
-            catch {
-              case e: ThrottlingException =>
-                if (waited >= limit) throw e
-                Thread.sleep(backoff)
-                waited += backoff
-                backoff = math.min(backoff * 2, limit)
-            }
+    val nLanes = lanes
+    val routed =
+      if (nLanes <= 1)
+        batch.select(col("lsn"), col("fmt_msg"), col("xid"))
+          .withColumn("__lane", org.apache.spark.sql.functions.lit(-1))
+          .coalesce(1)
+          .sortWithinPartitions("lsn")
+      else
+        batch.select(col("lsn"), col("fmt_msg"), col("xid"))
+          // pmod, not abs(hash)%n: abs(Long.MinValue) stays negative
+          .withColumn("__lane", org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(col("xid")),
+            org.apache.spark.sql.functions.lit(nLanes)).cast("int"))
+          // hash-repartition ON the lane id: all records of a lane
+          // (hence of a key) land in one task; a task may own several
+          // lanes (hash(lane) mod lanes is not identity), so the
+          // per-partition loop below re-groups on the lane boundary
+          .repartition(nLanes, col("__lane"))
+          .sortWithinPartitions("__lane", "lsn")
+    routed.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      var agg: RecordAggregator = null
+      var seq = 0L
+      var curLane = Int.MinValue
+      def send(data: Array[Byte]): Unit = {
+        var backoff = base
+        var waited = 0L
+        var done = false
+        while (!done) {
+          try { c.put(seq, data); done = true }
+          catch {
+            case e: ThrottlingException =>
+              if (waited >= limit) throw e
+              Thread.sleep(backoff)
+              waited += backoff
+              backoff = math.min(backoff * 2, limit)
           }
-          seq += 1
         }
-        rows.foreach { r =>
-          if (!r.isNullAt(1)) {
-            // partition key = str(xid), reference stream.py:36
-            agg.add(String.valueOf(r.getLong(2)),
-              r.getString(1).getBytes(StandardCharsets.UTF_8))
-              .foreach(send)
-          }
-        }
-        if (agg.nonEmpty) send(agg.clearAndGet())
+        seq += 1
       }
+      rows.foreach { r =>
+        val lane = r.getInt(3)
+        if (lane != curLane) {
+          // lane boundary (or first row): flush the previous lane's
+          // partial aggregate, then open the new lane's sequence
+          if (agg != null && agg.nonEmpty) send(agg.clearAndGet())
+          curLane = lane
+          agg = new RecordAggregator(maxB)
+          if (lane >= 0) { c.beginBatch(batchId, lane); seq = 0L }
+          else { c.beginBatch(batchId); seq = c.deliveredCount() }
+        }
+        if (!r.isNullAt(1)) {
+          // partition key = str(xid), reference stream.py:36
+          agg.add(String.valueOf(r.getLong(2)),
+            r.getString(1).getBytes(StandardCharsets.UTF_8))
+            .foreach(send)
+        }
+      }
+      if (agg != null && agg.nonEmpty) send(agg.clearAndGet())
+    }
   }
 }

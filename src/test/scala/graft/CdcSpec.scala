@@ -314,4 +314,68 @@ class CdcSpec extends SparkSpec {
       assert(fired >= 1, "SIGHUP handler did not fire")
     }
   }
+
+  test("hupRefreshable: a FIXED plan sees fresh catalog data only after the trigger") {
+    // The wiring that reaches a RUNNING job (Main.start): a streaming
+    // plan bakes the catalog subtree in once, but every micro-batch's
+    // QueryExecution re-substitutes cached data — so HUP = drop and
+    // re-arm the cache on the same DataFrame. Stand-in for the JDBC
+    // PK_SQL relation: a mapPartitions read of a mutable file,
+    // consulted at EXECUTION time exactly like a database query.
+    import spark.implicits._
+    val f = java.nio.file.Files.createTempFile("graft-pkcat", ".txt")
+    java.nio.file.Files.write(f, "id".getBytes("UTF-8"))
+    val path = f.toString
+    val cat = Seq(0).toDS().mapPartitions(_.map { _ =>
+      val pk = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      ("public.events", pk, "bigint", 1)
+    }).toDF("table_name", "pk_name", "pk_type", "ord")
+    val trigger = PkCatalog.hupRefreshable(cat)
+    try {
+      // the fixed plan a streaming job would build at start
+      val plan = cat.select(col("pk_name"))
+      def pk(): String = plan.collect().map(_.getString(0)).head
+      assert(pk() == "id")
+      // mid-flight catalog change: the cached snapshot keeps serving
+      // (per-batch consistency — the reference's own cache behavior)
+      java.nio.file.Files.write(f, "id_v2".getBytes("UTF-8"))
+      assert(pk() == "id",
+        "cached snapshot must not see the change before the trigger")
+      // HUP: the NEXT execution of the SAME plan re-reads and re-caches
+      trigger()
+      assert(pk() == "id_v2",
+        "post-trigger execution must observe the refreshed catalog")
+      assert(pk() == "id_v2")
+    } finally cat.unpersist()
+  }
+
+  test("dry-run never executes slot DDL (peek leaves the slot untouched)") {
+    // ADVICE round 11: --dry-run --recreate-slot used to drop and
+    // recreate the slot, discarding the retained WAL the dry-run
+    // Scaladoc promises is untouched. Peek semantics win.
+    val dir = java.nio.file.Files.createTempDirectory("graft-peek").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "wal.jsonl"),
+      ("""{"xid": 1, "change": [{"kind": "insert", "schema": "public",""" +
+        """ "table": "species", "columnnames": ["id"],""" +
+        """ "columntypes": ["integer"], "columnvalues": [7]}]}""" + "\n")
+        .getBytes("UTF-8"))
+    var ddl = Seq.empty[String]
+    val admin = new graft.sources.SlotAdmin(sql => ddl = ddl :+ sql)
+    val cat = PkCatalog.fromItems(spark, Seq(
+      graft.core.PrimaryKeyMapItem("public.species", "id", "integer", 1)))
+    val cfg = GraftConfig(s"$dir/wal.jsonl", s"$dir/sink", s"$dir/ckpt",
+      sendWindowSecs = 0, dryRun = true, recreateSlot = true)
+    val q = GraftJob.start(spark, cfg, cat, slotAdmin = admin)
+    try { q.processAllAvailable() } finally q.stop()
+    assert(ddl.isEmpty,
+      s"dry-run must not run slot DDL, executed: $ddl")
+    // ...and the same flags WITHOUT dry-run do run the DDL
+    val cfg2 = cfg.copy(dryRun = false,
+      checkpointDir = s"$dir/ckpt2")
+    val q2 = GraftJob.start(spark, cfg2, cat, slotAdmin = admin)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(ddl.exists(_.toLowerCase.contains("create")),
+      s"non-dry run must execute the slot DDL, executed: $ddl")
+  }
 }
