@@ -104,7 +104,7 @@ object Bench {
       }
       val t = if (times.exists(_.isNaN)) -1.0 else times.min
       System.err.println(f"bench: $name%-26s ${t}%9.3f s   [wall ${spent}%7.1f s, $attempts att]")
-      name -> t
+      (name, t, times)
     }
     // Over-cap variance recheck (round-10 lesson: q_important_parts
     // read 44.5 s from ONE noisy attempt on bytecode that ran 1.28 s
@@ -115,7 +115,7 @@ object Bench {
     // BOTH numbers. Genuine structural slowness reproduces and stays
     // flagged; a scheduler/page-cache hiccup clears itself.
     val capS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_S", "20").toDouble
-    val results = firstPass.map { case (name, t) =>
+    val withRaw = firstPass.map { case (name, t, times) =>
       if (t > capS && spent < budgetS) {
         val fn = SparkEntry.queries(name)
         if (warmDir != null) {
@@ -131,9 +131,22 @@ object Bench {
         val best = if (!t2.isNaN && t2 < t) t2 else t
         System.err.println(
           f"bench: RECHECK $name first=$t%.2f s again=$t2%.2f s -> keeping $best%.2f s")
-        name -> best
-      } else name -> t
+        (name, best, times :+ t2)
+      } else (name, t, times)
     }
+    val results = withRaw.map { case (name, t, _) => name -> t }
+    // Variance evidence in the ARTIFACT (round-11 advisory: the min
+    // alone can mask intermittent slowness — a query flaky-slow half
+    // the time clears the over-cap flag with p≈0.5 and the artifact
+    // carries no counter-evidence). bench_last.json records EVERY raw
+    // attempt per query (first-pass attempts plus any over-cap
+    // recheck); the headline per-query number stays the min — the
+    // best observation of identical engine work under an honest
+    // cleared-cache protocol — and a reader can now judge the spread.
+    val rawJson = withRaw.map { case (name, _, times) =>
+      s""""$name":[${times.map(v =>
+        if (v.isNaN) "-1" else f"$v%.2f").mkString(",")}]"""
+    }.mkString("{", ",", "}")
     // 10 ms per-query precision: full doubles made the line long
     // enough that log capture truncated it
     val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
@@ -155,6 +168,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullJson =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"over_cap":$overCapJson,"value":$total}"""
+    // attempts only in the on-disk artifact: the printed line must
+    // stay parseable within the harness's bounded output capture
+    val fileJson =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"attempts":$rawJson,"failed":$failed,"over_cap":$overCapJson,"value":$total}"""
     // The harness keeps only the LAST 2000 chars of output, and the
     // full per-query map alone is longer than that — rounds 4/5 both
     // recorded "parsed": null because the line's head (with the
@@ -166,7 +183,7 @@ object Bench {
     //      inside a 2000-char tail: total, failure list, 5 slowest.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
-        (fullJson + "\n").getBytes("UTF-8"))
+        (fileJson + "\n").getBytes("UTF-8"))
     } catch { case t: Throwable =>
       System.err.println(s"bench: could not write bench_last.json: ${t.getMessage}")
     }

@@ -142,9 +142,12 @@ object GraftJob {
     * standby feedback / no .feedback append, so the slot position is
     * untouched), (b) nothing is put to the sink and the sink stream is
     * neither created nor awaited; each batch prints a WAL-ordered
-    * bounded preview of what WOULD be put, and (c) streaming progress
+    * bounded preview of what WOULD be put, (c) streaming progress
     * checkpoints under a fresh temp dir, so a later REAL run replays
-    * from the slot exactly as if the peek never happened. */
+    * from the slot exactly as if the peek never happened, and (d)
+    * slot DDL flags are IGNORED with a warning — --recreate-slot under
+    * a peek would discard the retained WAL that (a) just promised to
+    * keep. */
   def start(spark: SparkSession, cfg: GraftConfig, pkCatalog: DataFrame,
       putClient: PutClient = null,
       slotAdmin: graft.sources.SlotAdmin = null,

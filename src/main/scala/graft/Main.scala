@@ -50,6 +50,12 @@ import graft.sources.SlotAdmin
   *                           bounded preview of what WOULD be put —
   *                           the slot position is untouched, so a
   *                           later real run replays everything
+  *                           (slot DDL flags are ignored under it)
+  *   --sink-lanes N          per-key ordered delivery lanes (default 1
+  *                           = the reference's one-shard TOTAL order;
+  *                           N > 1 routes hash(xid) → lane and scales
+  *                           past the per-shard wire cap with per-key
+  *                           ordering — see OrderedAggregatingWriter)
   */
 object Main {
 
@@ -77,7 +83,8 @@ object Main {
       sendWindowSecs: Int = 13,
       maxRecordsPerTrigger: Long = Long.MaxValue,
       once: Boolean = false,
-      dryRun: Boolean = false) {
+      dryRun: Boolean = false,
+      sinkLanes: Int = 1) {
 
     /** Reference slot.py:40-45: psycopg2 connect kwargs → JDBC url.
       * Host empty = localhost (the reference's own default). */
@@ -102,7 +109,8 @@ object Main {
       slotName = slotName,
       createSlot = createSlot,
       recreateSlot = recreateSlot,
-      dryRun = dryRun)
+      dryRun = dryRun,
+      sinkLanes = sinkLanes)
   }
 
   private val Operations =
@@ -117,7 +125,7 @@ object Main {
       |  [--recreate-slot] [--operations all|insert|update|delete|truncate]...
       |  [--source-path PATH] [--checkpoint-dir PATH] [--pk-catalog PATH]
       |  [--send-window-secs N] [--max-records-per-trigger N] [--once]
-      |  [--dry-run]
+      |  [--dry-run] [--sink-lanes N]
       |""".stripMargin
 
   /** Pure argument parser (spec-driven; main() is a thin shell around
@@ -192,6 +200,12 @@ object Main {
             valued((v, o) => v.toLongOption
               .map(n => o.copy(maxRecordsPerTrigger = n))
               .toRight(s"invalid integer for $flag: $v"))
+          // engine extension (no reference analog — its one shard IS
+          // the cap): per-key ordered delivery lanes, hash(xid)-routed
+          case "--sink-lanes" =>
+            valued((v, o) => v.toIntOption.filter(_ >= 1)
+              .map(n => o.copy(sinkLanes = n))
+              .toRight(s"invalid lane count for $flag: $v"))
           case other => Left(s"unknown flag: $other")
         }
     }

@@ -106,12 +106,33 @@ class CdcFileMicroBatchStream(path: String, maxPerTrigger: Long,
   // Tracks the last offset this stream has *planned*, so each trigger
   // admits at most maxPerTrigger new lines even while the file grows.
   private var lastPlanned: Long = -1L
+  // Highest offset restored from the checkpoint log (deserializeOffset
+  // runs during recovery): the engine has durably planned/committed up
+  // to here, so the WAL head may NEVER be below it — see guardRegression.
+  private var restoredFloor: Long = 0L
+
+  /** Fail-fast on WAL regression (slot recreated / WAL file replaced
+    * under a live checkpoint). Without this the source would sit on
+    * empty batches until the NEW WAL grows past the old offset and
+    * then silently skip its first `floor` records — data loss wearing
+    * a clean progress log. The reference has the same failure mode
+    * (a recreated slot restarts at a fresh restart_lsn and its
+    * checkpointless client just follows); with a durable checkpoint
+    * the only safe move is to halt and make the operator choose:
+    * fresh checkpoint, or stop recreating slots under running jobs. */
+  private def guardRegression(head: Long, floor: Long): Unit =
+    if (head < floor) throw new IllegalStateException(
+      s"WAL position regressed: head=$head < checkpointed/planned=" +
+        s"$floor for $path — the slot/WAL was dropped or recreated " +
+        "while this checkpoint exists. Restart with a FRESH checkpoint " +
+        "to consume the recreated slot from its new origin.")
 
   override def initialOffset(): Offset = LsnOffset(0L)
 
   override def latestOffset(): Offset = {
     val total = CdcFileSource.lineCount(path)
     val base = if (lastPlanned < 0) 0L else lastPlanned
+    guardRegression(total, math.max(base, restoredFloor))
     // saturating add: base + Long.MaxValue must not wrap negative, or
     // the offset oscillates and the engine schedules empty batches
     // forever (processAllAvailable never converges)
@@ -125,6 +146,9 @@ class CdcFileMicroBatchStream(path: String, maxPerTrigger: Long,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LsnOffset].lsn
     val e = end.asInstanceOf[LsnOffset].lsn
+    // restart-replan of a planned-but-uncommitted batch: the WAL must
+    // still hold every line of it
+    guardRegression(CdcFileSource.lineCount(path), e)
     // on checkpoint restart the engine replans from the restored
     // offset; keep the admission tracker consistent
     if (lastPlanned < e) lastPlanned = e
@@ -155,6 +179,9 @@ class CdcFileMicroBatchStream(path: String, maxPerTrigger: Long,
 
   override def deserializeOffset(json: String): Offset = {
     val lsn = json.replaceAll("[^0-9]", "").toLong
+    // recovery path: remember the checkpoint's horizon for the
+    // regression guard
+    if (lsn > restoredFloor) restoredFloor = lsn
     LsnOffset(lsn)
   }
 

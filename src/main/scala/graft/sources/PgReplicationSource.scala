@@ -132,12 +132,29 @@ class PgReplicationMicroBatchStream(connection: String,
   // same admission tracker as CdcFileSource: each trigger admits at
   // most maxPerTrigger new positions even while WAL keeps growing
   private var lastPlanned: Long = -1L
+  // checkpoint horizon restored through deserializeOffset (recovery)
+  private var restoredFloor: Long = 0L
+
+  /** Fail-fast on LSN regression — a slot recreated under a live
+    * checkpoint restarts the server's WAL position BELOW what this
+    * checkpoint has durably planned; silently waiting for the new WAL
+    * to catch up would skip its first records (see
+    * CdcFileSource.guardRegression — identical contract, both
+    * transports are pinned by the same suite). */
+  private def guardRegression(head: Long, floor: Long): Unit =
+    if (head < floor) throw new IllegalStateException(
+      s"WAL position regressed: head=$head < checkpointed/planned=" +
+        s"$floor on connection '$connection' — the replication slot " +
+        "was dropped or recreated while this checkpoint exists. " +
+        "Restart with a FRESH checkpoint to consume the recreated " +
+        "slot from its new origin.")
 
   override def initialOffset(): Offset = LsnOffset(0L)
 
   override def latestOffset(): Offset = {
     val head = conn.headLsn()
     val base = if (lastPlanned < 0) 0L else lastPlanned
+    guardRegression(head, math.max(base, restoredFloor))
     // saturating add (see CdcFileSource.latestOffset)
     val admitted =
       if (maxPerTrigger > head - base) head else base + maxPerTrigger
@@ -149,6 +166,9 @@ class PgReplicationMicroBatchStream(connection: String,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LsnOffset].lsn
     val e = end.asInstanceOf[LsnOffset].lsn
+    // restart-replan of a planned-but-uncommitted batch: the slot must
+    // still hold every record of it
+    guardRegression(conn.headLsn(), e)
     if (lastPlanned < e) lastPlanned = e // checkpoint-restart replan
     Array(PgReplicationPartition(connection, s, e))
   }
@@ -170,8 +190,11 @@ class PgReplicationMicroBatchStream(connection: String,
     PgReplicationSource.logFlushed(lsn)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    LsnOffset(json.replaceAll("[^0-9]", "").toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val lsn = json.replaceAll("[^0-9]", "").toLong
+    if (lsn > restoredFloor) restoredFloor = lsn // recovery horizon
+    LsnOffset(lsn)
+  }
 
   override def stop(): Unit = conn.close()
 }

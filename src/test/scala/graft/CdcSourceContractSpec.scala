@@ -23,6 +23,10 @@ trait CdcSourceFixture {
   def stream(maxPerTrigger: Long = Long.MaxValue): DataFrame
   /** LSNs the transport has been told are flushed (K2 acks). */
   def acked: Seq[Long]
+  /** DROP-AND-RECREATE the slot under the consumer: the WAL restarts
+    * from position 0 holding only `payloads` (the new slot's fresh
+    * restart_lsn world). The regression-contract test uses this. */
+  def reset(payloads: Seq[String]): Unit
 }
 
 abstract class CdcSourceContractSpec extends SparkSpec {
@@ -112,6 +116,40 @@ abstract class CdcSourceContractSpec extends SparkSpec {
     assert(acks.last >= 6L, s"first round never acked: $acks")
     assert(acks.last <= 12L, s"acked beyond delivered WAL: $acks")
   }
+
+  test("contract: slot recreation under a live checkpoint fails fast, never replays from 0") {
+    // The reference's --recreate-slot drops retained WAL and restarts
+    // the slot at a fresh restart_lsn (slot.py:96-120). Its
+    // checkpointless client just follows; THIS engine holds a durable
+    // offset, and silently following would wait for the new WAL to
+    // pass the old offset and then skip the recreated slot's first
+    // records — data loss with a clean progress log. Contract: the
+    // resumed query must HALT with the regression error; the operator
+    // chooses a fresh checkpoint deliberately.
+    val f = mkFixture()
+    val ckpt = tmpDir() + "/ckpt"
+    val sink = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+    f.append((0 until 10).map(i => s"old$i"))
+    drain(f.stream(), ckpt, sink)
+    assert(sink.size == 10)
+    // drop + recreate: the new WAL holds 3 messages at positions 0..2
+    f.reset((0 until 3).map(i => s"new$i"))
+    val e = intercept[Exception] {
+      drain(f.stream(), ckpt, sink)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("regressed")),
+      s"expected the WAL-regression fail-fast, got: $e")
+    assert(sink.size == 10,
+      "no record of the recreated slot may be silently consumed or skipped")
+    // a FRESH checkpoint consumes the recreated slot from its origin
+    val sink2 = scala.collection.mutable.Buffer.empty[(Long, String, Long)]
+    drain(f.stream(), tmpDir() + "/ckpt2", sink2)
+    assert(sink2.sortBy(_._1).map(_._2) == (0 until 3).map(i => s"new$i"),
+      "fresh checkpoint must see the new slot's WAL from position 0")
+  }
 }
 
 /** File-backed transport (the tailed-file walsender stand-in). */
@@ -136,6 +174,10 @@ class CdcFileSourceContractSpec extends CdcSourceContractSpec {
       else new String(Files.readAllBytes(fb), StandardCharsets.UTF_8)
         .split("\n").filter(_.nonEmpty).map(_.toLong).toSeq
     }
+    override def reset(payloads: Seq[String]): Unit =
+      Files.write(path, payloads.mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 }
 
@@ -173,6 +215,10 @@ class PgReplicationSourceContractSpec extends CdcSourceContractSpec {
     override def acked: Seq[Long] = {
       import scala.jdk.CollectionConverters._
       flushes.iterator().asScala.map(_.toLong).toSeq
+    }
+    override def reset(payloads: Seq[String]): Unit = {
+      wal.clear()
+      append(payloads)
     }
   }
 }
