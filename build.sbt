@@ -29,11 +29,30 @@ lazy val adapters = (project in file("extras"))
   .settings(
     name := "graft-adapters",
     unmanagedBase := file("/opt/spark/jars"),
-    Compile / unmanagedSourceDirectories := Seq(
-      baseDirectory.value / "shims",
-      baseDirectory.value / "pgjdbc-adapter",
-      baseDirectory.value / "kinesis-adapter",
-    ),
+    // -Dgraft.realClients=true (or GRAFT_REAL_CLIENTS=1): compile the
+    // adapters against REAL client jars instead of the shims — drop
+    // org.postgresql:postgresql and software.amazon.awssdk:kinesis
+    // (+ transitive core/auth/http jars) into extras/lib/ and run
+    //   sbt -Dgraft.realClients=true adapters/compile
+    // The shim sources leave the classpath entirely, so any drift
+    // between the shim mirrors and the real pgjdbc/AWS API surfaces
+    // fails this compile — the CI job that keeps the seam honest.
+    // (Unset — this zero-egress sandbox — the shims stand in.)
+    Compile / unmanagedSourceDirectories := {
+      val real = sys.props.get("graft.realClients").exists(_.toBoolean) ||
+        sys.env.get("GRAFT_REAL_CLIENTS").exists(v => v == "1" || v == "true")
+      val adapterDirs = Seq(
+        baseDirectory.value / "pgjdbc-adapter",
+        baseDirectory.value / "kinesis-adapter",
+      )
+      if (real) adapterDirs else (baseDirectory.value / "shims") +: adapterDirs
+    },
+    Compile / unmanagedJars ++= {
+      val real = sys.props.get("graft.realClients").exists(_.toBoolean) ||
+        sys.env.get("GRAFT_REAL_CLIENTS").exists(v => v == "1" || v == "true")
+      if (real) ((baseDirectory.value / "lib") * "*.jar").classpath
+      else Seq.empty
+    },
   )
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
