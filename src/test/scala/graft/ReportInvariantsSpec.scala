@@ -174,4 +174,36 @@ class ReportInvariantsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(3) >= 100,
       "skew_x100 below its own floor of 100 is impossible"))
   }
+
+  test("mm_shard_index and mm_shard_pack can never disagree about placement") {
+    // the .idx companion's claim (Multimodal.scala): both artifacts
+    // derive from the same hash-priority order + DistributedRank
+    // cumsum, so the index aggregated per shard must BE the pack
+    // manifest — and within each shard, ordinals are dense from 1 and
+    // byte offsets strictly increase from 0
+    import org.apache.spark.sql.functions._
+    val idx = SparkEntry.queries("mm_shard_index")(spark, sf)
+    val pack = SparkEntry.queries("mm_shard_pack")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fromIdx = idx.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_item_bytes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fromIdx == pack,
+      s"index-derived manifest disagrees with the pack manifest")
+    val perShard = idx.select("shard", "item_seq", "offset_in_shard")
+      .collect().groupBy(_.getLong(0))
+    for ((shard, rows) <- perShard) {
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq,
+        s"shard $shard ordinals not dense from 1")
+      val offs = byRank.map(_.getLong(2)).toSeq
+      assert(offs.head == 0L, s"shard $shard first offset ${offs.head} != 0")
+      assert(offs == offs.sorted && offs.distinct == offs,
+        s"shard $shard offsets not strictly increasing: $offs")
+    }
+  }
 }
