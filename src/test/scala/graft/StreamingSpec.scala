@@ -274,6 +274,36 @@ class StreamingSpec extends SparkSpec {
     assert(sinkRecords(s"$dir/sink").size == 8, "6 originals + 2 new")
   }
 
+  test("non-throughput sink errors re-raise immediately, no backoff retry") {
+    // reference stream.py:67-69: only ProvisionedThroughputExceeded
+    // enters the backoff loop; any other client error re-raises at
+    // once — retrying an auth/validation failure 60 s deep would only
+    // delay the halt the reference's contract promises
+    import graft.streaming.{OrderedAggregatingWriter, PutClient}
+    import spark.implicits._
+    // static counter: the client is SERIALIZED into the task closure,
+    // so an instance field would count on the task's copy only
+    DeniedPutCounter.n.set(0)
+    val denied = new PutClient {
+      override def put(seq: Long, data: Array[Byte]): Unit = {
+        DeniedPutCounter.n.incrementAndGet()
+        throw new RuntimeException("AccessDeniedException (simulated)")
+      }
+      override def deliveredCount(): Long = 0L
+    }
+    val writer = new OrderedAggregatingWriter(denied,
+      backoffBaseMs = 1000, backoffLimitMs = 60000)
+    val batch = Seq((0L, "0,CDC,1,public.t,insert,1", 1L))
+      .toDF("lsn", "fmt_msg", "xid")
+    val t0 = System.nanoTime()
+    intercept[Exception] { writer.writeBatch(batch, 0L) }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    val attempts = DeniedPutCounter.n.get()
+    assert(attempts == 1, s"non-throughput error was retried $attempts times")
+    assert(elapsedMs < 30000, // far under even ONE 1000 ms backoff round-trip
+      f"writeBatch took $elapsedMs%.0f ms — it slept in the backoff path")
+  }
+
   test("throttling: backoff exhaustion hard-fails like the reference") {
     // reference stream.py:73-74: when the backoff budget is spent the
     // exception propagates and the job halts — delivery must never
@@ -362,4 +392,10 @@ class StreamingSpec extends SparkSpec {
     bad(10) = (bad(10) ^ 1).toByte
     intercept[IllegalArgumentException](KplAggregate.decode(bad))
   }
+}
+
+/** In-JVM static for the non-throughput re-raise test: counts put()
+  * attempts across the serialized task copy of the client. */
+object DeniedPutCounter {
+  val n = new java.util.concurrent.atomic.AtomicInteger(0)
 }
