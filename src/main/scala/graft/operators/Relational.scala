@@ -2090,6 +2090,27 @@ object Relational extends QueryModule {
         .orderBy(col("decile"))
     }),
 
+    // Exact global median by DISTRIBUTED rank selection — the
+    // order-statistic primitive counting-quantile cutoffs cannot give
+    // when the answer must be an actual ranked row (audits, SLAs,
+    // "the literal middle order"). Unlike q_percentiles (value
+    // histogram over a bounded domain), this ranks the RAW fact table:
+    // DistributedRank samples range boundaries, ranks within ~balanced
+    // ranges, and the median is the row whose global position is
+    // (n+1) div 2 — a filter, not a sort-the-world. The kernel's
+    // corpus-sized demonstration: same code path at 1.5e9 orders.
+    "q_exact_median" -> ((s, d) => {
+      val px = orders(s, d).select(
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+        col("o_orderkey"))
+      val (ranked, totals) = DistributedRank.rankPrefix(
+        px, Seq(col("cents"), col("o_orderkey")), "rn")
+      ranked.crossJoin(broadcast(totals.select(col("__n"))))
+        .filter(col("rn") === expr("(__n + 1) div 2"))
+        .select(col("cents").as("median_cents"),
+          col("rn").as("median_rank"))
+    }),
+
     // Time-to-convert: per user, the gap from first view to first
     // subsequent purchase, summarized as counting quantiles over the
     // integer seconds grid (the q_interarrival discipline — the
@@ -2892,6 +2913,17 @@ object Relational extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "q_exact_median" ->
+      """WITH r AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+        |        o_orderkey) AS rn
+        |  FROM orders),
+        |n AS (SELECT COUNT(*) AS c FROM orders)
+        |SELECT cents AS median_cents, rn AS median_rank
+        |FROM r, n WHERE rn = (c + 1) // 2""".stripMargin,
+
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlSum("l_quantity")} AS sum_qty,

@@ -68,6 +68,9 @@ class PlanAuditSpec extends SparkSpec {
       // ranked per-customer rows × the broadcast ONE-row __n from
       // DistributedRank's bounded per-range totals (NTILE arithmetic)
       "q_ntile_spend",
+      // ranked fact rows × the same broadcast ONE-row __n (the median
+      // position (n+1) div 2 selector)
+      "q_exact_median",
       // corpus × the broadcast 10-probe set, twice-scored (full and
       // int8-reconstructed) — same bounded shape as sim_topk_brute
       "emb_quantize_recall",
