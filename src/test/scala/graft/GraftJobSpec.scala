@@ -47,6 +47,50 @@ class GraftJobSpec extends SparkSpec {
     assert(recs(1) == "0,CDC,1,public.species,update,1")
   }
 
+  test("multi-lane sink end-to-end: per-xid order through the full pipeline") {
+    // the --sink-lanes path through the FRONT DOOR (source → parse →
+    // PK join → gate → format → lane-routed KPL sink): 4 transactions
+    // interleaved in WAL order over 3 lanes; every xid's changes must
+    // sink in LSN order on one lane, nothing lost, nothing reordered
+    // within a key
+    val dir = tmp()
+    val src = Paths.get(dir, "wal.jsonl")
+    val lines = for (round <- 0 until 5; x <- 0 until 4) yield
+      s"""{"xid": ${700 + x}, "change": [{"kind": "insert",""" +
+        s""" "schema": "public", "table": "species",""" +
+        s""" "columnnames": ["id"], "columntypes": ["integer"],""" +
+        s""" "columnvalues": [${round * 4 + x}]}]}"""
+    Files.write(src, lines.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    run(GraftConfig(src.toString, s"$dir/sink", s"$dir/ckpt",
+      formatter = "CSV", sendWindowSecs = 0, sinkLanes = 3))
+    // decode per lane, in (batch, lane, position) file order
+    val perLane = Files.list(Paths.get(s"$dir/sink")).iterator().asScala
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { f =>
+        val m = "rec-\\d+-L(\\d+)-\\d+".r
+          .findFirstMatchIn(f.getFileName.toString)
+          .getOrElse(fail(s"not lane-keyed: ${f.getFileName}"))
+        m.group(1).toInt -> KplAggregate.decode(Files.readAllBytes(f))
+          .map { case (pk, data) =>
+            (pk, new String(data, StandardCharsets.UTF_8)) }
+      }
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+    val all = perLane.values.flatten.toSeq
+    assert(all.size == 20, s"expected 20 records, got ${all.size}")
+    // each xid on exactly one lane, ids (the per-xid payload sequence,
+    // ascending with LSN) delivered in order
+    for (x <- 0 until 4) {
+      val lanesOfX = perLane.filter(_._2.exists(_._1 == s"${700 + x}")).keys
+      assert(lanesOfX.size == 1, s"xid ${700 + x} split across $lanesOfX")
+      val ids = perLane(lanesOfX.head).filter(_._1 == s"${700 + x}")
+        .map(_._2.split(",").last.toInt)
+      assert(ids == ids.sorted,
+        s"xid ${700 + x} delivered out of WAL order: $ids")
+      assert(ids.size == 5)
+    }
+  }
+
   test("test_decoding plugin end-to-end with PK extraction") {
     val dir = tmp()
     val src = Paths.get(dir, "wal.txt")
