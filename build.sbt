@@ -24,6 +24,12 @@ lazy val root = (project in file("."))
 // unmanagedSourceDirectories and add the two real jars. The shim
 // classes live only on this subproject's classpath — the library
 // artifact stays clean of fake org.postgresql/software.amazon classes.
+// one resolution point for the real-clients switch so the source-dirs
+// and jars settings can never drift apart
+lazy val realClients: Boolean =
+  sys.props.get("graft.realClients").exists(_.toBoolean) ||
+    sys.env.get("GRAFT_REAL_CLIENTS").exists(v => v == "1" || v == "true")
+
 lazy val adapters = (project in file("extras"))
   .dependsOn(LocalProject("root"))
   .settings(
@@ -39,18 +45,15 @@ lazy val adapters = (project in file("extras"))
     // fails this compile — the CI job that keeps the seam honest.
     // (Unset — this zero-egress sandbox — the shims stand in.)
     Compile / unmanagedSourceDirectories := {
-      val real = sys.props.get("graft.realClients").exists(_.toBoolean) ||
-        sys.env.get("GRAFT_REAL_CLIENTS").exists(v => v == "1" || v == "true")
       val adapterDirs = Seq(
         baseDirectory.value / "pgjdbc-adapter",
         baseDirectory.value / "kinesis-adapter",
       )
-      if (real) adapterDirs else (baseDirectory.value / "shims") +: adapterDirs
+      if (realClients) adapterDirs
+      else (baseDirectory.value / "shims") +: adapterDirs
     },
     Compile / unmanagedJars ++= {
-      val real = sys.props.get("graft.realClients").exists(_.toBoolean) ||
-        sys.env.get("GRAFT_REAL_CLIENTS").exists(v => v == "1" || v == "true")
-      if (real) ((baseDirectory.value / "lib") * "*.jar").classpath
+      if (realClients) ((baseDirectory.value / "lib") * "*.jar").classpath
       else Seq.empty
     },
   )

@@ -38,22 +38,52 @@ import software.amazon.awssdk.services.kinesis.model.{
   * the default credential/region chain, so the object shipped to the
   * task closure is just configuration.
   */
-class AwsKinesisPutClient(streamName: String, partitionKey: String = "a")
+class AwsKinesisPutClient(streamName: String, partitionKey: String = "a",
+    lanes: Int = 1)
     extends PutClient {
 
   @transient private lazy val client: KinesisClient = KinesisClient.create()
 
   /** Sequence number returned by the last successful put; chained into
     * the next put's SequenceNumberForOrdering (reference
-    * stream.py:61-66). Task-local: one delivery lane per sink. */
+    * stream.py:61-66). Task-local: one delivery lane per task — under
+    * the multi-lane writer each lane task carries its own deserialized
+    * client copy, so the chain never crosses lanes. */
   @transient private var lastSeq: String = _
   @transient private var delivered = 0L
+  /** Lane this task's puts belong to (-1 = single-lane legacy). Set by
+    * the multi-lane writer via beginBatch(batchId, lane). Each lane is
+    * pinned to ITS OWN shard via ExplicitHashKey = the midpoint of the
+    * lane's slice of the 2^128 hash space (a stream created with
+    * `lanes` shards splits that space evenly, so lane i's midpoint
+    * falls inside shard i) — per-key order preserved: a lane is a
+    * deterministic hash(xid) group, and within the lane the
+    * SequenceNumberForOrdering chain still pins total order. A
+    * partition KEY alone would not do: Kinesis MD5-hashes it, and with
+    * N keys over N shards collisions leave some shards idle while
+    * writers contend on others (with the constant default key, ALL
+    * lanes would fight over one shard — slower than lanes=1). */
+  @transient private var lane: Int = -1
+
+  override def beginBatch(batchId: Long, laneId: Int): Unit = {
+    lane = laneId
+    // a new lane sequence: do not chain ordering across epochs/lanes
+    lastSeq = null
+  }
+
+  /** Midpoint of lane i's even 1/lanes slice of [0, 2^128). */
+  private def laneHashKey(i: Int): String =
+    java.math.BigInteger.ONE.shiftLeft(128)
+      .multiply(java.math.BigInteger.valueOf(2L * i + 1))
+      .divide(java.math.BigInteger.valueOf(2L * math.max(lanes, i + 1)))
+      .toString
 
   override def put(seq: Long, data: Array[Byte]): Unit = {
-    val b = PutRecordRequest.builder()
+    val base = PutRecordRequest.builder()
       .streamName(streamName)
-      .partitionKey(partitionKey)
+      .partitionKey(if (lane >= 0) s"lane-$lane" else partitionKey)
       .data(SdkBytes.fromByteArray(data))
+    val b = if (lane >= 0) base.explicitHashKey(laneHashKey(lane)) else base
     val req = (if (lastSeq != null) b.sequenceNumberForOrdering(lastSeq)
                else b).build()
     try {
@@ -70,18 +100,22 @@ class AwsKinesisPutClient(streamName: String, partitionKey: String = "a")
 }
 
 /** Production [[StreamLifecycle]] (operator S4): create-and-wait with
-  * the reference's semantics — ShardCount=1 (stream.py:14-15),
-  * tolerate already-exists (stream.py:21-25), then
+  * the reference's semantics — ShardCount=1 by default
+  * (stream.py:14-15), tolerate already-exists (stream.py:21-25), then
   * StreamLifecycle.ensureActive replays the boto3 `stream_exists`
-  * waiter schedule (10 s poll, 18 attempts) against
-  * [[streamStatus]]. */
-class AwsStreamLifecycle extends StreamLifecycle {
+  * waiter schedule (10 s poll, 18 attempts) against [[streamStatus]].
+  *
+  * @param shardCount pass the sink's lane count when deploying with
+  *                   --sink-lanes > 1: each lane's partition key needs
+  *                   its own shard for the lanes to actually multiply
+  *                   the 1 MB/s-per-shard wire ceiling */
+class AwsStreamLifecycle(shardCount: Int = 1) extends StreamLifecycle {
 
   @transient private lazy val client: KinesisClient = KinesisClient.create()
 
   override def createStream(name: String): Unit =
     try client.createStream(CreateStreamRequest.builder()
-      .streamName(name).shardCount(1).build())
+      .streamName(name).shardCount(shardCount).build())
     catch {
       // re-throw as graft's exception so ensureActive's
       // tolerate-already-exists branch handles AWS and fakes alike

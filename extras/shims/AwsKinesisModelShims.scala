@@ -17,6 +17,7 @@ object PutRecordRequest {
   final class Builder private[model] () {
     def streamName(v: String): Builder = this
     def partitionKey(v: String): Builder = this
+    def explicitHashKey(v: String): Builder = this
     def data(v: SdkBytes): Builder = this
     def sequenceNumberForOrdering(v: String): Builder = this
     def build(): PutRecordRequest = new PutRecordRequest()

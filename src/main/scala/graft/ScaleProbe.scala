@@ -394,11 +394,13 @@ object ScaleProbe {
     // event queries see an ~0.75x-per-copy but still linear corpus.
     val weekShapeDrop: (DataFrame, Int) => DataFrame = (df, i) =>
       df.filter(expr(
-        // pmod, not abs(..)%12: abs(Long.MinValue) overflows negative
-        // and the % would silently drop that row in every copy
+        // pmod on BOTH sides: abs(Long.MinValue)%12 overflows negative
+        // on the left, and a pre-epoch week index would make a signed
+        // %7 threshold negative on the right (vacuously-true filter =
+        // undropped clone rows for that time slice)
         "pmod(xxhash64(event_id), 12) >= " +
-          "(cast(datediff(cast(ts as date), date '1970-01-01') as bigint)" +
-          s" div 7 * ${1 + i % 5} + $i) % 7"))
+          "pmod(cast(datediff(cast(ts as date), date '1970-01-01') as bigint)" +
+          s" div 7 * ${1 + i % 5} + $i, 7)"))
     replicate(Tables.events(spark, d), Seq("event_id", "user_id"), n,
       perturbRow = Some(weekShapeDrop))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")

@@ -188,13 +188,13 @@ object TimeSeries {
     * The b columns are string literals, so the engine constant-folds
     * each word CASE down to its single live arm. */
   def saxWords(weekly: DataFrame, bs: Seq[Int]): DataFrame = {
-    // shares the memoized WEEKLY cache with similarPairs — in a run
+    // shares [[features]]' cached tables with similarPairs — in a run
     // that executes both queries the raw events scan happens once
-    // total — but pivots its own uncached featureTable lineage over
-    // it: this audit is the table's only consumer here, so paying the
-    // feats-cache materialization would be pure overhead standalone
-    val withD = (0 until 6).foldLeft(
-      featureTable(memoEntry(weekly).weekly)) { (df, i) =>
+    // total. (No point building an "uncached" featureTable lineage
+    // here instead: the CacheManager substitutes the memo's registered
+    // InMemoryRelation into any plan that canonically matches it, so
+    // the materialization is paid either way — one code path, not two.)
+    val withD = (0 until 6).foldLeft(features(weekly)) { (df, i) =>
       df.withColumn(s"d$i", expr(s"6 * w$i - sx"))
         .withColumn(s"q$i",
           expr(s"cast(d$i as decimal(38,0)) * d$i * 1000"))

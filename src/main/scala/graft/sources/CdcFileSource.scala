@@ -146,12 +146,16 @@ class CdcFileMicroBatchStream(path: String, maxPerTrigger: Long,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LsnOffset].lsn
     val e = end.asInstanceOf[LsnOffset].lsn
-    // restart-replan of a planned-but-uncommitted batch: the WAL must
-    // still hold every line of it
-    guardRegression(CdcFileSource.lineCount(path), e)
-    // on checkpoint restart the engine replans from the restored
-    // offset; keep the admission tracker consistent
-    if (lastPlanned < e) lastPlanned = e
+    // Restart-replan of a planned-but-uncommitted batch (e beyond
+    // anything THIS stream instance planned): the WAL must still hold
+    // every line of it. Checked ONLY on that path — in steady state
+    // latestOffset just guarded against the same head, and lineCount
+    // is an O(file-bytes) scan this source must not pay twice per
+    // trigger.
+    if (e > lastPlanned) {
+      guardRegression(CdcFileSource.lineCount(path), e)
+      lastPlanned = e // keep the admission tracker consistent
+    }
     Array(CdcFilePartition(path, s, e))
   }
 

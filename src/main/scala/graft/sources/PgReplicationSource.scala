@@ -166,10 +166,15 @@ class PgReplicationMicroBatchStream(connection: String,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LsnOffset].lsn
     val e = end.asInstanceOf[LsnOffset].lsn
-    // restart-replan of a planned-but-uncommitted batch: the slot must
-    // still hold every record of it
-    guardRegression(conn.headLsn(), e)
-    if (lastPlanned < e) lastPlanned = e // checkpoint-restart replan
+    // Restart-replan of a planned-but-uncommitted batch (e beyond
+    // anything THIS stream instance planned): the slot must still hold
+    // every record of it. Checked ONLY on that path — steady state was
+    // just guarded in latestOffset, and headLsn() is a server
+    // round-trip the hot loop must not pay twice per trigger.
+    if (e > lastPlanned) {
+      guardRegression(conn.headLsn(), e)
+      lastPlanned = e // checkpoint-restart replan
+    }
     Array(PgReplicationPartition(connection, s, e))
   }
 
