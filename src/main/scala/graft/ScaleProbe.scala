@@ -279,13 +279,14 @@ object ScaleProbe {
       "q_outer_nation", "q_anti_customers", "q_semi_customers",
       "q_top_customers", "q_having_active", "q_sql_correlated",
       "q_gapfill_hours", "q_interarrival", "q_running_distinct",
-      "q_skyline", "q_funnel_steps", "text_heavy_hitters", "text_zipf",
-      "text_tfidf", "text_source_drift"),
-    // ONE hash shuffle on a high-cardinality key (user/order/customer)
-    // with windows or in-group joins inside each group: linear by
-    // partitioning, probed via q_user_paths / q_attribution /
-    // q_forward_asof
+      "q_skyline", "q_funnel_steps", "text_heavy_hitters", "text_zipf"),
+    // ONE hash shuffle family on a high-cardinality key (user/order/
+    // doc/gram) with windows, in-group joins or keyed aggregates:
+    // linear by partitioning, probed via q_user_paths / q_attribution
+    // / q_forward_asof (user keys) and text_boilerplate /
+    // text_ngram_novelty (gram keys)
     "keyed-linear" -> Seq(
+      "text_tfidf", "text_source_drift",
       "q_window_dist", "q_window_nav", "q_window_range", "q_window_rank",
       "q_window_running", "q_session_windows", "q_sliding_events",
       "q_rolling_active_users", "q_event_transitions", "q_retention",
