@@ -207,11 +207,11 @@ object ScaleProbe {
       // counting (FK-consistent copies are disjoint components)
       "q_range_join", "q_basket_pairs", "text_para_dedup",
       "q_triangle_count",
-      // round-12: the kernel's corpus-sized demonstration — exact
-      // median by distributed rank selection over the RAW fact table
-      // (sampled ranges + broadcast offsets; the ratio should be the
-      // linear range-shuffle growth)
-      "q_exact_median")
+      // round-12: the kernel's corpus-sized demonstrations — exact
+      // median / p50-p90-p99 by distributed rank selection over the
+      // RAW fact tables (sampled ranges + broadcast offsets; the
+      // ratio should be the linear range-shuffle growth)
+      "q_exact_median", "q_exact_percentiles")
   /** Why each UNprobed declared query is exempt, grouped by the
     * structural reason. ProbeCoverageSpec asserts probedOps and these
     * groups exactly partition SparkEntry.queries: adding a query

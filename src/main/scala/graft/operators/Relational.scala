@@ -2111,6 +2111,31 @@ object Relational extends QueryModule {
           col("rn").as("median_rank"))
     }),
 
+    // Exact multi-percentile selection in ONE ranked pass — the SLA
+    // report (p50/p90/p99 as actual ranked rows) over the LARGEST fact
+    // table. Generalizes q_exact_median: DistributedRank ranks
+    // lineitem's quantized price once, the three target positions
+    // ceil(n*p/100) derive from the kernel's bounded totals and come
+    // back as a 3-row broadcast equi-join on the rank — no second
+    // scan, no sort-the-world, output is exactly 3 rows at any corpus
+    // size.
+    "q_exact_percentiles" -> ((s, d) => {
+      val px = lineitem(s, d).select(
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      val (ranked, totals) = DistributedRank.rankPrefix(
+        px, Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+        "rn")
+      val targets = totals.select(explode(array(
+        Seq(50, 90, 99).map(p => struct(lit(p.toLong).as("pct"),
+          expr(s"(__n * $p + 99) div 100").as("rn"))): _*)).as("t"))
+        .select(col("t.pct"), col("t.rn"))
+      ranked.join(broadcast(targets), Seq("rn"))
+        .select(col("pct"), col("cents").as("price_cents"),
+          col("rn").as("at_rank"))
+        .orderBy(col("pct"))
+    }),
+
     // Time-to-convert: per user, the gap from first view to first
     // subsequent purchase, summarized as counting quantiles over the
     // integer seconds grid (the q_interarrival discipline — the
@@ -2923,6 +2948,19 @@ object Relational extends QueryModule {
         |n AS (SELECT COUNT(*) AS c FROM orders)
         |SELECT cents AS median_cents, rn AS median_rank
         |FROM r, n WHERE rn = (c + 1) // 2""".stripMargin,
+
+    "q_exact_percentiles" ->
+      """WITH r AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (
+        |      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+        |        l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem),
+        |n AS (SELECT COUNT(*) AS c FROM lineitem),
+        |t AS (SELECT p AS pct, (c * p + 99) // 100 AS rn
+        |      FROM n, (VALUES (50), (90), (99)) AS ps(p))
+        |SELECT t.pct, r.cents AS price_cents, r.rn AS at_rank
+        |FROM r JOIN t USING (rn) ORDER BY t.pct""".stripMargin,
 
     "q1_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
