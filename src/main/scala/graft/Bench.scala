@@ -18,7 +18,12 @@ import org.apache.spark.sql.SparkSession
   *   < 85% spent: warm + 1 attempt
   *   else:        1 attempt, no warm
   * Every query always runs at least once, and the JSON line always
-  * prints.
+  * prints. Two protocol steps are EXEMPT from shedding because they
+  * are bounded and exist to make contended runs adjudicable: the
+  * q1_pricing calibration (stamps the artifact with this box's speed
+  * factor vs the committed clean run) and the over-cap variance
+  * recheck (one extra attempt for cap violators only). The artifact
+  * also stamps budget_exhausted when any query ran a shed protocol.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -71,6 +76,60 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+    // Machine-speed calibration (round-12 lesson: the driver's box ran
+    // the same bytecode 3x slower than the committed clean run, and
+    // nothing IN the artifact said so — q_seasonal_decompose's 26.72 s
+    // single cold attempt vs 0.74 s clean was unadjudicable from the
+    // JSON alone). Time ONE fixed reference query first, full protocol
+    // (warm + min of 2 cleared-cache attempts), and stamp the artifact
+    // with its ratio to the committed clean time: any future run
+    // self-documents its contention factor, so a flag on a contended
+    // box reads as "box was Nx slow today", not "query got slow".
+    // CalibCleanS is the reference for THIS protocol — q1_pricing at
+    // session start after the plateau warm below, measured on an idle
+    // box (load<3/32; readings 0.36-0.50 across repeats). It is NOT
+    // the mid-alphabet bench_last number (0.21): a start-of-session
+    // JIT never matches a 245-query-warm one, so the calibrator needs
+    // its own same-conditions baseline. Re-pin when the protocol or
+    // the clean-run regime moves. Box factor ≤ ~1.5 ⇒ clean box;
+    // ≥ ~2.5 ⇒ contended (r12's driver run would have shown >3x).
+    val CalibCleanS = 0.45
+    val calibS: Double = {
+      val fn = SparkEntry.queries("q1_pricing")
+      // UNtimed full-scale passes first, until the timing plateaus:
+      // mid-run queries see a warm OS page cache and a JIT-compiled
+      // session (the alphabet already warmed both), so a first-touch
+      // cold read here would bias the ratio toward disk + C2 compile
+      // queues, not the box (measured: pass 1 ≈ 3x pass 5 on an IDLE
+      // box — without the plateau the calibrator cries contention on
+      // every clean run)
+      try {
+        var prev = Double.MaxValue
+        var i = 0
+        var cont = true
+        while (cont && i < 8) {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          cont = t < prev * 0.9 // still improving >10%: keep warming
+          prev = t
+          i += 1
+        }
+      } catch { case _: Throwable => () }
+      (1 to 2).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => Double.NaN }
+      }.min
+    }
+    val calibRatio = calibS / CalibCleanS
+    System.err.println(f"bench: calibration q1_pricing $calibS%.3f s " +
+      f"(clean $CalibCleanS%.2f s, box factor $calibRatio%.2f)")
+    // Any first-pass query measured under a shed protocol (one attempt
+    // and/or no warm) marks the run budget-degraded: its numbers carry
+    // less counter-evidence than the protocol intends.
+    var budgetShed = false
     val firstPass = selected.map { case (name, fn) =>
       // Protocol per remaining budget (never sheds the query itself):
       //  - inline warm keeps codegen classes + JIT profiles hot at
@@ -83,6 +142,7 @@ object Bench {
       //    removes compile/scheduler noise, never real engine work.
       val frac = spent / budgetS
       val attempts = if (frac < 0.6) 2 else 1
+      if (frac >= 0.6) budgetShed = true
       if (warmDir != null && frac < 0.85) {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
@@ -111,12 +171,17 @@ object Bench {
     // the round before, and the flag landed in the artifact with no
     // counter-evidence). Any query over the cap gets exactly one more
     // clean attempt — same honesty protocol, caches cleared, own full
-    // scan — while measurement budget remains; we keep the min and log
-    // BOTH numbers. Genuine structural slowness reproduces and stays
-    // flagged; a scheduler/page-cache hiccup clears itself.
+    // scan — we keep the min and log BOTH numbers. Genuine structural
+    // slowness reproduces and stays flagged; a scheduler/page-cache
+    // hiccup clears itself. Deliberately EXEMPT from budget shedding
+    // (round-12 lesson): the recheck is bounded work — cap violators
+    // only — and a contended run burns its budget early, which is
+    // precisely when every late query gets one cold noisy attempt and
+    // most needs the recheck. Skipping it there is what made BENCH_r12
+    // carry an unadjudicable single-attempt flag.
     val capS = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_S", "20").toDouble
     val withRaw = firstPass.map { case (name, t, times) =>
-      if (t > capS && spent < budgetS) {
+      if (t > capS) {
         val fn = SparkEntry.queries(name)
         if (warmDir != null) {
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -166,12 +231,18 @@ object Bench {
     val overCapJson = overCap.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Contention self-documentation: the calibration ratio and the
+    // budget_exhausted stamp let a reader adjudicate a flag without
+    // access to this box — over_cap on a run with box_factor 3.2 and
+    // budget_exhausted=true is contention; the same flag at factor
+    // ~1.0 with full protocol is a real regression.
+    val calibJson = f""""calibration":{"query":"q1_pricing","sec":$calibS%.3f,"clean_ref_sec":$CalibCleanS%.2f,"box_factor":$calibRatio%.2f},"budget_exhausted":$budgetShed"""
     val fullJson =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"over_cap":$overCapJson,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir",$calibJson,"queries":$qs,"failed":$failed,"over_cap":$overCapJson,"value":$total}"""
     // attempts only in the on-disk artifact: the printed line must
     // stay parseable within the harness's bounded output capture
     val fileJson =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"attempts":$rawJson,"failed":$failed,"over_cap":$overCapJson,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir",$calibJson,"queries":$qs,"attempts":$rawJson,"failed":$failed,"over_cap":$overCapJson,"value":$total}"""
     // The harness keeps only the LAST 2000 chars of output, and the
     // full per-query map alone is longer than that — rounds 4/5 both
     // recorded "parsed": null because the line's head (with the
@@ -196,6 +267,6 @@ object Bench {
     println(fullJson)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"slowest":$slowest,"queries_file":"bench_last.json","failed":$failed,"over_cap":$overCapJson,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},$calibJson,"slowest":$slowest,"queries_file":"bench_last.json","failed":$failed,"over_cap":$overCapJson,"value":$total}""")
   }
 }

@@ -127,24 +127,63 @@ object PkCatalog {
 
   /** Wire a refresh trigger to SIGHUP where the JVM supports signal
     * handling (jdk.unsupported's sun.misc.Signal — present on the
-    * JDKs Spark supports). Returns false when unavailable; the
-    * trigger can still be invoked programmatically. Reflection keeps
-    * the compile-time surface free of the unsupported API. */
+    * JDKs Spark supports). Returns false when unavailable OR when HUP
+    * can never be DELIVERED in this JVM; the trigger can still be
+    * invoked programmatically. Reflection keeps the compile-time
+    * surface free of the unsupported API.
+    *
+    * Registration succeeding is NOT deliverability: a JVM started
+    * with SIGHUP=SIG_IGN (nohup, some supervisors) keeps the ignored
+    * disposition — HotSpot never overrides SIG_IGN for HUP/INT/TERM
+    * (CPython's `signal.signal`, which the reference would have used,
+    * does override it) — so `Signal.handle` returns normally while
+    * the handler can never fire. Returning true there is a lie the
+    * operator acts on (believing the roadmap feature works). So after
+    * registering, this self-tests end-to-end: raise HUP in-process
+    * (through the OS, same path as an external `kill -HUP`) and wait
+    * for the handler. Not fired ⇒ restore the previous handler, log
+    * the fallback, return false. The self-test fires `trigger` once
+    * at wiring time — both production triggers are idempotent
+    * (mark-dirty; re-persist of a just-persisted, unmaterialized
+    * cache), and the catalog was read fresh moments before anyway. */
   def onSigHup(trigger: () => Unit): Boolean =
     try {
       val sigCls = Class.forName("sun.misc.Signal")
       val handlerCls = Class.forName("sun.misc.SignalHandler")
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
       val handler = java.lang.reflect.Proxy.newProxyInstance(
         handlerCls.getClassLoader, Array(handlerCls),
         (_, method, _) => {
-          if (method.getName == "handle") trigger()
+          if (method.getName == "handle") {
+            // trigger BEFORE signaling: the self-test below returns as
+            // soon as `fired` ticks, and the caller may immediately
+            // act on the trigger's effect (e.g. materialize the
+            // re-armed cache) — incrementing first would let wiring
+            // return while the trigger is still mid-flight on this
+            // handler thread
+            trigger()
+            fired.incrementAndGet()
+          }
           null
         })
       val sig = sigCls.getConstructor(classOf[String])
         .newInstance("HUP").asInstanceOf[Object]
-      sigCls.getMethod("handle", sigCls, handlerCls)
+      val prev = sigCls.getMethod("handle", sigCls, handlerCls)
         .invoke(null, sig, handler)
-      true
+      sigCls.getMethod("raise", sigCls).invoke(null, sig)
+      val deadline = System.currentTimeMillis() + 3000
+      while (fired.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      if (fired.get() > 0) true
+      else {
+        // dead disposition: un-register (best effort) and say so
+        try sigCls.getMethod("handle", sigCls, handlerCls)
+          .invoke(null, sig, prev)
+        catch { case _: Throwable => () }
+        System.err.println("graft: SIGHUP ignored at JVM start (nohup?)" +
+          " — HUP-triggered catalog refresh cannot fire; use TTL refresh")
+        false
+      }
     } catch { case _: Throwable => false }
 
   /** Production HUP wiring for a RUNNING streaming job. A streaming
