@@ -203,19 +203,24 @@ object Pipeline extends QueryModule {
     * dedup), surv (near-dup cluster representatives only), clean
     * (decontaminated at >= 80 shared 8-gram shingles vs the
     * benchmark). Each frame carries (doc_id, text, n_toks). */
-  private def curationStages(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** The curation pipeline's SETS, defined once: input rows (with
+    * n_toks), the first-doc-per-content-hash ids, the dropped near-dup
+    * cluster members, and the decontaminated ids (>= 80 shared 8-gram
+    * shingles vs the benchmark). Both faces below join the same sets,
+    * so the stage semantics cannot drift between the consumers. */
+  private def curationSets(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = documents(s, d).withColumn("n_toks",
       expr("size(filter(split(text, '\\\\s+'), t -> t != ''))")
         .cast("long"))
     val input = docs.filter(col("doc_id") >= 20)
-    val quality = input.filter(col("n_toks") >= 20)
-    val firsts = quality.groupBy(md5(col("text")).as("h"))
+    val firsts = input.filter(col("n_toks") >= 20)
+      .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val exact = quality.join(firsts.select(col("doc_id")), Seq("doc_id"))
-    val surv = exact.join(
-      clusters(s, d).filter(col("doc_id") =!= col("cluster_id")),
-      Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val dropped = clusters(s, d)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
     val sets = Dedup.shingleSets(documents(s, d))
     def shingles(df: DataFrame) =
       df.select(col("doc_id"), explode(col("set")).as("h"))
@@ -230,8 +235,42 @@ object Pipeline extends QueryModule {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 80)
       .select(col("doc_id")).distinct()
+    (input, firsts, dropped, contam)
+  }
+
+  /** Anti-join face (corpus_curate / corpus_release): the nested stage
+    * frames, each a semi/anti join against the shared sets — the
+    * original shape, which measured FASTER than a left-join+flag
+    * formulation for single-stage consumers (anti joins shrink rows at
+    * each step instead of carrying null-extended flags through). */
+  private def curationStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (input, firsts, dropped, contam) = curationSets(s, d)
+    val quality = input.filter(col("n_toks") >= 20)
+    val exact = quality.join(firsts, Seq("doc_id"))
+    val surv = exact.join(dropped, Seq("doc_id"), "left_anti")
     val clean = surv.join(contam, Seq("doc_id"), "left_anti")
     (input, quality, exact, surv, clean)
+  }
+
+  /** Flag face (corpus_funnel, round 13): ONE frame with per-stage
+    * boolean flags via left joins + null tests against the SAME sets —
+    * identical row logic (the sets are doc_id-unique, so a left join
+    * cannot duplicate), but all five funnel counts come from one
+    * conditional aggregate over one pass instead of five nested count
+    * chains (guide §2.3). */
+  private def curationFlags(s: SparkSession, d: String): DataFrame = {
+    val (input, firsts, dropped, contam) = curationSets(s, d)
+    input
+      .join(firsts.withColumn("_first", lit(true)), Seq("doc_id"), "left")
+      .join(dropped.withColumn("_dropped", lit(true)), Seq("doc_id"), "left")
+      .join(contam.withColumn("_contam", lit(true)), Seq("doc_id"), "left")
+      .withColumn("st_quality", col("n_toks") >= 20)
+      .withColumn("st_exact",
+        col("st_quality") && col("_first").isNotNull)
+      .withColumn("st_surv", col("st_exact") && col("_dropped").isNull)
+      .withColumn("st_clean", col("st_surv") && col("_contam").isNull)
+      .drop("_first", "_dropped", "_contam")
   }
 
   private def splitAssign(docs: DataFrame): DataFrame =
@@ -796,15 +835,23 @@ object Pipeline extends QueryModule {
     // into a 5-row funnel. If corpus_curate's stage semantics change,
     // change them here too.
     "corpus_funnel" -> ((s, d) => {
-      val (input, quality, exact, surv, clean) = curationStages(s, d)
-      def stage(name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(name).as("stage"), col("n_docs"))
-      stage("1_input", input)
-        .unionByName(stage("2_quality", quality))
-        .unionByName(stage("3_exact_dedup", exact))
-        .unionByName(stage("4_neardup_survivors", surv))
-        .unionByName(stage("5_decontaminated", clean))
+      // Round 13: one conditional aggregate over the shared flags
+      // frame (curationFlags) instead of five unioned per-stage count
+      // chains — the stage chains nested (clean ⊃ surv ⊃ exact ⊃
+      // quality ⊃ input), so the old plan re-ran the join pipeline
+      // once per stage. Counts are identical by construction: each
+      // stage's row set IS its flag conjunction. Stage semantics live
+      // in curationFlags, still shared with corpus_curate /
+      // corpus_release.
+      curationFlags(s, d).agg(
+        count(lit(1)).as("c1"),
+        count(when(col("st_quality"), lit(1))).as("c2"),
+        count(when(col("st_exact"), lit(1))).as("c3"),
+        count(when(col("st_surv"), lit(1))).as("c4"),
+        count(when(col("st_clean"), lit(1))).as("c5"))
+        .selectExpr("stack(5, '1_input', c1, '2_quality', c2, " +
+          "'3_exact_dedup', c3, '4_neardup_survivors', c4, " +
+          "'5_decontaminated', c5) as (stage, n_docs)")
         .orderBy(col("stage"))
     }),
 

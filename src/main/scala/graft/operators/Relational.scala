@@ -1097,6 +1097,13 @@ object Relational extends QueryModule {
     // ratio arithmetic runs in decimal(38,0) (the text_keywords
     // overflow contract); conf/lift land back in bigint ppm.
     "q_assoc_rules" -> ((s, d) => {
+      // NOT cached (round-13 measurement): caching the distinct item
+      // set for its four consumers was tried and made the query 2.2×
+      // SLOWER at sf0.1 (3.9 s vs 1.8 s) — the InMemoryRelation
+      // materialization plus lost whole-stage fusion cost more than
+      // AQE's existing exchange reuse across the identical self-join
+      // legs saves. Left as lineage; exchange reuse dedupes the
+      // distinct's shuffle at runtime.
       val items = lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val nOrders = items.agg(
