@@ -120,11 +120,16 @@ object TimeSeries {
     // |users|-bounded InMemoryRelation the corpus is scanned once —
     // and q_sax_words reads the same entry for free.
     val withStats = features(weekly)
-    val nUsers = withStats.agg(count(lit(1)).as("n_users"))
-    val mx = withStats.agg(max(col("sx")).as("mx"))
+    // ONE corpus-stats row (round 13): n_users and max(sx) used to be
+    // two separate 1-row aggregates, each its own job + broadcast
+    // build, crossJoined at four sites — at bench SF the serial
+    // broadcast-stage latency of those scalars, not data, dominated
+    // the query. Same values, one aggregate, one broadcast.
+    val stats = withStats.agg(count(lit(1)).as("n_users"),
+      max(col("sx")).as("mx"))
     // bounded pre-histogram -> equi-depth volume bucket map
     // (≤ 1024 rows end to end; the cumulative window is tiny)
-    val cells = withStats.crossJoin(broadcast(mx))
+    val cells = withStats.crossJoin(broadcast(stats))
       .select(expr(
         "cast(cast(sx as decimal(38,0)) * 1024 div (mx + 1) as bigint)")
         .as("cell"))
@@ -136,13 +141,13 @@ object TimeSeries {
     val bSql = bOverride.map(_.toString)
       .getOrElse(SaxBlocking.bLadderSql("n_users"))
     val cellMap = cells.withColumn("cum", sum(col("cnt")).over(wCell))
-      .crossJoin(broadcast(nUsers))
+      .crossJoin(broadcast(stats))
       .withColumn("k", expr(kSql))
       .select(col("cell"),
         expr("least(k - 1, (cum - cnt) * k div n_users)")
           .as("vol_bucket"))
     val keyed = (0 until 6).foldLeft(
-      withStats.crossJoin(broadcast(nUsers))) { (df, i) =>
+      withStats.crossJoin(broadcast(stats))) { (df, i) =>
         df.withColumn(s"d$i", expr(s"6 * w$i - sx"))
           .withColumn(s"q$i",
             expr(s"cast(d$i as decimal(38,0)) * d$i * 1000"))
@@ -151,7 +156,6 @@ object TimeSeries {
       .withColumn("word", expr(SaxBlocking.wordSqlSpark("b",
         (0 until 6).map(i => s"d$i"), (0 until 6).map(i => s"q$i"),
         "vx")))
-      .crossJoin(broadcast(mx))
       .withColumn("cell", expr(
         "cast(cast(sx as decimal(38,0)) * 1024 div (mx + 1) as bigint)"))
       .join(broadcast(cellMap), Seq("cell"))
