@@ -98,4 +98,39 @@ class DistributedRankSpec extends SparkSpec {
           _.references.exists(_.name == "__pid")) => a
     }.isDefined), "kernel leaked an unbounded global window")
   }
+
+  test("the two kernel passes execute ONE range exchange (ReusedExchange)") {
+    // rankPrefix's EXACTNESS depends on the offsets aggregate and the
+    // main window pass reading the SAME repartitionByRange exchange:
+    // RangePartitioner samples boundaries per execution, so if the two
+    // subplans ever ran separate exchanges (exchange reuse disabled, a
+    // future plan change breaking canonical matching), their __pid
+    // boundaries could differ and the broadcast offsets would attach
+    // to the wrong ranges — wrong ranks with NO error (round-13
+    // advisory). Pin the invariant: after execution, the adaptive plan
+    // carries exactly one materialized range exchange and at least one
+    // ReusedExchange pointing at it.
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (i.toLong, (i * 37 % 101).toLong))
+      .toDF("id", "k")
+    val (ranked, _) = DistributedRank.rankPrefix(
+      df, Seq(col("k"), col("id")), "rn", value = Some(col("k")),
+      parts = 8)
+    ranked.collect()
+    // the adaptive plan's toString prints the FINAL plan first and the
+    // pre-execution Initial Plan after it — only the final section
+    // reflects what ran
+    val plan = ranked.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // a ReusedExchange line NAMES its target exchange, so exclude it
+    // from the materialized-exchange count
+    val ranges = plan.split("\n")
+      .count(l => l.contains("Exchange rangepartitioning") &&
+        !l.contains("ReusedExchange"))
+    assert(ranges == 1,
+      s"expected exactly ONE materialized range exchange, saw $ranges:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"offsets pass no longer reuses the range exchange — boundary " +
+        s"drift between passes would corrupt ranks silently:\n$plan")
+  }
 }
