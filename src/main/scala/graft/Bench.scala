@@ -13,10 +13,15 @@ import org.apache.spark.sql.SparkSession
   * prints slightly-noisier numbers (round 4's run was killed at the
   * timeout with zero output). So measurement runs under an explicit
   * budget (SPARK_GRAFT_BENCH_BUDGET_S, default 420 s of measurement
-  * wall time) and sheds protocol — never queries — as it fills:
-  *   < 60% spent: inline sf0.001 warm + min of 2 cold-data attempts
-  *   < 85% spent: warm + 1 attempt
-  *   else:        1 attempt, no warm
+  * wall time) and sheds protocol — never queries — as it fills,
+  * PACE-based since round 13 (the old fixed 60%-of-budget cliff
+  * single-attempted the whole late alphabet even on runs that would
+  * have finished in budget):
+  *   on pace (spent/budget ≤ queries-done/n) and < 90% spent:
+  *     inline sf0.001 warm + min of 2 cold-data attempts
+  *   over pace: 1 attempt (self-balancing — shed queries pull the
+  *     run back on pace, so shedding spreads across the tail)
+  *   ≥ 85% spent: the warm pass is dropped too
   * Every query always runs at least once, and the JSON line always
   * prints. Two protocol steps are EXEMPT from shedding because they
   * are bounded and exist to make contended runs adjudicable: the
@@ -126,10 +131,17 @@ object Bench {
     val calibRatio = calibS / CalibCleanS
     System.err.println(f"bench: calibration q1_pricing $calibS%.3f s " +
       f"(clean $CalibCleanS%.2f s, box factor $calibRatio%.2f)")
+    // Pace baseline starts AFTER calibration: its plateau warm burns
+    // ~5-10 s of wall before any query runs, and charging that to the
+    // first queries' pace share would single-attempt the early
+    // alphabet (the exact bias the pace protocol exists to remove).
+    val calibWall = spent
     // Any first-pass query measured under a shed protocol (one attempt
     // and/or no warm) marks the run budget-degraded: its numbers carry
     // less counter-evidence than the protocol intends.
     var budgetShed = false
+    var done = 0
+    val nSelected = math.max(selected.size, 1)
     val firstPass = selected.map { case (name, fn) =>
       // Protocol per remaining budget (never sheds the query itself):
       //  - inline warm keeps codegen classes + JIT profiles hot at
@@ -140,9 +152,23 @@ object Bench {
       //    before EVERY attempt, so each attempt pays its own full
       //    input-scan and materialization cost — min-of-two only ever
       //    removes compile/scheduler noise, never real engine work.
+      // Shedding is PACE-based (round 13): the old fixed 60%-of-budget
+      // cliff dropped the second attempt for every late-alphabet query
+      // even on runs that would have finished inside the budget, which
+      // is exactly how the r12/r13-baseline artifacts ended up with
+      // one-attempt noise flags. A query keeps the full min-of-two
+      // protocol while the wall spent so far is within the budget
+      // share of the queries completed (spent/budget ≤ done/n); a run
+      // over pace sheds single attempts adaptively and self-balances
+      // back on pace, so shedding spreads across the tail instead of
+      // cliffing at a fixed wall mark. Per-query values keep the same
+      // semantics as every prior round (min over honest cold attempts),
+      // and the artifact still records per-query attempt counts.
       val frac = spent / budgetS
-      val attempts = if (frac < 0.6) 2 else 1
-      if (frac >= 0.6) budgetShed = true
+      val onPace = (spent - calibWall) <=
+        (budgetS - calibWall) * ((done + 1).toDouble / nSelected)
+      val attempts = if (onPace && frac < 0.9) 2 else 1
+      if (attempts == 1) budgetShed = true
       if (warmDir != null && frac < 0.85) {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
@@ -164,6 +190,7 @@ object Bench {
       }
       val t = if (times.exists(_.isNaN)) -1.0 else times.min
       System.err.println(f"bench: $name%-26s ${t}%9.3f s   [wall ${spent}%7.1f s, $attempts att]")
+      done += 1
       (name, t, times)
     }
     // Over-cap variance recheck (round-10 lesson: q_important_parts
