@@ -345,15 +345,24 @@ object ScaleProbe {
           // manufactures 10-cliques and measures output blowup, not
           // pipeline scaling.
           case Some(c) if i > 0 =>
-            // full lowercase alphabet: 25 distinct non-identity
-            // rotations, so copies stay pairwise-dissimilar through
-            // scale 25; beyond that, copies sharing a rotation form
-            // TRUE cross-copy near-dup cliques and the dedup family's
-            // timings start measuring real output growth again (the
-            // duplicate-clique caveat in ARCHITECTURE.md)
+            // round 14: seeded Fisher-Yates permutation of the full
+            // lowercase alphabet per copy (was: 25 cyclic rotations,
+            // which repeat beyond 25 copies — copies sharing a
+            // rotation formed TRUE cross-copy near-dup cliques, so
+            // the corpus gates could not be probed past 25×). A
+            // seeded permutation is deterministic per copy index,
+            // bijective (per-copy internal near-dup structure is
+            // preserved exactly), and pairwise-distinct for any
+            // realistic copy count; two distinct permutations agree
+            // on ~1 of 26 characters in expectation, so cross-copy
+            // shingle overlap stays ~zero at 50× and beyond.
             val src = "etaoinshrdlucmfwypvbgkqjxz"
-            val rot = 1 + (i - 1) % (src.length - 1)
-            val dst = src.drop(rot) + src.take(rot)
+            val rnd = new scala.util.Random(0x5eed0000L + i)
+            val perm = rnd.shuffle(src.toList).mkString
+            // a permutation that collides with identity would make
+            // copy i an exact clone of copy 0 — shift it by one
+            val dst = if (perm == src) perm.drop(1) + perm.take(1)
+                      else perm
             shifted.withColumn(c, translate(col(c), src, dst))
           case _ =>
             perturbRow match {

@@ -56,11 +56,22 @@ object Pipeline extends QueryModule {
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val p = pairs.select(col("a_id").cast("long").as("src"),
       col("b_id").cast("long").as("dst"))
+    // (Round 14 re-examined: hash-partitioning + cache()ing sym to
+    // kill the per-round join exchange measured NO job/time win — AQE
+    // already broadcasts the tiny label side, so sym streams without
+    // an exchange anyway; the repartition only added a shuffle.
+    // Kept the proven checkpoint.)
     val sym = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    // Round 1 is fused into the loop (round 14): with identity labels
+    // the neighbor-label join IS the edge list itself (label = dst),
+    // and the self rows are (src, src, src) — duplicates are harmless
+    // under min/max, so the initial distinct-nodes pass AND its
+    // checkpoint AND the first join all collapse away (two fewer
+    // actions and one less shuffle join per clustering; the label
+    // stream per round is otherwise identical, so every round's output
+    // — and the fixpoint — is bit-for-bit unchanged).
+    var labels: DataFrame = null
     var changed = true
     var rounds = 0
     while (changed && rounds < 50) {
@@ -68,11 +79,18 @@ object Pipeline extends QueryModule {
       // aggregate yields the new label, the max of `old` (null on
       // neighbor rows) recovers the previous one for the convergence
       // test — one groupBy serves both.
-      val nbrRows = sym.join(labels, sym("dst") === labels("node"))
-        .select(sym("src").as("node"), col("label"),
-          lit(null).cast("long").as("old"))
-      val selfRows = labels.select(col("node"), col("label"),
-        col("label").as("old"))
+      val (nbrRows, selfRows) =
+        if (labels == null) (
+          sym.select(col("src").as("node"), col("dst").as("label"),
+            lit(null).cast("long").as("old")),
+          sym.select(col("src").as("node"), col("src").as("label"),
+            col("src").as("old")))
+        else (
+          sym.join(labels, sym("dst") === labels("node"))
+            .select(sym("src").as("node"), col("label"),
+              lit(null).cast("long").as("old")),
+          labels.select(col("node"), col("label"),
+            col("label").as("old")))
       val next = nbrRows.union(selfRows)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"), max(col("old")).as("old"))
@@ -1171,19 +1189,40 @@ object Pipeline extends QueryModule {
       //    iteration several times over and the deflated second chain
       //    SQUARES the tree — Catalyst analysis goes exponential in
       //    iterations (measured: minutes at sf0.01).
-      def center(mat: DataFrame): DataFrame = mat.localCheckpoint()
+      //  - round 14: the matrix is hash-partitioned on vec_id BEFORE
+      //    the barrier (cache() — a lazy barrier, cleared per bench
+      //    attempt, same honesty contract as q_theil_sen's monthly
+      //    cache). The win is PARTIAL-AGGREGATION locality (guide
+      //    §2.3): with every vec's 64 rows in one partition, each
+      //    iteration's dot aggregate collapses to ONE partial row per
+      //    vector before its exchange, instead of up to one partial
+      //    per (vector, partition); and the power loop's start vector
+      //    no longer needs a corpus-wide distinct (see dims below).
+      //    Measured at sf0.1: 5.18 → 4.03 s, 53 → 46 jobs, 5.9 →
+      //    2.3 MB shuffled. (Tried and rejected on the way: the same
+      //    repartition in front of the previous localCheckpoint
+      //    barrier — a checkpoint's LogicalRDD loses the partitioning
+      //    under AQE and every iteration re-shuffled anyway, measured
+      //    WORSE at 54 jobs / 7.7 MB.)
+      def center(mat: DataFrame): DataFrame = mat.cache()
       val c = center(e.join(broadcast(m), Seq("dim"))
-        .select(col("vec_id"), col("dim"), (col("v") - col("mean")).as("c")))
+        .select(col("vec_id"), col("dim"), (col("v") - col("mean")).as("c"))
+        .repartition(col("vec_id")))
       // The norm rides the SAME plan as the eigenvector via a global
       // window over the 64-row wk table (a second dsum aggregate +
       // crossJoin would re-run the corpus-sized wk computation per
       // checkpoint — measured ~40% of the query). Window quantization
       // is identical to dsum, so the value matches the oracle's
       // scalar-subquery nrm bit-for-bit.
+      // dims: the 64-row dimension table for the all-ones start vector.
+      // Derived from the means table m instead of a corpus-wide
+      // distinct over mat: joins on dim preserve the dim set, so
+      // m's dims == mat's dims for both power() calls — same rows,
+      // minus one full scan of the checkpointed matrix per call.
+      val dims = m.select(col("dim"))
       def power(mat: DataFrame): (DataFrame, DataFrame) = {
         import graft.Num.dsumExpr
-        var vk = mat.select(col("dim")).distinct()
-          .select(col("dim"), lit(1.0).as("vv"))
+        var vk = dims.select(col("dim"), lit(1.0).as("vv"))
         var nk: DataFrame = null
         for (_ <- 1 to 3) {
           val dk = mat.join(broadcast(vk), Seq("dim"))

@@ -1273,6 +1273,14 @@ object Relational extends QueryModule {
         when(uIsP1, col("p2")).otherwise(col("p1")).as("v"),
         when(uIsP1, col("d2")).otherwise(col("d1")).as("dv"))
         .cache()
+      // Round 14 re-examined: a sorted-adjacency-intersect rewrite
+      // (|N⁺(u) ∩ N⁺(v)| per oriented edge via SortedIntersectCount,
+      // no wedge rows) measured a WASH at sf0.1 (3.47 → 3.50 s, 26 →
+      // 28 jobs, shuffle 12.5 → 12.6 MB — the shuffle here is the
+      // upstream basket-pair join, not the wedges) and is NOT smaller
+      // at scale either: carrying N⁺(u) arrays through the second
+      // join's exchange moves the same Σ out-deg² values the wedge
+      // rows do, just packed in arrays. Kept the proven wedge form.
       val wedgeOrder = col("x.dv") < col("y.dv") ||
         (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))
       val triangles = oriented.as("x")
@@ -1947,15 +1955,29 @@ object Relational extends QueryModule {
       // shape computed the lineitem⋈orders join twice (per-order agg +
       // candidate distinct) and paid two countDistinct expand passes;
       // this one joins the fact once, shuffles once at line grain, and
-      // every later shuffle is pair-grain. Set semantics are identical:
-      // countDistinct(l_suppkey) = pairs per order, countDistinct(when
-      // (late, l_suppkey)) = pairs with any late line.
+      // every later shuffle is pair-grain. Set semantics are identical
+      // FOR NON-NULL l_suppkey (r13 advisory): countDistinct(l_suppkey)
+      // ignored NULL keys while count over (order, supplier) groups
+      // would count a NULL group — the synthetic lineitem (like TPC-H)
+      // has no NULL l_suppkey, so the two agree here; a NULLable-key
+      // deployment would need an IS NOT NULL pre-filter to keep them
+      // equivalent.
+      // cache()d (round 14): the r13 claim that AQE reuses the pair
+      // exchange across the two consumers was WRONG — the executed
+      // plan at both sf0.001 and sf0.1 materializes TWO
+      // (l_orderkey, l_suppkey) exchanges, i.e. the lineitem⋈orders
+      // join and the pair aggregate ran twice. The bounded pair table
+      // (≤ suppliers-per-order × orders) now materializes once and
+      // both faces read it (guide §2.4); the bench clears the cache
+      // manager before every attempt. Measured: 22.6 → 13.4 MB
+      // shuffled at sf0.1 (the duplicated fact-join pass gone).
       val perPair = lineitem(s, d)
         .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("l_shipdate") >
           col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+        .cache()
       val perOrder = perPair.groupBy(col("l_orderkey").as("po_orderkey"))
         .agg(count(lit(1)).as("n_supp"),
           sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
