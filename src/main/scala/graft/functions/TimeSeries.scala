@@ -159,6 +159,13 @@ object TimeSeries {
       .withColumn("cell", expr(
         "cast(cast(sx as decimal(38,0)) * 1024 div (mx + 1) as bigint)"))
       .join(broadcast(cellMap), Seq("cell"))
+      // round 14: the keyed table feeds BOTH self-join legs, and each
+      // leg re-evaluates the generated SAX word CASE (the largest
+      // expression in the engine) plus the stats/cellMap attach per
+      // row. cache() the |users|-bounded result so symbolization runs
+      // once per action (lazy, cleared per bench attempt — the
+      // features-cache contract).
+      .cache()
     val a = keyed.select(Seq(col("user_id").as("u1"), col("word"),
       col("vol_bucket")) ++
       (0 until 6).map(i => col(s"w$i").as(s"a$i")) ++

@@ -392,8 +392,16 @@ object Corpus extends QueryModule {
         .filter(col("n") >= 4)
         .join(broadcast(bench), Seq("bench_id"))
         .join(pre, Seq("doc_id"))
-        .withColumn("dist", levenshtein(col("bpre"), col("pre")))
-        .filter(col("dist") <= 8)
+        // Round 14: thresholded levenshtein — the verify runs on the
+        // ~800k count-filter survivors at sf0.1 (the count filter is
+        // weak on vocabulary-limited text: 800k candidates for 113
+        // true pairs), and the 3-arg form computes the banded
+        // O(k·n) DP with early exit instead of the full O(n²) table,
+        // returning the EXACT distance when ≤ 8 and -1 otherwise —
+        // so the emitted (pair, dist) rows are identical. Measured:
+        // full query 3.66 → 2.91 s (isolated A/B, same session).
+        .withColumn("dist", levenshtein(col("bpre"), col("pre"), 8))
+        .filter(col("dist") >= 0)
         .select(col("bench_id"), col("doc_id"), col("dist"))
         .orderBy(col("bench_id"), col("doc_id"))
     }),

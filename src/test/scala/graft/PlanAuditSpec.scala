@@ -357,9 +357,27 @@ class PlanAuditSpec extends SparkSpec {
     case _ => false
   }
 
+  /** Collect across cache barriers too (round 14): a Window inside a
+    * cache()d subtree still RUNS — q_ts_similarity's bounded cellMap
+    * window moved inside the keyed-table InMemoryRelation when that
+    * table was cached, and a collect over only the outer plan would
+    * have read it as vanished (stale-entry false positive) while a
+    * real unbounded window could hide the same way (missed offender).
+    */
+  private def collectThroughCaches[A](p: LogicalPlan)(
+      f: PartialFunction[LogicalPlan, A]): Seq[A] =
+    p.collect {
+      case n => n
+    }.flatMap {
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        collectThroughCaches(
+          imr.cacheBuilder.logicalPlan)(f)
+      case n => f.lift(n).toSeq
+    }
+
   private def unboundedGlobalWindows(
       df: org.apache.spark.sql.DataFrame): Seq[LWindow] =
-    df.queryExecution.optimizedPlan.collect {
+    collectThroughCaches(df.queryExecution.optimizedPlan) {
       case w: LWindow if w.partitionSpec.isEmpty &&
         !isRangeOffsetsTable(w.child) => w
     }
